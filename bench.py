@@ -1,0 +1,63 @@
+"""Benchmark harness (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {id: sec}, "sf": ...}
+
+Each query is materialized with the noop sink — full execution of the plan
+(scan → shuffle → agg) without collect/driver-transfer overhead, i.e. what
+a cluster run would actually pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kdcloganalyzer_spark.plans import registry
+from kdcloganalyzer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on a trivial job so q1 isn't charged for startup.
+    spark.range(100000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for qid in sorted(registry.QUERIES):
+        fn = registry.QUERIES[qid]
+        # One warm-up execution (JVM codegen/JIT), then the timed run —
+        # steady-state throughput, which is what a long-lived cluster pays.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "full_query_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,455 @@
+"""Tier-1 flagship + Tier-3 relational operators (SURVEY.md §2.1, §2.3).
+
+Every query here is oracle-checked against DuckDB. Conventions:
+- computed columns aliased identically on both sides;
+- floating aggregates rounded on both sides (summation-order independence);
+- top-k / window queries carry a total tie-break order.
+
+Scale notes (the 100 TB story) are in each docstring; `broadcast()` is
+used explicitly where a dimension is known-small, everything else is left
+to Catalyst + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's core aggregation transplanted onto `events`.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_min_max_count",
+    oracle="""
+    SELECT user_id,
+           min(ts)  AS first_ts,
+           max(ts)  AS last_ts,
+           count(*) AS n
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY user_id
+    """,
+)
+def agg_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key (first, last, count) — the reference's flagship aggregate.
+
+    Semantics: UserTimeReducer.java:23-31 / UserTimeRunner.java:30 ("earliest
+    and latest date each user successfully authenticated"), with the intended
+    min/max rather than the reference's inverted merge (UserTimeRec.java:120-126,
+    SURVEY.md §8 B1). The `event_type <> 'error'` filter mirrors the mapper's
+    success-only filter (UserTimeMapper.java:27-49).
+
+    Scale: filter is pushed to the parquet scan; Spark plans
+    partial HashAggregate → Exchange(hash(user_id)) → final HashAggregate,
+    which is exactly the reference's mapper+combiner+reducer
+    (UserTimeCombiner.java:23-31) with no user code. min/max/count buffers
+    are constant-size, so skew in user_id only affects shuffle balance, and
+    the map-side partial absorbs most of it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer.
+
+    Scale: both sides large → Catalyst picks SortMergeJoin/ShuffledHashJoin on
+    the key; AQE converts to broadcast at runtime if customer turns out small,
+    and splits skewed o_custkey partitions (skewJoin.enabled).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)                 AS n_customers,
+           ROUND(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast of the dimensions.
+
+    Scale: nation (25 rows) and region (5 rows) are broadcast to every
+    executor — zero shuffle of the 100 TB fact side for the join; the only
+    exchange is the final groupBy, whose cardinality is ≤125 groups.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_right_full",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (subsumes left/right null-extension semantics).
+
+    Scale: outer joins can't broadcast the preserved side; SortMergeJoin on
+    the key. AQE still coalesces the post-shuffle partitions.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: left_semi ∪ left_anti, tagged.
+
+    Scale: semi/anti joins only ship the join key of the probe side and
+    never duplicate matched rows; the orders side is reduced to distinct
+    keys by Spark before the join.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("tag")
+    )
+    anti = customer.join(orders, cond, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier, customer
+    WHERE abs(s_acctbal - c_acctbal) < 1.0
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: |s_acctbal - c_acctbal| < 1.0.
+
+    Scale: a naive theta join is O(n·m) BroadcastNestedLoop. We pre-bucket
+    both sides on floor(acctbal) and equi-join on adjacent buckets, turning
+    it into a hash join that only compares candidates within ±1 bucket —
+    the standard band-join decomposition, which survives 100× scale-up
+    where the nested loop would not.
+    """
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal"), F.floor("s_acctbal").alias("s_bucket")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal"), F.floor("c_acctbal").alias("c_bucket")
+    )
+    # Each supplier probes its own bucket and both neighbors.
+    expanded = supplier.withColumn(
+        "probe_bucket", F.explode(F.array(F.col("s_bucket") - 1, F.col("s_bucket"), F.col("s_bucket") + 1))
+    )
+    return (
+        expanded.join(customer, expanded.probe_bucket == customer.c_bucket)
+        .filter(F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 1.0)
+        .select("s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS asof_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the nearest earlier-or-equal click of
+    the same user.
+
+    Spark has no native ASOF JOIN; the scalable emulation is the
+    union-and-carry-forward pattern: union both streams, sort per key by ts,
+    and carry the last click ts forward with last(..., ignorenulls=True) —
+    one shuffle on user_id, no range explosion, works at any scale where a
+    per-key sort fits (vs. the O(n·m) range-join alternative).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("ts").alias("click_ts"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(None).cast("timestamp").alias("click_ts"), "event_id"
+    )
+    # Clicks sort before purchases at equal ts (is_purchase asc) so ts<=ts
+    # matches are visible to the carry-forward.
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_purchase", F.col("event_id").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "asof_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "set_union_intersect_except",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT 'union' AS op, k FROM (SELECT k FROM c UNION SELECT k FROM s)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (SELECT k FROM c INTERSECT SELECT k FROM s)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (SELECT k FROM c EXCEPT SELECT k FROM s)
+    """,
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets, tagged by op."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(c.intersect(s).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(c.exceptAll(s.distinct()).distinct().select(F.lit("except").alias("op"), "k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth
+# ---------------------------------------------------------------------------
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n,
+           ROUND(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority) with count + sum.
+
+    Scale: Spark expands rollup into a single Expand + HashAggregate — one
+    shuffle for all grouping sets, not one per set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "window_rank_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_rank_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / lag / running sum over per-customer windows.
+
+    Scale: all three windows share the partitionBy(o_custkey) exchange;
+    Spark plans one shuffle + two sorts. Skewed customers are bounded by
+    per-customer order counts, not total data size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(by_price).alias("rnk"),
+        F.lag("o_orderkey").over(by_date).alias("prev_order"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT k.
+
+    Scale: Spark plans TakeOrderedAndProject — per-partition top-k then a
+    k-way merge on the driver; never a global sort of 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "distinct_exact_approx",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE                    AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_exact_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact countDistinct + HLL approx_count_distinct, cross-validated.
+
+    The approx estimate can't be hash-compared across engines, so the query
+    asserts it instead: approx_ok ⇔ |approx − exact| ≤ 10%·exact (HLL rsd
+    default 5%). Scale: at 100 TB the exact distinct is the expensive one
+    (extra shuffle on (event_type, user_id)); approx_count_distinct is a
+    constant-size sketch merged map-side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.1 * F.col("n_exact")).alias(
+                "approx_ok"
+            ),
+        )
+    )
+
+
+@query(
+    "top_n_entities",
+    oracle="""
+    SELECT k, n FROM (
+        SELECT user_id AS k, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+        FROM events
+        GROUP BY user_id
+    ) WHERE rn <= 10
+    """,
+)
+def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N entities by event count (README.md:10 'Top N hosts, users...').
+
+    Deterministic under ties via the user_id tie-break. Scale: count is a
+    partial-agg'd groupBy; the top-N itself is TakeOrderedAndProject over
+    the (small) per-entity counts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("k"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("k", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_fn_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)     AS prop_k,
+           CAST(year(ts) AS INT)                              AS yr,
+           CAST(date_trunc('day', ts) AS DATE)                AS day,
+           upper(event_type)                                  AS etype_uc,
+           CAST(length(event_type) AS INT)                    AS etype_len,
+           ROUND(sqrt(abs(value)), 4)                         AS sqrt_val,
+           substr(event_type, 1, 3)                           AS etype3,
+           concat(event_type, ':', CAST(user_id AS VARCHAR))  AS ek
+    FROM events
+    """,
+)
+def scalar_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/JSON scalar functions over events.
+
+    All JVM-side built-ins inside one WholeStageCodegen project — the
+    whole suite is a single narrow map over the scan, no shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.year("ts").cast("int").alias("yr"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.upper("event_type").alias("etype_uc"),
+        F.length("event_type").cast("int").alias("etype_len"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 4).alias("sqrt_val"),
+        F.substring("event_type", 1, 3).alias("etype3"),
+        F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("ek"),
+    )

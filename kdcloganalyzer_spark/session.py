@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The defaults target the driver's bench box (local[32], 128 GiB) but every
+knob is chosen to also be the right call on a 1000-executor cluster:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow for any Python exchange, and a shuffle-partition count that AQE can
+coalesce downward rather than a hardcoded small one it can't raise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kdcloganalyzer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Adaptive execution: coalesce post-shuffle partitions, split skewed
+        # joins, convert to broadcast at runtime. Essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for any pandas UDF / toPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps: keep everything session-tz independent.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
