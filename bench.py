@@ -45,6 +45,19 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[qid] = round(time.perf_counter() - t0, 3)
 
+    # KDC parser throughput, uncached (the registered query reads the
+    # persisted records; this times the raw scan→sessionize pipeline).
+    from kdcloganalyzer_spark.operators.sessionize import sessionize
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+    from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+
+    log_dir = synth_dir_for_sf(sf_dir)
+    t0 = time.perf_counter()
+    sessionize(read_log_lines_raw(spark, log_dir)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["kdc_parse_uncached"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

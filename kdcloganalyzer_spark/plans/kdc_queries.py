@@ -1,3 +1,346 @@
-"""Tier-1/Tier-2 KDC log queries (SURVEY.md §2.1, §2.2). Filled in Phase 2."""
+"""Tier-1/Tier-2 KDC log queries (SURVEY.md §2.1, §2.2).
+
+These run on the deterministic synthetic Heimdal logs (sources/kdc_synth.py)
+scaled to the driver's sf. They are rows-only in the driver gate (the
+oracle's DuckDB views carry only the parquet tables); their correctness is
+pinned by the golden-fixture pytest suite (tests/test_kdc_parser.py,
+tests/test_kdc_queries.py) which hand-computes expected outputs and
+cross-checks aggregation math against DuckDB over the materialized records.
+
+The parsed `kdc_records` DataFrame is persisted per (session, sf) — parse
+once, query many, exactly how a production deployment would materialize the
+records table before fanning out queries.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.operators.sessionize import sessionize
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.kdc_log import read_log_lines, read_log_lines_raw
+from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+
+_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def kdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        log_dir = synth_dir_for_sf(sf_dir)
+        df = sessionize(read_log_lines_raw(spark, log_dir)).persist()
+        _CACHE[key] = df
+    return _CACHE[key]
+
+
+def _accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapper's accept path (UserTimeMapper.java:27-49): valid ∧ success
+    ∧ AUTH ∧ ¬referral."""
+    r = kdc_records(spark, sf_dir)
+    return r.filter(
+        F.col("valid")
+        & F.col("success")
+        & (F.col("req_type") == "AUTH")
+        & ~F.col("referral")
+    )
+
+
+# --- Tier 1: the pipeline stages as inspectable queries ---------------------
+
+
+@query("sessionize_multiline")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line record assembly (KDCLogRecordReader.java:208-324)."""
+    return kdc_records(spark, sf_dir).drop("enctypes")  # stable flat schema
+
+
+@query("scan_text_splittable")
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-correct text scan with per-file line numbers
+    (KDCLogRecordReader.java:163-206 equivalent; Spark's text source)."""
+    lines = read_log_lines(spark, synth_dir_for_sf(sf_dir))
+    return lines.groupBy("file").agg(
+        F.count("*").alias("n_lines"), F.max("line_no").alias("max_line_no")
+    )
+
+
+@query("scan_compressed")
+def q_scan_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-by-extension scan (CustomFileInputFormat.java:34-42 equivalent):
+    the synth dir's last file is gzip — same records either way."""
+    lines = read_log_lines(spark, synth_dir_for_sf(sf_dir) + "/*.gz")
+    return lines.groupBy("file").agg(F.count("*").alias("n_lines"))
+
+
+@query("parse_regex_header")
+def q_parse_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-group header extraction (KDCLogRecordReader.java:47-54,234-266)."""
+    return kdc_records(spark, sf_dir).filter(F.col("valid")).select(
+        "ts_raw", "req_type", "client", "crealm", "service", "srealm", "client_ip"
+    )
+
+
+@query("classify_error_substring")
+def q_classify_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins substring classification (§2.4 taxonomy;
+    KDCLogRecordReader.java:270-309)."""
+    return (
+        kdc_records(spark, sf_dir)
+        .filter(F.col("error_class").isNotNull())
+        .groupBy("error_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("derive_success")
+def q_derive_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-needs-preauth / TGS-presumed success derivation
+    (KDCLogRecordReader.java:246-258,270-271)."""
+    return (
+        kdc_records(spark, sf_dir)
+        .groupBy("req_type", "success")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("filter_predicates")
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4 rejection predicates (UserTimeMapper.java:27-49), as the
+    surviving-record projection."""
+    return _accepted(spark, sf_dir).select("client", "ts_raw")
+
+
+@query("filter_realm_literal")
+def q_filter_realm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realm equality filter — parameterized, default the synth realm
+    (perl kdcmapper.pl:38,42 hardcodes ANDREW.CMU.EDU; quirk B6)."""
+    return (
+        kdc_records(spark, sf_dir)
+        .filter(F.col("crealm") == "EXAMPLE.ORG")
+        .groupBy("crealm")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("project_narrow")
+def q_project_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection pre-shuffle (UserTimeMapper.java:51-56); Catalyst
+    ColumnPruning pushes this into the scan."""
+    return _accepted(spark, sf_dir).select("client", "ts_raw").limit(1000)
+
+
+def _user_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _accepted(spark, sf_dir)
+        .groupBy("client")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query("first_last_auth_per_user")
+def q_user_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship user_time aggregate (UserTimeReducer.java:23-31,
+    README.md:6-7) with intended min/max semantics (quirk B1)."""
+    return _user_time(spark, sf_dir)
+
+
+@query("agg_partial_combiner")
+def q_partial_combiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side partial aggregation (UserTimeCombiner.java:23-31): Spark
+    plans partial HashAggregate → Exchange → final HashAggregate
+    automatically for the same pipeline; returned result is identical."""
+    return _user_time(spark, sf_dir)
+
+
+@query("agg_sorted_stream")
+def q_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-based group aggregation (perl kdcreduce.pl:19-40): expressed as
+    sort_within_partitions + the same agg; Spark's sort-agg path produces
+    identical groups (perl output column order — quirk B7 — standardized)."""
+    return (
+        _accepted(spark, sf_dir)
+        .repartition("client")
+        .sortWithinPartitions("client", "ts_raw")
+        .groupBy("client")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@query("agg_tagged_union")
+def q_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyspaces in one pass, 'u:'/'s:'-tagged (perl kdcmapper.pl:38-52):
+    successful-preauth users ∪ completed-TGS services, off one cached parse."""
+    r = kdc_records(spark, sf_dir)
+    users = (
+        r.filter(F.col("valid") & F.col("success") & (F.col("req_type") == "AUTH"))
+        .select(F.concat(F.lit("u:"), F.col("client")).alias("key"), "ts_raw")
+    )
+    services = (
+        r.filter(F.col("valid") & F.col("success") & (F.col("req_type") == "TGS"))
+        .select(F.concat(F.lit("s:"), F.col("service")).alias("key"), "ts_raw")
+    )
+    return (
+        users.unionByName(services)
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_raw").alias("first_ts"),
+            F.max("ts_raw").alias("last_ts"),
+        )
+    )
+
+
+@query("agg_enctype_dim")
+def q_enctype_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enctype-extended grouping key (perl kdcmapper-with-enctypes.pl:39-57):
+    user/chosen-enctype per successful AS-REQ."""
+    return (
+        _accepted(spark, sf_dir)
+        .withColumn(
+            "key",
+            F.concat_ws(
+                "/", F.col("client"), F.coalesce(F.col("chosen_enctype"), F.lit("UNK"))
+            ),
+        )
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_raw").alias("first_ts"),
+            F.max("ts_raw").alias("last_ts"),
+        )
+    )
+
+
+@query("counters_observe")
+def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's side-channel counters (UserTimeMapper.java:27-49),
+    expressed as an oracle-checkable companion query (SURVEY.md §5.2):
+    reject_reason × count, including the 'Missing Pre-authentication'
+    relabeling of errorless failures (UserTimeMapper.java:35-39)."""
+    r = kdc_records(spark, sf_dir)
+    reason = (
+        F.when(~F.col("valid"), F.lit("Invalid"))
+        .when(
+            ~F.col("success"),
+            F.concat(
+                F.lit("Failed:"),
+                F.coalesce(F.col("error_class"), F.lit("Missing Pre-authentication")),
+            ),
+        )
+        .when(F.col("req_type") != "AUTH", F.lit("Request Type"))
+        .when(F.col("referral"), F.lit("Referral"))
+        .otherwise(F.lit("Accepted"))
+    )
+    return r.groupBy(reason.alias("reason")).agg(F.count("*").alias("n"))
+
+
+@query("sink_tsv_text")
+def q_sink_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV text sink (UserTimeRunner.java:42-46, UserTimeRec.tsv()):
+    user \\t first \\t last \\t n — written then read back for inspection."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="user_time_tsv_")
+    ut = _user_time(spark, sf_dir).select(
+        "client",
+        F.col("first_ts").cast("string"),
+        F.col("last_ts").cast("string"),
+        "n",
+    )
+    ut.write.mode("overwrite").option("sep", "\t").csv(out)
+    return (
+        spark.read.option("sep", "\t")
+        .schema("client string, first_ts string, last_ts string, n long")
+        .csv(out)
+    )
+
+
+# --- Tier 2: README-declared queries (README.md:4-13) -----------------------
+
+
+@query("auth_count_per_user")
+def q_auth_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'number of authentications per user' (README.md:6)."""
+    return _accepted(spark, sf_dir).groupBy("client").agg(F.count("*").alias("n"))
+
+
+@query("tgs_count_per_service")
+def q_tgs_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'number of tgs requests for a service' (README.md:8; perl s: path)."""
+    r = kdc_records(spark, sf_dir)
+    return (
+        r.filter(F.col("valid") & F.col("success") & (F.col("req_type") == "TGS"))
+        .groupBy("service")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("first_last_use_per_service")
+def q_service_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'first and last use of a service' (README.md:9)."""
+    r = kdc_records(spark, sf_dir)
+    return (
+        r.filter(F.col("valid") & F.col("success") & (F.col("req_type") == "TGS"))
+        .groupBy("service")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query("most_common_errors")
+def q_common_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'most common errors' (README.md:11), deterministic under ties."""
+    r = kdc_records(spark, sf_dir)
+    counts = (
+        r.filter(~F.col("success"))
+        .groupBy(
+            F.coalesce(
+                F.col("error_class"), F.lit("Missing Pre-authentication")
+            ).alias("error_class")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc("error_class"))
+
+
+@query("users_few_services")
+def q_users_few_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'identify users who only use a small number of services'
+    (README.md:12): distinct TGS services per user ≤ 3. At 100 TB use the
+    approx variant (approx_count_distinct) — exact kept here for checking."""
+    r = kdc_records(spark, sf_dir)
+    return (
+        r.filter(F.col("valid") & F.col("success") & (F.col("req_type") == "TGS"))
+        .groupBy("client")
+        .agg(F.countDistinct("service").alias("n_svc"))
+        .filter(F.col("n_svc") <= 3)
+    )
+
+
+@query("top_n_kdc_entities")
+def q_top_n_kdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Top N hosts, users, services' (README.md:10) over the KDC records:
+    one pass, three entity kinds stacked."""
+    r = kdc_records(spark, sf_dir).filter(F.col("valid"))
+    out = []
+    for kind, col in [("user", "client"), ("service", "service"), ("host", "client_ip")]:
+        counts = r.groupBy(F.col(col).alias("entity")).agg(F.count("*").alias("n"))
+        w = Window.orderBy(F.desc("n"), F.asc("entity"))
+        out.append(
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select(F.lit(kind).alias("kind"), "entity", "n")
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
