@@ -1,0 +1,119 @@
+"""Similarity search over embeddings (SURVEY.md §2.3 `sim_search_cosine`).
+
+Two paths:
+- exact brute-force top-k: broadcast the (small) query set against the
+  corpus, cosine in whole-stage codegen, per-query top-k via window — the
+  correctness baseline, O(|Q|·N).
+- LSH-bucketed (random signed projections): each vector hashed to a
+  bucket by the sign pattern of dot products with fixed seeded
+  hyperplanes; candidates = bucket collisions under multiple tables;
+  exact cosine re-ranking on candidates only. At 100 TB the bucket join
+  replaces the N·|Q| scan with |collisions| work — the standard
+  approximate path. Hyperplanes are literal constants (seeded numpy), so
+  the whole plan stays deterministic and JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.operators.dedup import _cosine
+
+
+def topk_cosine_exact(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """For each query vector (vec_id < n_queries): top-k neighbors by cosine.
+
+    Deterministic under near-ties: ranking key is (rounded cosine desc,
+    vec_id asc).
+    """
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+    scored = joined.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _bucket_expr(emb_col, planes: list[list[float]]):
+    """Signed-projection bucket id: bit i = sign(<v, plane_i>)."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(emb_col, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def topk_cosine_lsh(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates from n_tables signed-projection bucket
+    joins, exact cosine re-rank on candidates."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
+    ]
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _bucket_expr(F.col("embedding"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    cos = F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

@@ -1,3 +1,364 @@
-"""Tier-3 LLM-data-pipeline operators (SURVEY.md §2.3). Filled in Phase 5."""
+"""Tier-3 LLM-data-pipeline operators (SURVEY.md §2.3) over documents /
+embeddings / events.
+
+Oracle conventions: every SQL-expressible operator has a DuckDB twin with
+identical tokenization (single-space split), RE2-safe regexes, double-
+precision cosine, and rounding applied on BOTH sides before thresholds and
+ranking, so order-insensitive value hashes match bit-for-bit. LSH/SimHash
+candidate generation depends on engine-internal hashes → rows-only.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.functions import text as TX
+from kdcloganalyzer_spark.operators import dedup, multimodal, similarity
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash groupBy; lowest doc_id survives per text.
+
+    Scale: one shuffle on the dedup key; with skewed duplicate clusters AQE
+    splits the hot partitions. For very wide keys, group on md5(text) and
+    verify within group."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.words, b.words))::DOUBLE /
+                 (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+                 6) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+                6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs inside (lang, source) blocks.
+
+    Scale: blocking bounds the pairwise work to Σ block² instead of N²;
+    block keys come from cheap metadata. The block join is a plain
+    equi-join Catalyst can shuffle or broadcast."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@query("dedup_fuzzy_minhash")
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH dedup at J≥0.9: per-doc representative
+    assignment (doc_id, dup_of, jaccard_est) — O(N) output even when
+    duplicate clusters are huge, unlike pair enumeration (the synthetic
+    corpus has ~half of all pairs above J=0.5, so pair listing is
+    inherently quadratic; operators/dedup.py:minhash_lsh_pairs provides
+    it for targeted use). Rows-only — banding uses Spark-internal
+    xxhash64 no external oracle can reproduce."""
+    return dedup.minhash_dedup(load_table(spark, sf_dir, "documents"), 0.9)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding + Hamming≤3 pairs (rows-only; md5-based signatures)."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with same-label blocking.
+
+    Scale: blocking by label (or by an IVF/LSH bucket at real scale) keeps
+    the pair explosion local; cosine runs in codegen via zip_with/aggregate
+    in double precision (matches the oracle's math)."""
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "sim_search_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6)
+               AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 cosine neighbors for 5 query vectors.
+
+    Scale: the query set is broadcast (zero corpus shuffle); per-query
+    top-k folds into TakeOrdered per partition + merge. The scale path is
+    sim_search_lsh."""
+    return similarity.topk_cosine_exact(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    )
+
+
+@query("sim_search_lsh")
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via seeded signed-random-projection buckets +
+    exact re-rank on candidates (rows-only: recall is probabilistic)."""
+    return similarity.topk_cosine_lsh(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_analysis",
+    oracle="""
+    SELECT lang,
+           count(*)                                                   AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4)                AS avg_tokens,
+           round(avg(n_chars), 4)                                     AS avg_chars,
+           CAST(max(len(string_split(text, ' '))) AS INT)             AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char distributions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.n_tokens(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max(TX.n_tokens(F.col("text"))).alias("max_tokens"),
+    )
+
+
+def _duck_marker(word: str) -> str:
+    n = f" {word} "
+    return (
+        f"(length(' '||lower(text)||' ') - "
+        f"length(replace(' '||lower(text)||' ', '{n}', '')))/{len(n)}"
+    )
+
+
+def _duck_lang_score(lang: str) -> str:
+    from kdcloganalyzer_spark.functions.text import LANG_MARKERS
+
+    return " + ".join(_duck_marker(w) for w in LANG_MARKERS[lang])
+
+
+def _duck_predicted() -> str:
+    from kdcloganalyzer_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    scores = {lg: f"s_{lg}" for lg in langs}
+    expr = f"'{langs[-1]}'"
+    for lg in reversed(langs[:-1]):
+        later = [scores[o] for o in langs[langs.index(lg) + 1 :]]
+        cond = " AND ".join(f"{scores[lg]} >= {s}" for s in later)
+        expr = f"CASE WHEN {cond} THEN '{lg}' ELSE {expr} END"
+    return expr
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_duck_lang_score('en')} AS s_en,
+             {_duck_lang_score('de')} AS s_de,
+             {_duck_lang_score('fr')} AS s_fr,
+             {_duck_lang_score('es')} AS s_es,
+             {_duck_lang_score('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT lang, {_duck_predicted()} AS predicted, count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: labeled lang × predicted lang
+    confusion counts. (The synthetic corpus draws one vocabulary for all
+    labels, so the heuristic's output is uniform — the operator semantics,
+    not the accuracy, are under test.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", TX.predicted_lang(F.col("text")).alias("predicted")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(0.5 * (len(list_filter(string_split(lower(text), ' '),
+                           t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))::DOUBLE
+                        / len(string_split(lower(text), ' ')))
+               + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+               - 0.2 * (len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE
+                        / length(text)),
+             4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (stopword mass, length, punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INT) AS n_bpe
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.n_tokens(F.col("text")).alias("n_ws"),
+        TX.n_bpe_tokens(F.col("text")).alias("n_bpe"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(
+               regexp_extract_all(substr(lower(text), 1, {TX.FP_PREFIX}), '.'),
+               c -> ascii(c))),
+             (a, b) -> (a * 31 + b) % {TX.ROLL_MOD}) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (mod 1e9+7, 256-char prefix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface + multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "udf_surface",
+    oracle="""
+    SELECT event_id,
+           round(1/(1 + exp(-value/100)), 4) AS sig,
+           round((value - avg(value) OVER (PARTITION BY event_type)) /
+                 nullif(stddev_pop(value) OVER (PARTITION BY event_type), 0),
+                 4) AS z
+    FROM events
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDF surface demo: a scalar Arrow pandas_udf (sigmoid) and a
+    grouped applyInPandas (per-event-type z-score), both numerically
+    twinned in the oracle.
+
+    Scale: pandas_udf ships Arrow batches (no per-row pickling);
+    applyInPandas shuffles once on the group key — groups must fit in
+    memory per-executor, fine for bounded key domains like event_type."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    events = load_table(spark, sf_dir, "events")
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them, which pandas_udf can't resolve — returnType is in the decorator
+    @pandas_udf("double")
+    def sigmoid(v):
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-v / 100.0))).round(4)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        std = float(np.std(pdf["value"].to_numpy(), ddof=0))
+        mean = float(pdf["value"].mean())
+        z = ((pdf["value"] - mean) / std).round(4) if std > 0 else None
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "z": z if std > 0 else float("nan")}
+        )
+
+    zdf = events.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, z double"
+    )
+    sdf = events.select("event_id", sigmoid(F.col("value")).alias("sig"))
+    return sdf.join(zdf, "event_id")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'stubbed' AS decode_status
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via mapInPandas (decode stubbed —
+    see operators/multimodal.py). Oracle checks the payload plumbing
+    (byte counts survive the binary column + Arrow round-trip)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(docs).select(
+        "doc_id", "n_bytes", "decode_status"
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stubbed decode output incl. fake dimensions (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(docs)
