@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kdcloganalyzer_spark.operators.dedup import _cosine
+from kdcloganalyzer_spark.operators.dedup import _dot, with_unit_vector
 
 
 def topk_cosine_exact(
@@ -27,17 +27,21 @@ def topk_cosine_exact(
 ) -> DataFrame:
     """For each query vector (vec_id < n_queries): top-k neighbors by cosine.
 
-    Deterministic under near-ties: ranking key is (rounded cosine desc,
-    vec_id asc).
+    Vectors L2-normalize once pre-join (scan-side, O(N·dim)), so each of
+    the O(|Q|·N) scored pairs is a single dot product. Deterministic
+    under near-ties: ranking key is (rounded cosine desc, vec_id asc).
     """
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding").drop(
+        "embedding"
     )
-    corpus = emb.select("vec_id", "embedding")
+    queries = unit.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
+    )
+    corpus = unit.select("vec_id", "unit")
     joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    cos = F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
     scored = joined.select("q_id", "vec_id", cos.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -82,9 +86,10 @@ def topk_cosine_lsh(
     tables = [
         _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
     ]
-    bucketed = emb.select(
+    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding")
+    bucketed = unit.select(
         "vec_id",
-        "embedding",
+        "unit",
         F.explode(
             F.array(
                 *[
@@ -96,20 +101,20 @@ def topk_cosine_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+    ).select("vec_id", "unit", "tb.table", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
+        F.col("unit").alias("q_unit"),
         "table",
         "bucket",
     )
     cand = (
         bucketed.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "q_unit", "vec_id", "unit")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    cos = F.round(_cosine(F.col("q_emb"), F.col("embedding")), 6)
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
     scored = cand.select("q_id", "vec_id", cos.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

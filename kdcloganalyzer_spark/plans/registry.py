@@ -46,4 +46,5 @@ def load_all() -> None:
         kdc_queries,
         llm_pipeline,
         relational,
+        streaming_queries,
     )

@@ -418,8 +418,39 @@ def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scalar function suite
+# Source/sink surface + scalar function suite
 # ---------------------------------------------------------------------------
+@query(
+    "scan_custom_delimiter",
+    oracle="""
+    SELECT count(*) AS n_records,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def scan_custom_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom record-delimiter scan (reference CustomLineReader.java:135-255,
+    `textinputformat.record.delimiter` equivalent = Spark's `lineSep`).
+
+    Round-trip proof: write `documents.text` as one text corpus delimited
+    by RS (\\x1e), re-scan with lineSep=RS, and aggregate record count +
+    total chars — which must equal the same aggregate computed straight
+    from the parquet (the oracle). Splittability caveat encoded in the
+    reference (CustomFileInputFormat.java:19-32) applies identically:
+    Spark plans splits per file and the lineSep reader handles
+    delimiter-straddling records per split."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="custom_delim_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").option("lineSep", "\x1e").text(out)
+    back = spark.read.option("lineSep", "\x1e").text(out)
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
 @query(
     "scalar_fn_suite",
     oracle="""

@@ -1,0 +1,99 @@
+"""Registered Structured Streaming queries (SURVEY.md §2.3
+`stream_sessionize` family).
+
+Each runs a bounded StreamingQuery (Trigger.AvailableNow) and returns the
+materialized sink — see streaming/stream_queries.py for the execution
+model. The window aggregations are oracle-checkable because a bounded
+stream in complete mode must equal the batch aggregation DuckDB computes:
+- tumbling day window  ≡ GROUP BY date_trunc('day', ts)
+- sliding 2d/1d window ≡ each event contributes to day(ts) and day(ts)-1
+- session window (gap) ≡ gaps-and-islands (lag + running flag-sum)
+`stream_watermark_late_drop` and `stream_sessionize` are rows-only: the
+former's output is defined by watermark advancement order, the latter
+reads the synthetic KDC logs (not in the oracle's views; its correctness
+is pinned by the batch-equivalence pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+from kdcloganalyzer_spark.streaming import stream_queries as SQ
+
+
+@query(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day tumbling window × event_type aggregation."""
+    return SQ.tumbling_window_agg(spark, sf_dir)
+
+
+@query(
+    "stream_window_sliding",
+    oracle="""
+    SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, value
+      FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS TIMESTAMP), value
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 2-day/1-day sliding window aggregation."""
+    return SQ.sliding_window_agg(spark, sf_dir)
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE AS sess_end,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user session windows (30-minute inactivity gap)."""
+    return SQ.session_window_agg(spark, sf_dir)
+
+
+@query("stream_watermark_late_drop")
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven late-data drop (append mode, two ordered
+    micro-batches; rows-only — output is watermark-order-defined)."""
+    return SQ.watermark_late_drop(spark, sf_dir)
+
+
+@query("stream_sessionize")
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-line KDC sessionizer (file-granular micro-batches
+    via foreachBatch; batch-equivalence pinned in tests)."""
+    return SQ.stream_sessionize_kdc(spark, synth_dir_for_sf(sf_dir))

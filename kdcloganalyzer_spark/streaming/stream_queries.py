@@ -1,0 +1,221 @@
+"""Structured Streaming operators (SURVEY.md §2.3 `stream_sessionize` and
+the window/watermark family; reference EP2 `sink_stdout_stream` lineage —
+/root/reference/perl/kdcmapper.pl:37-76 is a line-at-a-time streaming
+mapper, which Structured Streaming generalizes).
+
+Each registered query runs a bounded stream (Trigger.AvailableNow) to a
+sink and returns the materialized result, so the driver's batch-shaped
+contract (`(spark, sf_dir) -> DataFrame`) holds while the plan underneath
+is a genuine StreamingQuery with state, watermarks, and incremental
+triggers. On a cluster the same code runs unbounded: swap the trigger and
+the sink.
+
+Scale notes:
+- windowed aggregations keep state per (window, key); watermarks bound
+  that state — without them a 100 TB stream accretes state forever.
+- the multi-line KDC sessionizer streams file-granularly: the file source
+  delivers whole files per micro-batch (records never span files —
+  KDCLogRecordReader scopes records to one split's file), so each batch
+  runs the proven batch sessionizer via foreachBatch. No cross-batch
+  state needed; state-API sessionization is only required when one file's
+  tail can arrive in a later batch, which the file source never does.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_SEQ = count()
+
+
+def _run_to_memory(
+    sdf: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a bounded streaming DataFrame to a memory sink; return result."""
+    name = f"stream_result_{next(_MEM_SEQ)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The streaming file source monitors a DIRECTORY; the driver ships
+    events as a single parquet file. Stage a symlink dir once per sf."""
+    if sf_dir not in _STAGE_CACHE:
+        import os
+
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet"
+        )
+        _STAGE_CACHE[sf_dir] = d
+    return _STAGE_CACHE[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same TIMESTAMP(NANOS)
+    handling as the batch loader (sources/tables.py): nanos as int64,
+    integer-div to micros."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_staged_events_dir(sf_dir))
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tumbling window × event_type counts/sums, with a 1-hour
+    watermark bounding aggregation state."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy(
+        F.window("ts", "1 day").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    res = _run_to_memory(out)
+    return res.select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+    )
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day — each event lands in two windows."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy(F.window("ts", "2 days", "1 day").alias("win")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    res = _run_to_memory(out)
+    return res.select(F.col("win.start").alias("win_start"), "n", "sum_value")
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap): dynamic-length
+    windows that merge while events keep arriving within the gap."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    res = _run_to_memory(out)
+    return res.select(
+        "user_id",
+        F.col("win.start").alias("sess_start"),
+        F.col("win.end").alias("sess_end"),
+        "n",
+    )
+
+
+def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop under a watermark, made deterministic via stream
+    RESTART: the events table is split into a recent half and an only-old
+    half. Run 1 streams the recent file and commits its watermark
+    (max(recent.ts) - 10 minutes) to the checkpoint. Run 2 restarts from
+    that checkpoint and streams the old file — every row sits below the
+    restored watermark and is dropped, so the appended output holds ONLY
+    the recent half's finalized windows.
+
+    (Two runs, not two micro-batches of one run: under
+    Trigger.AvailableNow the watermark is fixed for all planned batches
+    and only advances at the final commit, so intra-run late batches are
+    NOT dropped — restart-with-checkpoint is how the semantics actually
+    bind, and doubles as a state-recovery demonstration.)
+    """
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_batch = ev_batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    split_ts = ev_batch.selectExpr(
+        "percentile_approx(ts, 0.5, 10000) AS m"
+    ).collect()[0]["m"]
+
+    import glob
+    import os
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="late_drop_")
+    data_dir = f"{stage}/data"
+    out_dir = f"{stage}/out"
+    ckpt = f"{stage}/ckpt"
+    os.makedirs(data_dir)
+    recent = ev_batch.filter(F.col("ts") >= F.lit(split_ts))
+    old = ev_batch.filter(F.col("ts") < F.lit(split_ts))
+    schema = recent.schema
+
+    def stage_file(df: DataFrame, name: str) -> None:
+        tmp = f"{stage}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{data_dir}/{name}")
+
+    def run_once() -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .parquet(data_dir)
+            .withWatermark("ts", "10 minutes")
+        )
+        out = sdf.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+            F.count("*").alias("n")
+        )
+        q = (
+            out.select(F.col("win.start").alias("win_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_file(recent, "00_recent.parquet")
+    run_once()  # commits watermark = max(recent.ts) - 10 min
+    stage_file(old, "01_late.parquet")
+    run_once()  # old rows < restored watermark → dropped
+
+    return spark.read.parquet(out_dir)
+
+
+def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Streaming port of the multi-line KDC sessionizer
+    (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).
+
+    readStream.text discovers log files incrementally (8 files per
+    micro-batch here, to prove multi-batch operation); foreachBatch runs
+    the batch sessionizer over exactly the files of that batch — correct
+    because records never span files, so file-granular batches cannot
+    split a record. Output accumulates in an append parquet sink.
+    """
+    from kdcloganalyzer_spark.operators.sessionize import sessionize
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+    out_dir = tempfile.mkdtemp(prefix="stream_kdc_records_")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = [
+            r["f"]
+            for r in batch_df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        ]
+        if not files:
+            return
+        recs = sessionize(read_log_lines_raw(spark, files)).drop("enctypes")
+        recs.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 8)
+        .text(log_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
