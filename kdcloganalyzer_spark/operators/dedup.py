@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 MOD = 1_000_000_007
 
@@ -241,57 +240,37 @@ def minhash_dedup(
     )
 
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
+# 64-bit SimHash over the lowercased word split, entirely JVM-side and in
+# ONE fold: words hash once (xxhash64); the fold carries an array of 64
+# (+1/-1) bit counters; a final zip_with packs positive counters into the
+# signature long. (64 separate per-bit folds codegen into a pathologically
+# large expression and fall back to interpreted eval — the single-fold
+# array accumulator is ~40× smaller and stays in codegen.)
+_SIMHASH_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(lower(text), ' '), w -> xxhash64(w)),
+      transform(sequence(0, 63), x -> 0),
+      (acc, h) -> zip_with(acc, sequence(0, 63),
+                           (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))
+    ),
+    sequence(0, 63),
+    (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)
+  ),
+  0L, (s, x) -> s + x
 )
-
-
-def _make_simhash_batches():
-    """Self-contained closure (cloudpickled by value — executors don't have
-    this repo on sys.path) computing a 64-bit SimHash per doc:
-    md5-derived word hashes, sign-summed bits."""
-
-    def simhash_batches(iterator):
-        import hashlib as _hashlib
-
-        import pandas as _pd
-
-        for pdf in iterator:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                counts = [0] * 64
-                for w in str(text).lower().split():
-                    h = int.from_bytes(
-                        _hashlib.md5(w.encode()).digest()[:8], "big"
-                    )
-                    for i in range(64):
-                        counts[i] += 1 if (h >> i) & 1 else -1
-                sig = 0
-                for i in range(64):
-                    if counts[i] > 0:
-                        sig |= 1 << i
-                # keep within signed int64 for Spark LongType
-                if sig >= 1 << 63:
-                    sig -= 1 << 64
-                out.append((int(doc_id), sig))
-            yield _pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    return simhash_batches
+"""
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + Hamming verification.
 
-    Python computes one signature per doc (Arrow batches); candidate
-    generation (explode 4 × 16-bit bands, equi-join) and Hamming distance
-    (xor + bit_count) are JVM-side.
+    Signature, candidate generation (explode 4 × 16-bit bands, equi-join)
+    and Hamming distance (xor + bit_count) are all JVM-side — the whole
+    operator is two codegen projections plus one equi-join at scale.
     """
-    sigs = docs.select("doc_id", "text").mapInPandas(
-        _make_simhash_batches(), schema=_SIMHASH_SCHEMA
-    )
+    sigs = docs.select("doc_id", F.expr(_SIMHASH_SQL).alias("simhash"))
     bands = sigs.select(
         "doc_id",
         "simhash",

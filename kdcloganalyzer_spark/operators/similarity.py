@@ -56,21 +56,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def _bucket_expr(emb_col, planes: list[list[float]]):
-    """Signed-projection bucket id: bit i = sign(<v, plane_i>)."""
-    bits = []
-    for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(emb_col, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _sign_bits_expr(unit_col, planes: list[list[float]]):
+    """All signed-projection bits in ONE transform over a literal plane
+    matrix: bit j = sign(<v, plane_j>). A fold per plane per vector, but a
+    single compact expression — per-plane expression chains codegen into
+    pathologically large methods (same lesson as SimHash's fold)."""
+    mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    return F.transform(
+        mat,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(unit_col, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def _pack_bucket(bits_col, start: int, n_planes: int):
+    """bits[start : start+n_planes] → integer bucket id."""
+    powers = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(bits_col, start + 1, n_planes), powers, lambda b, p: b * p
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def topk_cosine_lsh(
@@ -86,8 +103,12 @@ def topk_cosine_lsh(
     tables = [
         _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
     ]
+    all_planes = [row for t in tables for row in t]
     unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding")
-    bucketed = unit.select(
+    with_bits = unit.select(
+        "vec_id", "unit", _sign_bits_expr(F.col("unit"), all_planes).alias("bits")
+    )
+    bucketed = with_bits.select(
         "vec_id",
         "unit",
         F.explode(
@@ -95,7 +116,9 @@ def topk_cosine_lsh(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        _bucket_expr(F.col("embedding"), tables[t]).alias("bucket"),
+                        _pack_bucket(
+                            F.col("bits"), t * n_planes, n_planes
+                        ).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]

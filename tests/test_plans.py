@@ -1,0 +1,70 @@
+"""Physical-plan shape regressions (SURVEY.md §4: what Catalyst must be
+giving us for the 100 TB design to hold).
+
+These don't check answers — the oracle suite does that — they check that
+the plans are the plans we designed for: dimension joins broadcast,
+predicates reach the parquet scan, aggregations partial-merge before the
+exchange, hot expressions stay in whole-stage codegen, and the LSH band
+self-joins stay equi-joins (never nested-loop/cartesian).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.plans import registry
+from kdcloganalyzer_spark.sources.tables import load_table
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(registry.QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema, read_schema
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_flagship_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(registry.QUERIES["agg_min_max_count"](spark, sf_dir))
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_hot_path_stays_in_codegen(spark, sf_dir):
+    # "*(n)" prefixes mark WholeStageCodegen stages in the plan string.
+    plan = _plan(registry.QUERIES["scalar_fn_suite"](spark, sf_dir))
+    assert "*(1)" in plan, plan
+
+
+def test_lsh_band_joins_are_equi_joins(spark, sf_dir):
+    for qid in ("dedup_simhash", "dedup_fuzzy_minhash"):
+        plan = _plan(registry.QUERIES[qid](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, (qid, plan)
+        assert "CartesianProduct" not in plan, (qid, plan)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(registry.QUERIES["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
