@@ -310,6 +310,62 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label-propagation connected components over near-dup edges.
+
+    The iterative algorithm the dedup pipeline needs after candidate
+    generation: each vertex's component = min vertex id reachable through
+    near-dup edges. Each iteration is one equi-join + groupBy (labels ⋈
+    symmetric edges → min neighbor label), converging in O(diameter)
+    rounds — near-dup graphs are star-heavy, so this is a handful of
+    rounds in practice. localCheckpoint truncates the growing lineage
+    (without it, iteration N replans N joins). At web scale the same loop
+    runs with the large-star/small-star optimization; the driver-side
+    convergence count is one scalar per round, not data collection.
+    """
+    labels = vertices.select(
+        F.col(vertex_col).alias("v"), F.col(vertex_col).alias("comp")
+    ).localCheckpoint()
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(vertex_col), F.col("comp").alias("component"))
+
+
 def _cosine(a, b):
     """Cosine over array<float> columns, computed in double precision."""
     ad = F.transform(a, lambda x: x.cast("double"))

@@ -90,6 +90,95 @@ def _pack_bucket(bits_col, start: int, n_planes: int):
     )
 
 
+def _cell_dist_exprs(n_cells: int, centers: list[list[float]]):
+    """(dists, ranked_cells): squared-Euclidean distances to every centroid
+    in one fold over a literal center matrix, and cell indices sorted by
+    that distance."""
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c, lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.expr(
+        f"transform(array_sort(transform(sequence(0, {n_cells - 1}), "
+        "i -> struct(dists[i] AS d, i AS idx))), s -> s.idx)"
+    )
+    return dists, ranked
+
+
+def build_ivf_index(
+    emb: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, list[list[float]]]:
+    """One-time IVF index build: KMeans centroids + per-vector cell
+    assignment. A real deployment builds this once, persists it, and
+    amortizes it over every query — callers should cache/persist the
+    returned DataFrame (plans/llm_pipeline.py does).
+
+    Scale: KMeans fit is bounded passes over the corpus (fit on a sample
+    at 100 TB); assignment is one codegen fold per row over a literal
+    centroid matrix — no Python, no shuffle beyond KMeans itself."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding")
+    feat = unit.withColumn("features", array_to_vector("embedding"))
+    # maxIter=8: centroid quality plateaus fast and each iteration is a
+    # full corpus pass — recall is governed far more by n_probe.
+    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    dists, ranked = _cell_dist_exprs(n_cells, centers)
+    assigned = (
+        unit.withColumn("dists", dists)
+        .withColumn("cell", F.element_at(ranked, 1))
+        .drop("dists")
+    )
+    return assigned, centers
+
+
+def topk_cosine_ivf(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k over a built index: each
+    query probes its n_probe nearest cells; exact cosine re-ranks only
+    those candidates — the per-query scan shrinks by ~n_probe/n_cells.
+    The candidate join is a broadcast equi-join on cell id."""
+    n_cells = len(centers)
+    dists, ranked = _cell_dist_exprs(n_cells, centers)
+    probes = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .withColumn("dists", dists)
+        .withColumn("probe", F.explode(F.slice(ranked, 1, n_probe)))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("unit").alias("q_unit"),
+            F.col("probe").alias("cell"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def topk_cosine_lsh(
     emb: DataFrame,
     n_queries: int = 5,

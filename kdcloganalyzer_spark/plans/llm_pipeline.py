@@ -105,6 +105,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    ),
+    e AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                  (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+                  6) >= 0.9
+    ),
+    ee AS (SELECT ia, ib FROM e UNION SELECT ib, ia FROM e),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, ee.ib FROM reach JOIN ee ON reach.r = ee.ia
+    )
+    SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: min-label-propagation connected
+    components over J≥0.9 word-set-Jaccard edges (blocked by lang/source).
+
+    The iterative-algorithm showcase: a driver-side loop of join+groupBy
+    rounds with localCheckpoint lineage truncation. Oracle-checked — the
+    DuckDB twin computes the same components with a recursive CTE
+    (min-reachable-id over the same edge set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs(docs, 0.9)
+    return dedup.connected_components(docs, edges)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -145,6 +184,26 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_lsh(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
     )
+
+
+_IVF_CACHE: dict = {}
+
+
+@query("sim_search_ivf")
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans cells + n_probe nearest-cell scan +
+    exact cosine re-rank (rows-only: recall depends on the clustering).
+    The index (centroids + cell assignment) builds once per (session, sf)
+    and persists — the IVF contract is amortized index build, per-query
+    probe cost."""
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        assigned, centers = similarity.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings")
+        )
+        _IVF_CACHE[key] = (assigned.persist(), centers)
+    assigned, centers = _IVF_CACHE[key]
+    return similarity.topk_cosine_ivf(assigned, centers, n_queries=5, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +342,65 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", TX.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT lang, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT lang, word, tfidf, rank FROM (
+      SELECT tf.lang, tf.word,
+             round(tf.tf * ln(n.n / dfq.df), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.lang
+               ORDER BY round(tf.tf * ln(n.n / dfq.df), 6) DESC, tf.word
+             ) AS INT) AS rank
+      FROM tf JOIN dfq USING (word) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language (tf = in-language occurrences,
+    idf = ln(N / df) over the whole corpus).
+
+    Scale: explode → two aggregations (term freq, doc freq) + one join;
+    df table is vocabulary-sized → broadcastable; per-language top-k via
+    window. Rounded score is the ranking key on BOTH engines so ties
+    break identically."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    dfq = (
+        words.dropDuplicates(["doc_id", "word"])
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = float(docs.count())
+    scored = tf.join(F.broadcast(dfq), "word").select(
+        "lang",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "word", "tfidf", "rank")
     )
 
 

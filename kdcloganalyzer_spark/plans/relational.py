@@ -417,6 +417,45 @@ def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event_type (Spark
+    `percentile` ≡ DuckDB `quantile_cont`). Exact percentile holds all
+    group values in the aggregation buffer — the correctness baseline;
+    agg_quantile_sketch is the bounded-memory path."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+@query("agg_quantile_sketch")
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched percentiles: approx_percentile (Greenwald-Khanna) with
+    accuracy 1000 — constant memory per group regardless of group size,
+    the 100 TB path. Rows-only: sketch outputs are
+    implementation-defined; the companion agg_percentiles pins exact
+    values against the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").alias(
+            "approx_pcts"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source/sink surface + scalar function suite
 # ---------------------------------------------------------------------------
