@@ -75,3 +75,114 @@ def decode_metadata(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(
         _make_extract_batches(), schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("resize_status", T.StringType()),
+    ]
+)
+
+
+def _make_resize_batches(max_side: int):
+    """Aspect-preserving resize plan, decode/encode stubbed (see
+    _make_extract_batches for the closure-pickling rationale)."""
+
+    def resize_batches(iterator):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def probe(payload: bytes) -> tuple[int, int]:
+            h = _hashlib.md5(payload).digest()
+            return 1 + h[0] % 1024, 1 + h[1] % 1024
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = probe(p)
+                scale = min(1.0, max_side / max(w, h))
+                # Real implementation: PIL resize + re-encode of the blob;
+                # raise NotImplementedError there for a genuine decode.
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        max(1, int(w * scale)),
+                        max(1, int(h * scale)),
+                        "stubbed",
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_width",
+                    "src_height",
+                    "dst_width",
+                    "dst_height",
+                    "resize_status",
+                ],
+            )
+
+    return resize_batches
+
+
+def resize_images(docs: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image-resize plumbing: binary payload in, per-image geometry out.
+    The Arrow batch shape and schema are real; pixel work is stubbed."""
+    return with_binary_payload(docs).mapInPandas(
+        _make_resize_batches(max_side), schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def _make_frame_sample_batches(frame_size: int, every_n: int):
+    """Fixed-stride frame sampling over an opaque byte stream (a stand-in
+    for video GOP sampling): emits every n-th frame_size-byte chunk.
+    One input row fans out to many output rows — the mapInPandas
+    contract's 1:N shape, which a row-wise UDF cannot express."""
+
+    def frame_batches(iterator):
+        import pandas as _pd
+
+        for pdf in iterator:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(p) // frame_size)
+                for i, f in enumerate(range(0, n_frames, every_n)):
+                    off = f * frame_size
+                    rows.append(
+                        (int(doc_id), i, off, bytes(p[off : off + frame_size]))
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "byte_offset", "frame_bytes"],
+            )
+
+    return frame_batches
+
+
+def sample_frames(
+    docs: DataFrame, frame_size: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Video-frame-sampling plumbing: 1:N row fan-out through Arrow
+    batches; decode of the sampled chunk is the stubbed step."""
+    return with_binary_payload(docs).mapInPandas(
+        _make_frame_sample_batches(frame_size, every_n), schema=FRAMES_SCHEMA
+    )

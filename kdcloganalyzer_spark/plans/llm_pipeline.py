@@ -480,3 +480,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full stubbed decode output incl. fake dimensions (rows-only)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs)
+
+
+# hex-pair → byte value, portable SQL (DuckDB lacks a direct byte getter)
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1))"
+)
+_B0 = _HEXB.format(a=1, b=2)
+_B1 = _HEXB.format(a=3, b=4)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH probe AS (
+      SELECT doc_id, 1 + {_B0} AS src_width, 1 + {_B1} AS src_height
+      FROM documents
+    )
+    SELECT doc_id, src_width, src_height,
+           greatest(1, CAST(floor(src_width *
+             least(1.0, 256.0 / greatest(src_width, src_height))) AS INT))
+             AS dst_width,
+           greatest(1, CAST(floor(src_height *
+             least(1.0, 256.0 / greatest(src_width, src_height))) AS INT))
+             AS dst_height,
+           'stubbed' AS resize_status
+    FROM probe
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plumbing (decode/encode stubbed;
+    mapInPandas over binary payloads). Oracle reconstructs the md5-derived
+    fake geometry and the same double-precision scale math, so the whole
+    Arrow round-trip is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(docs, max_side=256)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             greatest(1, octet_length(encode(text)) // 64) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
+           CAST(CASE WHEN len < 64 THEN len
+                     ELSE ceil(n_frames / 4.0) * 64 END AS BIGINT)
+             AS sampled_bytes
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling (every 4th 64-byte chunk) — the 1:N
+    mapInPandas fan-out shape of video GOP sampling, decode stubbed.
+    Oracle checks frame counts and sampled byte totals per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(docs, frame_size=64, every_n=4)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+    )

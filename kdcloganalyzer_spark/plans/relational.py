@@ -418,6 +418,34 @@ def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_salted_twostage",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation for skewed keys: events has only a
+    handful of event_type values, so a direct groupBy funnels each key
+    through one reducer. Stage 1 groups on (key, salt=hash(row)%32) —
+    fan-out across 32 partials per hot key — stage 2 merges the partials
+    on the real key; results are exactly the direct aggregation (the
+    oracle IS the unsalted query). At 100 TB this is the manual fallback
+    when AQE skew handling can't apply (e.g. pre-shuffle aggregation
+    state, not join skew)."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
+    )
+    stage1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("psum")
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT event_type,

@@ -1,0 +1,62 @@
+"""Property-based checks (SURVEY.md §5.2 item 4).
+
+1. Sessionizer chunking invariance: the reference corrupts records that
+   straddle split boundaries (FIXME at KDCLogRecordReader.java:210,
+   drop at :317-320); our design must produce byte-identical records for
+   ANY partition chunking — hypothesis drives the split size.
+2. Lexicographic ≡ chronological ordering of the `YYYY-MM-DDTHH:MM:SS`
+   timestamp format — the invariant that lets the reference min/max on
+   raw strings (UserTimeRec.java:121-124, kdcreduce.pl:32-33) and lets
+   us aggregate on ts_raw interchangeably with ts.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kdcloganalyzer_spark.operators.sessionize import sessionize
+from kdcloganalyzer_spark.sources.kdc_log import read_log_lines
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "kdc", "golden.log"
+)
+
+_BASELINE_CACHE: dict[int, list[str]] = {}
+
+
+def _records_at_chunk_size(spark, max_bytes: int) -> list[str]:
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
+        rows = sessionize(read_log_lines(spark, GOLDEN)).drop("enctypes").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    return sorted(str(sorted(r.asDict().items(), key=str)) for r in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=64, max_value=4096))
+def test_sessionize_chunking_invariant(spark, chunk_bytes):
+    if 0 not in _BASELINE_CACHE:
+        _BASELINE_CACHE[0] = _records_at_chunk_size(spark, 128 * 1024 * 1024)
+    assert _records_at_chunk_size(spark, chunk_bytes) == _BASELINE_CACHE[0]
+
+
+_EPOCH = datetime(1970, 1, 2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2_000_000_000),
+    st.integers(min_value=0, max_value=2_000_000_000),
+)
+def test_ts_string_order_is_chronological(a_s, b_s):
+    a = _EPOCH + timedelta(seconds=a_s)
+    b = _EPOCH + timedelta(seconds=b_s)
+    sa, sb = a.strftime("%Y-%m-%dT%H:%M:%S"), b.strftime("%Y-%m-%dT%H:%M:%S")
+    assert (sa < sb) == (a < b)
+    assert (sa == sb) == (a == b)
