@@ -482,6 +482,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(docs)
 
 
+@query(
+    "udtf_surface",
+    oracle="""
+    SELECT doc_id, CAST(idx - 1 AS INT) AS idx, word
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS word,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS idx
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with positional state, registered and invoked via LATERAL join
+    SQL. Oracle: unnest WITH ORDINALITY equivalent.
+
+    Scale: UDTFs run row-at-a-time in Python workers — fine for control
+    flow demos, but the production explode path is the built-in
+    `explode(split(...))` (see text_tfidf); this query exists to cover
+    the registration surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, word string")
+    class WordExpand:
+        def eval(self, text: str):
+            for i, w in enumerate(str(text).lower().split(" ")):
+                yield i, w
+
+    spark.udtf.register("word_expand", WordExpand)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.idx, w.word
+        FROM _udtf_docs d, LATERAL word_expand(d.text) w
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+@query(
+    "udaf_surface",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(abs(value) + 1.0))), 4) AS geo_mean_shifted
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG pandas_udf): geometric mean of
+    abs(value)+1 per event_type, numerically twinned in the oracle.
+
+    Scale: grouped-agg pandas UDFs receive each group's column as one
+    Arrow batch — partial aggregation is NOT applied (unlike builtins),
+    so keep them for genuinely custom math on bounded group counts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo_mean(v):
+        return float(np.round(np.exp(np.mean(np.log(np.abs(v) + 1.0))), 4))
+
+    # Series→scalar hints make this a GROUPED_AGG udf; set them as real
+    # objects because `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot resolve.
+    _geo_mean.__annotations__ = {"v": pd.Series, "return": float}
+    geo_mean = pandas_udf(_geo_mean, "double")
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        geo_mean("value").alias("geo_mean_shifted")
+    )
+
+
 # hex-pair → byte value, portable SQL (DuckDB lacks a direct byte getter)
 _HEXB = (
     "((strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16"
