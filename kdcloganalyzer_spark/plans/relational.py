@@ -418,6 +418,151 @@ def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned read-back.
+
+    orders is written partitionBy(o_orderstatus); the read-back filter on
+    the partition column must prune directories (plan shows
+    PartitionFilters, zero data files of other statuses touched) — the
+    layout that makes 100 TB scans cheap when queries carry partition
+    predicates. Oracle computes the same aggregate from the unpartitioned
+    table."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orders_part_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "analytics_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped headline query: 3-way join, filtered fact, revenue
+    top-10. The realistic end-to-end shape for the engine: selection
+    filters push to all three scans, the customer side broadcasts,
+    revenue aggregates partially before the exchange, and the top-10
+    plans as TakeOrderedAndProject (no global sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    joined = (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("timestamp").alias("orderdate"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(
+        F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey")
+    ).limit(10).select("orderkey", "revenue", "orderdate", "orderpriority")
+
+
+@query(
+    "analytics_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def analytics_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5-shaped headline query: 6-way snowflake join with the
+    customer-nation = supplier-nation co-location condition. region and
+    nation broadcast (tiny dims), supplier broadcasts at this scale;
+    the fact-side joins shuffle on their keys and AQE picks the final
+    strategy."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    joined = (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@query(
     "agg_skew_salted_twostage",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

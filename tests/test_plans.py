@@ -68,3 +68,16 @@ def test_lsh_band_joins_are_equi_joins(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(registry.QUERIES["sort_limit_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    plan = _plan(registry.QUERIES["sink_partitioned_parquet"](spark, sf_dir))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderstatus" in pf, plan
+
+
+def test_q3_headline_shape(spark, sf_dir):
+    plan = _plan(registry.QUERIES["analytics_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan          # customer dim broadcast
+    assert "TakeOrderedAndProject" in plan, plan      # top-10, no global sort
+    assert "PushedFilters: [" in plan, plan           # date filters at scans
