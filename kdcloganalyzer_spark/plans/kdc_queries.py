@@ -220,6 +220,33 @@ def q_enctype_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_enctype_service_dim")
+def q_enctype_service_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-side enctype key (perl kdcmapper-with-enctypes.pl:39-57):
+    service/firstSupported/lastSupported/chosen per completed TGS — first
+    and last of the client's supported-enctype list plus the one the KDC
+    chose, slash-joined exactly as the perl mapper emits it."""
+    r = kdc_records(spark, sf_dir)
+    with_enc = r.filter(
+        F.col("valid")
+        & F.col("success")
+        & (F.col("req_type") == "TGS")
+        & F.col("enctypes").isNotNull()
+    )
+    key = F.concat_ws(
+        "/",
+        F.col("service"),
+        F.element_at("enctypes", 1),
+        F.element_at("enctypes", -1),
+        F.coalesce(F.col("chosen_enctype"), F.lit("UNK")),
+    )
+    return with_enc.groupBy(key.alias("key")).agg(
+        F.count("*").alias("n"),
+        F.min("ts_raw").alias("first_ts"),
+        F.max("ts_raw").alias("last_ts"),
+    )
+
+
 @query("counters_observe")
 def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's side-channel counters (UserTimeMapper.java:27-49),

@@ -563,6 +563,34 @@ def analytics_local_supplier_volume(
 
 
 @query(
+    "sink_json_lines",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd source round-trip: orders projected,
+    written as JSONL, re-read with an EXPLICIT schema (never inferred —
+    inference is a second full scan and types drift), re-aggregated to
+    the same numbers the oracle computes from parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orders_jsonl_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).json(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "agg_skew_salted_twostage",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

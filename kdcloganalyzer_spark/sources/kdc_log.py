@@ -28,19 +28,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def read_log_lines_raw(spark: SparkSession, path: str) -> DataFrame:
+def read_log_lines_raw(
+    spark: SparkSession, path: str, max_line_length: int | None = None
+) -> DataFrame:
     """(file, _block_start, _mid, line): raw scan plus the two order keys.
 
     No window yet — downstream operators that need their own window over the
     same (partitionBy file, orderBy _block_start,_mid) spec can fuse with
     the line-numbering into a single Sort (sessionize does this).
+
+    ``max_line_length`` is the oversized-row defense (reference
+    `mapred.linerecordreader.maxlength`, KDCLogRecordReader.java:167,
+    311-315 — skip-don't-fail on pathological lines): encoded as a filter
+    on the scan, so a corrupt multi-MB line costs its read, never memory
+    in the sessionizer state.
     """
-    return spark.read.text(path).select(
+    df = spark.read.text(path).select(
         F.col("_metadata.file_path").alias("file"),
         F.col("_metadata.file_block_start").alias("_block_start"),
         F.monotonically_increasing_id().alias("_mid"),
         F.col("value").alias("line"),
     )
+    if max_line_length is not None:
+        df = df.filter(F.length("line") <= max_line_length)
+    return df
 
 
 def read_log_lines(spark: SparkSession, path: str) -> DataFrame:

@@ -71,8 +71,8 @@ def _record(rng: random.Random, ts: str, next_ts: str) -> list[str]:
             enc_line,
             sending,
         ]
-    if roll < 0.70:  # TGS success
-        return [tgs_hdr, f"{ts} TGS-REQ authtime: {ts}", sending]
+    if roll < 0.70:  # TGS success (enctype negotiation logged here too)
+        return [tgs_hdr, f"{ts} TGS-REQ authtime: {ts}", enc_line, sending]
     if roll < 0.80:  # AS without preauth ("Missing Pre-authentication")
         return [as_hdr, f"{ts} Client sent patypes: ENC-TS", sending]
     if roll < 0.94:  # one taxonomy error
@@ -139,5 +139,7 @@ def synth_dir_for_sf(sf_dir: str) -> str:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.001
     n = max(200, int(1_000_000 * sf))
-    out = f"/tmp/kdc_synth_{n}"
+    # v2: TGS-success records carry the enctype-negotiation line (bump the
+    # dir name to invalidate pre-change cached corpora in /tmp).
+    out = f"/tmp/kdc_synth_v2_{n}"
     return generate_logs(out, n)

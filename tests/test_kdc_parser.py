@@ -138,6 +138,26 @@ def test_gzip_input(spark, tmp_path):
     assert base == gzed
 
 
+def test_oversized_line_guard(spark, tmp_path):
+    """max_line_length skips pathological lines without failing the record
+    (reference `mapred.linerecordreader.maxlength`,
+    KDCLogRecordReader.java:167,311-315)."""
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+    log = tmp_path / "big.log"
+    log.write_text(
+        "2015-11-22T16:00:00 AS-REQ u1@R.ORG from IPv4:1.2.3.4 for krbtgt/R.ORG@R.ORG\n"
+        + "JUNK " + "x" * 100_000 + "\n"
+        + "2015-11-22T16:00:00 ENC-TS Pre-authentication succeeded -- u1@R.ORG\n"
+        + "2015-11-22T16:00:01 sending 1 bytes to IPv4:1.2.3.4\n"
+    )
+    rows = sessionize(
+        read_log_lines_raw(spark, str(log), max_line_length=10_000)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["client"] == "u1" and rows[0]["success"]
+
+
 def test_multi_file_isolation(spark, tmp_path):
     """Records never cross file boundaries."""
     d = tmp_path / "logs"
