@@ -324,10 +324,13 @@ def connected_components(
     symmetric edges → min neighbor label), converging in O(diameter)
     rounds — near-dup graphs are star-heavy, so this is a handful of
     rounds in practice. localCheckpoint truncates the growing lineage
-    (without it, iteration N replans N joins). At web scale the same loop
-    runs with the large-star/small-star optimization; the driver-side
-    convergence count is one scalar per round, not data collection.
+    (without it, iteration N replans N joins). Convergence is detected by
+    an Observation riding the SAME pass that materializes the new labels
+    — no separate changed-rows join/count per round. At web scale the
+    same loop runs with the large-star/small-star optimization.
     """
+    from pyspark.sql import Observation
+
     labels = vertices.select(
         F.col(vertex_col).alias("v"), F.col(vertex_col).alias("comp")
     ).localCheckpoint()
@@ -344,24 +347,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
+        merged = labels.join(nbr_min, labels["v"] == nbr_min["src"], "left").select(
+            "v",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                "comp"
+            ),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        obs = Observation()
+        observed = merged.observe(
+            obs,
+            F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias(
+                "changed"
+            ),
         )
-        labels = new_labels
-        if changed == 0:
+        # eager localCheckpoint is the action that also fires the metric
+        labels = observed.select("v", "comp").localCheckpoint()
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("v").alias(vertex_col), F.col("comp").alias("component"))
 
