@@ -563,6 +563,91 @@ def analytics_local_supplier_volume(
 
 
 @query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority,
+           count(*) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free big-big join via bucketed tables: lineitem and orders
+    are both written ``bucketBy(8, orderkey)`` + ``sortBy`` (a one-time
+    layout investment), so the fact-fact join plans as a SortMergeJoin
+    with ZERO Exchange on either side — the co-location technique that
+    turns the biggest recurring shuffle of a 100 TB star schema into a
+    local merge. Buckets are written sorted (one file per bucket via the
+    pre-write repartition); the plan keeps cheap LOCAL per-task Sorts
+    because Spark ignores bucket sort order on read unless
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is set — the
+    expensive part (the Exchange) is what bucketing removes. The
+    ``merge`` hint keeps the demonstration honest at small SF
+    (where AQE would otherwise broadcast one side and bypass bucketing).
+    Idempotent per (session, sf): tables are reused when already created.
+    Oracle computes the identical join from the unbucketed parquet."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    specs = {
+        f"lineitem_bkt_{tag}": ("lineitem", "l_orderkey"),
+        f"orders_bkt_{tag}": ("orders", "o_orderkey"),
+    }
+    for tbl, (src, key) in specs.items():
+        if not spark.catalog.tableExists(tbl):
+            path = tempfile.mkdtemp(prefix=f"{tbl}_")
+            (
+                load_table(spark, sf_dir, src)
+                .repartition(8, F.col(key))
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(tbl)
+            )
+    li = spark.table(f"lineitem_bkt_{tag}")
+    orders = spark.table(f"orders_bkt_{tag}")
+    joined = li.hint("merge").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("orderpriority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the second columnar format big
+    estates actually hold): documents written as ORC, re-read, and
+    re-aggregated to the numbers the oracle computes from parquet —
+    pushdown/pruning applies to ORC scans the same as parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="docs_orc_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+@query(
     "sink_json_lines",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total

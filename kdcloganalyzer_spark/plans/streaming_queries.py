@@ -85,6 +85,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.session_window_agg(spark, sf_dir)
 
 
+@query(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming aggregation (applyInPandasWithState):
+    per-user running counters in executor state, update-mode emissions.
+    Oracle-checkable because the bounded stream's final state per user
+    must equal the batch GROUP BY."""
+    return SQ.stateful_user_counts(spark, sf_dir)
+
+
 @query("stream_watermark_late_drop")
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-driven late-data drop (append mode, two ordered

@@ -182,15 +182,74 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregation via ``applyInPandasWithState``
+    (SURVEY.md §7 phase 6 "stateful sessionizer via state API" lineage —
+    the arbitrary-state primitive the window/session operators can't
+    express): per-user running (count, sum, first/last ts) state, updated
+    per micro-batch in Arrow-batched pandas, emitted in update mode.
+
+    Scale: state lives in the executor state store partitioned by the
+    grouping key (one shuffle on user_id per batch); a watermark-driven
+    timeout (``GroupStateTimeout.EventTimeTimeout``) would bound state for
+    unbounded key domains — the bounded bench stream keeps NoTimeout so
+    every key's final state is emitted deterministically.
+
+    The update function is a self-contained closure (executors don't have
+    /root/repo on sys.path — see .claude/skills/verify gotchas).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "sum_value": [round(s, 2)],
+                "first_ts": [mn],
+                "last_ts": [mx],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, n BIGINT, sum_value DOUBLE, "
+            "first_ts TIMESTAMP, last_ts TIMESTAMP"
+        ),
+        stateStructType="n BIGINT, s DOUBLE, mn TIMESTAMP, mx TIMESTAMP",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
 def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     """Streaming port of the multi-line KDC sessionizer
     (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).
 
-    readStream.text discovers log files incrementally (8 files per
+    readStream.text discovers log files incrementally (16 files per
     micro-batch here, to prove multi-batch operation); foreachBatch runs
     the batch sessionizer over exactly the files of that batch — correct
     because records never span files, so file-granular batches cannot
-    split a record. Output accumulates in an append parquet sink.
+    split a record. The batch's file list comes from
+    ``input_file_name()`` (the micro-batch frame exposes neither
+    ``inputFiles()`` nor ``_metadata`` — both probed empty/unresolved).
+    Output accumulates in an append parquet sink.
     """
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
@@ -200,9 +259,9 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = [
             r["f"]
-            for r in batch_df.select(
-                F.input_file_name().alias("f")
-            ).distinct().collect()
+            for r in batch_df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
         ]
         if not files:
             return
@@ -210,7 +269,7 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
         recs.write.mode("append").parquet(out_dir)
 
     q = (
-        spark.readStream.option("maxFilesPerTrigger", 8)
+        spark.readStream.option("maxFilesPerTrigger", 16)
         .text(log_dir)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", f"{out_dir}_ckpt")

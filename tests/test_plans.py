@@ -76,6 +76,15 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert "o_orderstatus" in pf, plan
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key ⇒ SortMergeJoin with zero
+    Exchange under it; the only Exchange left is the final groupBy's."""
+    plan = _plan(registry.QUERIES["join_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("Exchange") < plan.index("SortMergeJoin"), plan
+
+
 def test_q3_headline_shape(spark, sf_dir):
     plan = _plan(registry.QUERIES["analytics_shipping_priority"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan          # customer dim broadcast

@@ -31,6 +31,64 @@ def test_stream_sessionize_equals_batch(spark, sf_dir):
     assert batch.exceptAll(stream).count() == 0
 
 
+def test_stateful_counts_carry_state_across_batches(spark, sf_dir):
+    """applyInPandasWithState must ACCUMULATE per-key state across
+    micro-batches of one run: stream the events split into two files with
+    maxFilesPerTrigger=1, then the LAST update-mode emission per user must
+    equal the whole-table batch aggregate (not the second file's alone)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mid = ev.selectExpr("percentile_approx(ts, 0.5, 10000) AS m").collect()[0]["m"]
+    stage = tempfile.mkdtemp(prefix="stateful_2batch_")
+    data_dir = f"{stage}/data"
+    import os
+
+    os.makedirs(data_dir)
+    for name, part in (
+        ("00_first.parquet", ev.filter(F.col("ts") < F.lit(mid))),
+        ("01_second.parquet", ev.filter(F.col("ts") >= F.lit(mid))),
+    ):
+        tmp = f"{stage}/_tmp"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{data_dir}/{name}")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n BIGINT",
+            stateStructType="n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    res = SQ._run_to_memory(sdf, "update")
+    # last emission per user == cumulative count == batch GROUP BY
+    final = res.groupBy("user_id").agg(F.max("n").alias("n"))
+    expected = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+
 def test_watermark_drops_late_batch(spark, sf_dir):
     """Batch 1 (recent rows) advances the watermark; batch 2 (only older
     rows) must be fully dropped, so every finalized window sits at/after
