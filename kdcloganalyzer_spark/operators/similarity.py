@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kdcloganalyzer_spark.operators.dedup import _dot, with_unit_vector
+from kdcloganalyzer_spark.operators.dedup import _dot, spread, with_unit_vector
 
 
 def topk_cosine_exact(
@@ -31,9 +31,9 @@ def topk_cosine_exact(
     the O(|Q|·N) scored pairs is a single dot product. Deterministic
     under near-ties: ranking key is (rounded cosine desc, vec_id asc).
     """
-    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding").drop(
-        "embedding"
-    )
+    unit = with_unit_vector(
+        spread(emb).select("vec_id", "embedding"), "embedding"
+    ).drop("embedding")
     queries = unit.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
     )
@@ -56,14 +56,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _literal_matrix(rows: list[list[float]]):
+    """A constant array<array<double>> column built as ONE parsed SQL
+    expression. Building it element-wise (``F.array(F.lit(x) ...)``) costs
+    one py4j round-trip per element — ~2.5 s of DRIVER time per query for
+    a 32×64 plane matrix, dwarfing the actual execution (measured; the
+    cluster sits idle while the driver assembles the plan). Exponent
+    notation keeps every literal DoubleType (plain decimals parse as
+    DECIMAL in Spark SQL)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x):.6e}" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _sign_bits_expr(unit_col, planes: list[list[float]]):
     """All signed-projection bits in ONE transform over a literal plane
     matrix: bit j = sign(<v, plane_j>). A fold per plane per vector, but a
     single compact expression — per-plane expression chains codegen into
     pathologically large methods (same lesson as SimHash's fold)."""
-    mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    )
+    mat = _literal_matrix(planes)
     return F.transform(
         mat,
         lambda p: F.when(
@@ -94,7 +107,7 @@ def _cell_dist_exprs(n_cells: int, centers: list[list[float]]):
     """(dists, ranked_cells): squared-Euclidean distances to every centroid
     in one fold over a literal center matrix, and cell indices sorted by
     that distance."""
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    mat = _literal_matrix(centers)
     dists = F.transform(
         mat,
         lambda c: F.aggregate(
@@ -126,7 +139,7 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding")
+    unit = with_unit_vector(spread(emb).select("vec_id", "embedding"), "embedding")
     feat = unit.withColumn("features", array_to_vector("embedding"))
     # maxIter=8: centroid quality plateaus fast and each iteration is a
     # full corpus pass — recall is governed far more by n_probe.
@@ -193,7 +206,7 @@ def topk_cosine_lsh(
         _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
     ]
     all_planes = [row for t in tables for row in t]
-    unit = with_unit_vector(emb.select("vec_id", "embedding"), "embedding")
+    unit = with_unit_vector(spread(emb).select("vec_id", "embedding"), "embedding")
     with_bits = unit.select(
         "vec_id", "unit", _sign_bits_expr(F.col("unit"), all_planes).alias("bits")
     )
