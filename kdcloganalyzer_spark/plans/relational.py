@@ -623,6 +623,101 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_partition_overwrite_upsert",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_partition_overwrite_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idempotent partition-level upsert via DYNAMIC partition overwrite:
+    the incremental re-materialization pattern — a pipeline recomputes
+    one partition (here: event_type='click' with doubled value) and
+    rewrites ONLY that partition in place; static overwrite mode would
+    have wiped every other partition. The read-back aggregate proves the
+    untouched partitions survived and the touched one was replaced."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_upsert_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    updates = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updates.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with corrupt-row quarantine (PERMISSIVE +
+    columnNameOfCorruptRecord): orders staged as CSV plus a file of
+    garbage lines; unparseable rows land in the corrupt column instead of
+    failing the 100 TB job, clean rows re-aggregate to exactly the
+    oracle's numbers from parquet. (DROPMALFORMED gives the same result
+    without the quarantine column; FAILFAST is the validation mode.)
+
+    Gotcha this query pins: corrupt-record detection interacts with
+    COLUMN PRUNING — a downstream aggregate that never references
+    o_orderkey lets the parser skip parsing it, so a row whose only
+    defect is an unparseable o_orderkey is silently NOT quarantined
+    (and with the parser-pruning conf off, short rows are still the only
+    extra catch — measured, not just documented). The Spark-documented
+    idiom is to CACHE the fully-parsed frame before filtering on the
+    corrupt column, which forces every schema column through the parser;
+    the eager localCheckpoint then lets us unpersist before returning."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orders_csv_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).csv(out)
+    with open(os.path.join(out, "part-zz-corrupt.csv"), "w") as f:
+        f.write("not_a_key,F,12.5\n99,O,not_a_price\ngarbage line without commas\n")
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "_corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).csv(out).cache()
+    try:
+        return (
+            back.filter(F.col("_corrupt").isNull())
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        back.unpersist()
+
+
+@query(
     "sink_orc_roundtrip",
     oracle="""
     SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
