@@ -623,6 +623,90 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-cohort value sums spread across event_type
+    columns. The pivot values are passed EXPLICITLY — without them Spark
+    runs an extra distinct-collect job to discover the domain, and the
+    output schema becomes data-dependent (both unacceptable in a 100 TB
+    recurring pipeline). Plans as a single partial→final aggregate with
+    one CASE-WHEN branch per pivot value — identical shape to the
+    oracle's conditional aggregation."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", types)
+        .sum("value")
+    )
+    return piv.select(
+        "cohort", *[F.round(F.col(t), 2).alias(t) for t in types]
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey AS orderkey, metric, round(val, 2) AS val FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+      FROM orders WHERE o_orderkey < 1000
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): numeric order metrics into
+    (orderkey, metric, val) rows — the inverse reshaping primitive
+    (Spark's native ``unpivot``; no join, no shuffle, a pure projection
+    + generate)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1000
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "metric",
+            F.round("val", 2).alias("val"),
+        )
+    )
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (``sampleBy``): cap the over-represented
+    stratum — the training-data rebalancing primitive (e.g. downsample
+    English to parity). Fractions are per-key Bernoulli filters pushed
+    into the scan pass: no shuffle, no collect; deterministic under a
+    fixed seed but engine-specific, hence rows-only (the semantic
+    invariant — per-language counts ≈ fraction × stratum size, exact
+    rows ⊂ source — is pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+@query(
     "sink_partition_overwrite_upsert",
     oracle="""
     SELECT event_type,

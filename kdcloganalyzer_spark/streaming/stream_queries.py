@@ -130,8 +130,9 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT dropped — restart-with-checkpoint is how the semantics actually
     bind, and doubles as a state-recovery demonstration.)
     """
-    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev_batch = ev_batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
     split_ts = ev_batch.selectExpr(
         "percentile_approx(ts, 0.5, 10000) AS m"
     ).collect()[0]["m"]

@@ -18,6 +18,8 @@ from datetime import datetime, timedelta
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from kdcloganalyzer_spark.operators.sessionize import sessionize
 from kdcloganalyzer_spark.sources.kdc_log import read_log_lines
 
@@ -60,3 +62,32 @@ def test_ts_string_order_is_chronological(a_s, b_s):
     sa, sb = a.strftime("%Y-%m-%dT%H:%M:%S"), b.strftime("%Y-%m-%dT%H:%M:%S")
     assert (sa < sb) == (a < b)
     assert (sa == sb) == (a == b)
+
+
+def test_stratified_sample_semantics(spark, sf_dir):
+    """sampleBy invariants the rows-only driver check can't see: sampled
+    rows are a SUBSET of the source, kept-whole strata survive exactly,
+    the downsampled stratum lands near fraction*N, and a fixed seed is
+    reproducible."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.35, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    s1 = docs.sampleBy("lang", fractions, seed=42)
+    s2 = docs.sampleBy("lang", fractions, seed=42)
+    assert s1.exceptAll(docs).count() == 0  # subset, multiset-wise
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+    src = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        if frac == 1.0:
+            assert got.get(lang, 0) == src.get(lang, 0), lang
+    # Bernoulli sampling: en count within 5 sigma of frac*N.
+    import math
+
+    n, p = src["en"], fractions["en"]
+    sigma = math.sqrt(n * p * (1 - p))
+    assert abs(got.get("en", 0) - n * p) < 5 * sigma
