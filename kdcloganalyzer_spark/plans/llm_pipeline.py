@@ -10,7 +10,7 @@ candidate generation depends on engine-internal hashes → rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kdcloganalyzer_spark.functions import text as TX
@@ -322,6 +322,102 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.n_tokens(F.col("text")).alias("n_ws"),
         TX.n_bpe_tokens(F.col("text")).alias("n_bpe"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the stage every dedup/quality op
+    keys on): lowercase → punctuation to spaces → collapse runs → trim.
+    Three regexp projections in one codegen stage, no shuffle; output is
+    md5+length so the oracle compare stays compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("n_norm"),
+    )
+
+
+@query(
+    "token_histogram",
+    oracle="""
+    SELECT CAST(least(len(string_split(text, ' ')) // 10, 20) AS INT)
+             AS bucket,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length histogram (decade buckets, capped at 20): the
+    pre-training length-distribution check that decides packing/window
+    parameters. One partial-agg'd groupBy over a codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        (TX.n_tokens(F.col("text")) / 10).cast("int"), F.lit(20)
+    )
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH w AS (SELECT lang, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    b AS (SELECT lang, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1]
+                    AS bigram
+          FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+    c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+    SELECT lang, bigram, n, CAST(rn AS INT) AS rn FROM (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rn
+      FROM c
+    ) WHERE rn <= 3
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 bigrams per language: adjacent-word pairs via one zip_with
+    over the shifted token array (no self-join, no UDF), explode →
+    two-stage count → per-language top-k window with total tie-break.
+    Scale: the explode fans out ~tokens-per-doc rows but partial
+    aggregation collapses them map-side before the only wide shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "bigram", "n", "rn")
     )
 
 

@@ -623,6 +623,41 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon,
+           CAST(ts + INTERVAL 3 MONTH AS DATE)        AS plus3m,
+           datediff('day', CAST(ts AS DATE), DATE '2024-01-01') AS to_2024,
+           CAST(quarter(ts) AS INT)                   AS q,
+           CAST(date_part('dow', ts) + 1 AS INT)      AS dow,
+           CAST(floor(epoch(ts)) AS BIGINT)           AS epoch_s
+    FROM events WHERE event_id < 500
+    """,
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function battery: truncation, month arithmetic
+    (end-of-month clamped on both engines), day diffs, calendar parts,
+    epoch seconds. All codegen projections; the engine-equivalence traps
+    are in the oracle (Spark dayofweek is 1=Sunday, DuckDB dow is
+    0=Sunday; Spark unix_timestamp FLOORS subseconds while DuckDB's
+    epoch() keeps them — floor before casting; epoch comparison requires
+    the UTC session timezone the driver sets)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", F.col("ts")).alias("mon"),
+        F.add_months(F.col("ts"), 3).alias("plus3m"),
+        F.datediff(F.lit("2024-01-01").cast("date"), F.col("ts").cast("date")).alias(
+            "to_2024"
+        ),
+        F.quarter("ts").alias("q"),
+        F.dayofweek("ts").alias("dow"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT user_id % 10 AS cohort,
