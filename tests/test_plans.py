@@ -90,3 +90,29 @@ def test_q3_headline_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan          # customer dim broadcast
     assert "TakeOrderedAndProject" in plan, plan      # top-10, no global sort
     assert "PushedFilters: [" in plan, plan           # date filters at scans
+
+
+def test_fanout_operators_spread_before_pair_work(spark, sf_dir):
+    """Single-file inputs must be repartitioned (RoundRobin exchange)
+    before signature folds / pair joins — otherwise the whole operator
+    runs on one core (PLANS.md finding 1)."""
+    for qid in ("dedup_ngram_jaccard", "dedup_simhash", "sim_search_lsh"):
+        plan = _plan(registry.QUERIES[qid](spark, sf_dir))
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+            qid,
+            plan,
+        )
+
+
+def test_cli_list_and_explain(spark, sf_dir, capsys):
+    """CLI surface: `list` names every registered id; `run --explain`
+    prints a physical plan without executing."""
+    from kdcloganalyzer_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_min_max_count\toracle" in out
+    assert main(["run", "project_narrow", "--sf-dir", sf_dir, "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert main(["run", "nope_not_a_query"]) == 2
