@@ -623,6 +623,103 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             length(event_type) * 1.5 AS weight
+      FROM events
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value * d.weight), 2) AS weighted
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join: the probe side's join key has tiny
+    cardinality (5 event types over millions of rows — the worst-case
+    skew shape), so a plain shuffle join lands entire key populations on
+    single tasks. The fact side gets a DETERMINISTIC salt
+    (pmod(hash(event_id), 8) — never rand(), which breaks retry
+    idempotency), the dim side is replicated ×8 via explode(sequence),
+    and the join key widens to (event_type, salt) — 40 balanced
+    partitions instead of 5 hot ones. The technique AQE's skew-join
+    handles for sort-merge joins, shown explicitly because it also
+    works where AQE can't see (aggregations, stateful streaming keys).
+    The merge hint forces the shuffle join an auto-broadcast would
+    bypass at bench scale; the oracle computes the unsalted join."""
+    n_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type") * 1.5)
+    )
+    salted_ev = ev.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
+    )
+    replicated_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = salted_ev.hint("merge").join(
+        replicated_dim, ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+    )
+
+
+@query(
+    "rollup_time_bucket",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: events are materialized
+    ONCE as an hourly rollup (count/sum/min/max per hour × event_type,
+    written hive-partitioned by day), and the daily question is answered
+    FROM the rollup by re-aggregation — sums of sums, counts of counts,
+    mins of mins. At 100 TB this is the pattern that turns every
+    dashboard query from a fact-table scan into a scan of a table
+    ~10⁴× smaller, and the day-partitioned layout prunes to the
+    queried range. The oracle computes the daily answer directly from
+    raw events, proving rollup-then-reaggregate is lossless for
+    decomposable aggregates."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="events_rollup_")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    hourly.write.mode("overwrite").partitionBy("day").parquet(out)
+    roll = spark.read.parquet(out)
+    return roll.groupBy("day", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+
+
+@query(
     "fn_datetime_suite",
     oracle="""
     SELECT event_id,
