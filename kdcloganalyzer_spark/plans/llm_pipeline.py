@@ -78,6 +78,19 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(load_table(spark, sf_dir, "documents"), 0.9)
 
 
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup PAIR enumeration at J≥0.9 — the
+    targeted-audit complement to dedup_fuzzy_minhash's O(N)
+    representative output: (id_a, id_b, jaccard_est) for candidate pairs
+    that collide in ≥1 band and whose signature-agreement estimate
+    clears the threshold. Rows-only — estimates derive from
+    Spark-internal xxhash64."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), 0.9
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding + Hamming≤3 pairs (rows-only; md5-based signatures)."""
