@@ -87,6 +87,33 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _seeded_word_hash(seed: int):
+    """One-arg lambda factory for ``F.transform``.
+
+    MUST be a factory: a direct ``lambda w, s=s: ...`` default-arg capture
+    makes PySpark see a two-parameter lambda and bind ``s`` to the array
+    INDEX Column, whose stringified fresh-variable name (``Column<'y_2'>``)
+    then leaks into the hash seed — seeds become session-counter-dependent
+    and signatures nondeterministic across plan constructions."""
+    suffix = f"#{seed}"
+    return lambda w: F.xxhash64(F.concat(w, F.lit(suffix)))
+
+
+def _minhash_signature(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sig array<bigint>[k]): sig[s] = min over words of
+    xxhash64(word || '#s') — k independent permutation approximations,
+    all in whole-stage codegen."""
+    return d.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform("words", _seeded_word_hash(s)))
+                for s in range(k)
+            ]
+        ).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -117,20 +144,7 @@ def minhash_lsh_pairs(
     d = spread(docs).select(
         "doc_id", word_set(F.col("text")).alias("words")
     ).filter(F.size("words") > 0)
-    sig = d.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "words",
-                        lambda w, s=s: F.xxhash64(F.concat(w, F.lit(f"#{s}"))),
-                    )
-                )
-                for s in range(k)
-            ]
-        ).alias("sig"),
-    )
+    sig = _minhash_signature(d, k)
     bands = sig.select(
         "doc_id",
         "sig",
@@ -152,7 +166,22 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(k)),
+        6,
+    )
+    # Score and threshold BEFORE the pair-dedup shuffle: est is a pure
+    # function of (sig_a, sig_b), identical for every band copy of a pair,
+    # so filtering first is lossless — and the distinct exchange then
+    # carries only surviving (id_a, id_b, est) triples (24 bytes) instead
+    # of two k-long signatures per candidate (~8k bytes).
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -165,20 +194,9 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        .select("id_a", "id_b", est.alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(k)),
-        6,
-    )
-    return cand.select("id_a", "id_b", est.alias("jaccard_est")).filter(
-        F.col("jaccard_est") >= threshold
     )
 
 
@@ -207,20 +225,7 @@ def minhash_dedup(
     d = spread(docs).select(
         "doc_id", word_set(F.col("text")).alias("words")
     ).filter(F.size("words") > 0)
-    sig = d.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "words",
-                        lambda w, s=s: F.xxhash64(F.concat(w, F.lit(f"#{s}"))),
-                    )
-                )
-                for s in range(k)
-            ]
-        ).alias("sig"),
-    )
+    sig = _minhash_signature(d, k)
     bands = sig.select(
         "doc_id",
         "sig",
