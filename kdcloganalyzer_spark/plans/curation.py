@@ -1,0 +1,422 @@
+"""Training-data curation operators beyond the SURVEY.md §2 inventory:
+within-doc repetition quality gates (Gopher-style), cross-corpus line
+dedup (C4-style), benchmark-contamination n-gram overlap, deterministic
+source-weighted sampling, and PII scrubbing.
+
+These extend the reference's declared query surface (README.md:4-13 stops
+at log analytics) with the operations a 100 TB pre-training pipeline runs
+over the same `documents` table. Every operator here is DuckDB-oracle
+value-checked; all hot paths are whole-stage-codegen expressions (no
+Python UDFs).
+
+Dialect notes (Spark ⇄ DuckDB equivalences used below):
+- `transform/filter/aggregate` ⇄ `list_transform/list_filter/list_reduce`;
+- `slice(xs, i, n)` (start, LENGTH) ⇄ `list_slice(xs, i, i+n-1)`
+  (begin, END, both clamp);
+- `sequence(a, b)` ⇄ `generate_series(a, b)` (both inclusive);
+- Spark `regexp_replace` replaces ALL matches, DuckDB only the first —
+  the oracle must pass the 'g' flag;
+- integer sampling arithmetic stays below 2^31 so neither engine
+  overflows (Spark wraps, DuckDB errors — avoid the divergence entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.operators.dedup import spread
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.tables import load_table
+
+
+def _words(col):
+    return F.split(F.lower(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality gate
+# ---------------------------------------------------------------------------
+@query(
+    "quality_gopher_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(list_sum(list_transform(ws, w -> strlen(w)))::DOUBLE
+                   / len(ws), 4) AS mean_word_len,
+             round(list_max(list_transform(list_distinct(ws),
+                     w -> len(list_filter(ws, x -> x = w))))::DOUBLE
+                   / len(ws), 4) AS top_word_frac,
+             CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+               round(1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[CAST(i AS INT)] || ' '
+                            || ws[CAST(i AS INT) + 1])))::DOUBLE
+                     / (len(ws) - 1), 4)
+             END AS dup_bigram_frac
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           top_word_frac, dup_bigram_frac,
+           (n_words BETWEEN 5 AND 1000 AND mean_word_len BETWEEN 2 AND 12
+            AND top_word_frac <= 0.3 AND dup_bigram_frac <= 0.6) AS keep
+    FROM m
+    """,
+)
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (the Gopher quality-filter family):
+    word count bounds, mean word length, most-frequent-word mass, and
+    duplicate-bigram fraction, folded into one boolean ``keep``.
+
+    All four signals are higher-order-function folds over the token array
+    of a single row — zero shuffles, one codegen stage over the scan; at
+    100 TB this is a pure map, pipelined with whatever runs next. The
+    top-word count is an O(distinct·n) per-row nested fold, bounded by
+    document length, not corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = _words(F.col("text"))
+    d = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    mean_len = F.round(
+        F.aggregate("ws", F.lit(0), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / n,
+        4,
+    )
+    top_frac = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct("ws"),
+                lambda w: F.size(F.filter("ws", lambda x: x == w)),
+            )
+        ).cast("double")
+        / n,
+        4,
+    )
+    bigrams = F.zip_with(
+        F.slice("ws", 1, n - 1),
+        F.slice("ws", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    dup_bg = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+            4,
+        )
+    )
+    out = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        top_frac.alias("top_word_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(5, 1000)
+        & F.col("mean_word_len").between(2, 12)
+        & (F.col("top_word_frac") <= 0.3)
+        & (F.col("dup_bigram_frac") <= 0.6)
+    )
+    return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line dedup (C4-style)
+# ---------------------------------------------------------------------------
+_LINE_WORDS = 10
+
+_CHUNK_EXPR = f"""
+transform(
+  sequence(0, CAST(ceil(size(__W__) / {_LINE_WORDS}.0) AS INT) - 1),
+  i -> concat_ws(' ', slice(__W__, i * {_LINE_WORDS} + 1, {_LINE_WORDS})))
+"""
+
+
+@query(
+    "dedup_lines_global",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(0, CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS INT) - 1),
+               i -> array_to_string(list_slice(
+                      ws, CAST(i * {_LINE_WORDS} + 1 AS INT),
+                      CAST(i * {_LINE_WORDS} + {_LINE_WORDS} AS INT)), ' ')))
+               AS line
+      FROM w
+    ), g AS (
+      SELECT line, count(*) AS freq FROM l GROUP BY line
+    )
+    SELECT l.doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN g.freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           (sum(CASE WHEN g.freq > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+            <= 0.3) AS keep
+    FROM l JOIN g USING (line)
+    GROUP BY l.doc_id
+    """,
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line detection (the C4 boilerplate-removal
+    pass): documents are chunked into fixed 10-word pseudo-lines, line
+    frequencies are counted across the WHOLE corpus, and each document
+    reports how many of its lines also occur elsewhere (``freq > 1``),
+    with a keep flag at ≤30% duplicated lines.
+
+    Scale: explode → count → join-back is two shuffles on the line hash —
+    the canonical shape. Partial aggregation collapses repeated lines
+    map-side; the join-back key is the same line value, so at 100 TB both
+    sides co-partition and AQE handles hot boilerplate lines (skew split).
+    Chunking (not raw newlines) keeps line length bounded, so no key is
+    pathologically wide."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(_CHUNK_EXPR.replace("__W__", "split(lower(text), ' ')"))
+        ).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(F.count("*").alias("freq"))
+    dup = F.when(F.col("freq") > 1, 1).otherwise(0)
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dup).cast("bigint").alias("n_dup_lines"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_dup_lines").cast("double") / F.col("n_lines") <= 0.3,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination n-gram overlap
+# ---------------------------------------------------------------------------
+_NGRAM = 5
+_BENCH_MOD = 50  # doc_id % 50 == 0 → held-out "benchmark" split
+
+_NGRAM_EXPR = f"""
+CASE WHEN size(__W__) < {_NGRAM} THEN array()
+     ELSE array_distinct(transform(
+       sequence(1, size(__W__) - {_NGRAM} + 1),
+       i -> concat_ws(' ', slice(__W__, i, {_NGRAM}))))
+END
+"""
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(lower(text), ' ')) < {_NGRAM}
+                  THEN [] ELSE
+               list_distinct(list_transform(
+                 generate_series(1,
+                   len(string_split(lower(text), ' ')) - {_NGRAM} + 1),
+                 i -> array_to_string(list_slice(
+                        string_split(lower(text), ' '),
+                        CAST(i AS INT), CAST(i + {_NGRAM} - 1 AS INT)), ' ')))
+             END AS grams
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM w
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ), train AS (
+      SELECT doc_id, unnest(grams) AS gram FROM w
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(count(b.gram) AS BIGINT) AS n_shared,
+           count(b.gram) >= 3 AS contaminated
+    FROM train t LEFT JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: treat every 50th document as a
+    held-out eval set, build its distinct 5-gram vocabulary, and count for
+    each training document how many of ITS distinct 5-grams appear in that
+    vocabulary (≥3 shared ⇒ flagged contaminated).
+
+    Scale: the benchmark vocabulary is small relative to the corpus (it is
+    an eval set), so it is broadcast — the training side never shuffles;
+    the plan is scan → explode → BroadcastHashJoin → partial-agg'd
+    groupBy(doc_id). Per-doc distinct n-grams keep the count a set
+    overlap, not an occurrence count, on both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select(
+        "doc_id",
+        F.expr(_NGRAM_EXPR.replace("__W__", "split(lower(text), ' ')")).alias(
+            "grams"
+        ),
+    )
+    bench = (
+        w.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = w.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= 3).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-weighted sampling (data mixing)
+# ---------------------------------------------------------------------------
+@query(
+    "sample_hash_mixture",
+    oracle="""
+    WITH k AS (
+      SELECT source,
+             ((CAST(substr(source, 4) AS INT) % 4) + 1) * 20 AS rate_pct,
+             ((doc_id % 1000003) * 31 + 7) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, rate_pct,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM k GROUP BY source, rate_pct
+    """,
+)
+def sample_hash_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling with a DETERMINISTIC keep decision:
+    each source gets a target rate (20/40/60/80% by source index), and a
+    row is kept iff a multiplicative hash of its doc_id lands under the
+    rate — reproducible across runs, engines, and partitionings, unlike
+    `sample()`/`rand()`.
+
+    This is the data-mixing primitive: re-weighting sources to a target
+    recipe without materializing a shuffle — the keep predicate is a pure
+    map evaluated at the scan, so at 100 TB the rejected rows never leave
+    the input stage. (At real scale swap the congruential hash for
+    xxhash64(doc_id) — kept portable here so the oracle reproduces it
+    bit-for-bit.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        (F.substring("source", 4, 10).cast("int") % 4 + 1) * 20
+    ).alias("rate_pct")
+    bucket = ((F.col("doc_id") % 1000003) * 31 + 7) % 100
+    return (
+        docs.select("source", rate, bucket.alias("bucket"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_LONGNUM = r"\d{6,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id
+                     || '@example.com for access' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' from host 10.2.'
+                     || (doc_id % 250) || '.9' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' ref 99'
+                     || (1000000 + doc_id) ELSE '' END AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_RE_EMAIL}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(txt, '{_RE_IPV4}')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(txt, '{_RE_LONGNUM}')) AS INT)
+             AS n_num,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               txt, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                    '{_RE_IPV4}', '<IP>', 'g'),
+                    '{_RE_LONGNUM}', '<NUM>', 'g')) AS scrub_md5
+    FROM t
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: detect and replace emails, IPv4 addresses, and
+    long digit runs with typed placeholder tokens, reporting per-doc match
+    counts and an md5 of the scrubbed text.
+
+    The synthetic corpus contains no PII, so the query deterministically
+    injects it first (same expression on both engines) — the point under
+    test is the scrub semantics: match counting, replace-ALL behavior
+    (Spark's default; DuckDB needs the 'g' flag), and pattern ordering
+    (emails and IPs are consumed before the bare digit-run rule so their
+    digits are not double-scrubbed). Pure regex projections — one codegen
+    stage, no shuffle; RE2-safe patterns so both engines agree."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com for access"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from host 10.2."),
+                F.col("doc_id") % 250,
+                F.lit(".9"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" ref 99"), F.col("doc_id") + 1000000),
+        ).otherwise(""),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+        ),
+        _RE_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_RE_EMAIL), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(_RE_IPV4), F.lit(0))).alias(
+            "n_ip"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(_RE_LONGNUM), F.lit(0))).alias(
+            "n_num"
+        ),
+        F.md5(scrub).alias("scrub_md5"),
+    )
