@@ -49,6 +49,7 @@ def _run_to_memory(
 
 
 _STAGE_CACHE: dict[str, str] = {}
+_LATE_SPLIT_CACHE: dict[str, str] = {}
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -130,30 +131,42 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT dropped — restart-with-checkpoint is how the semantics actually
     bind, and doubles as a state-recovery demonstration.)
     """
-    from kdcloganalyzer_spark.sources.tables import load_table
-
-    ev_batch = load_table(spark, sf_dir, "events")
-    split_ts = ev_batch.selectExpr(
-        "percentile_approx(ts, 0.5, 10000) AS m"
-    ).collect()[0]["m"]
-
     import glob
     import os
     import shutil
+
+    # The recent/old input split is a pure function of the events table —
+    # stage it once per sf_dir (median split, one coalesced parquet file
+    # per half) and let every invocation symlink the halves into its own
+    # fresh source dir. The two streaming runs (watermark commit, then
+    # checkpointed restart over the late file) execute every time; only
+    # the input prep is memoized.
+    if sf_dir not in _LATE_SPLIT_CACHE:
+        from kdcloganalyzer_spark.sources.tables import load_table
+
+        ev_batch = load_table(spark, sf_dir, "events")
+        split_ts = ev_batch.selectExpr(
+            "percentile_approx(ts, 0.5, 10000) AS m"
+        ).collect()[0]["m"]
+        half_dir = tempfile.mkdtemp(prefix="late_drop_halves_")
+        for name, half in (
+            ("00_recent.parquet", ev_batch.filter(F.col("ts") >= F.lit(split_ts))),
+            ("01_late.parquet", ev_batch.filter(F.col("ts") < F.lit(split_ts))),
+        ):
+            tmp = f"{half_dir}/_tmp"
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.move(
+                glob.glob(f"{tmp}/part-*.parquet")[0], f"{half_dir}/{name}"
+            )
+        _LATE_SPLIT_CACHE[sf_dir] = half_dir
+    half_dir = _LATE_SPLIT_CACHE[sf_dir]
 
     stage = tempfile.mkdtemp(prefix="late_drop_")
     data_dir = f"{stage}/data"
     out_dir = f"{stage}/out"
     ckpt = f"{stage}/ckpt"
     os.makedirs(data_dir)
-    recent = ev_batch.filter(F.col("ts") >= F.lit(split_ts))
-    old = ev_batch.filter(F.col("ts") < F.lit(split_ts))
-    schema = recent.schema
-
-    def stage_file(df: DataFrame, name: str) -> None:
-        tmp = f"{stage}/_tmp_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{data_dir}/{name}")
+    schema = spark.read.parquet(half_dir).schema
 
     def run_once() -> None:
         sdf = (
@@ -175,9 +188,9 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    stage_file(recent, "00_recent.parquet")
+    os.symlink(f"{half_dir}/00_recent.parquet", f"{data_dir}/00_recent.parquet")
     run_once()  # commits watermark = max(recent.ts) - 10 min
-    stage_file(old, "01_late.parquet")
+    os.symlink(f"{half_dir}/01_late.parquet", f"{data_dir}/01_late.parquet")
     run_once()  # old rows < restored watermark → dropped
 
     return spark.read.parquet(out_dir)
