@@ -144,7 +144,12 @@ def minhash_lsh_pairs(
     d = spread(docs).select(
         "doc_id", word_set(F.col("text")).alias("words")
     ).filter(F.size("words") > 0)
-    sig = _minhash_signature(d, k)
+    # The self-join's sides are structurally different (one becomes a
+    # broadcast/build, the other the probe), so Spark cannot reuse the
+    # exchange and would evaluate the k-fold signature scan TWICE.
+    # localCheckpoint materializes it once; at real scale the same role is
+    # played by writing the signature table before the join stage.
+    sig = _minhash_signature(d, k).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "sig",

@@ -204,11 +204,17 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM = 5
 _BENCH_MOD = 50  # doc_id % 50 == 0 → held-out "benchmark" split
 
+# arrays_zip over N shifted slices, NOT transform(sequence, i ->
+# slice(ws, i, N)): higher-order lambdas evaluate interpreted, and the
+# per-position slice inside the lambda re-allocates per gram — measured
+# 3× slower at sf0.1 than zipping N pre-shifted views once per doc.
 _NGRAM_EXPR = f"""
 CASE WHEN size(__W__) < {_NGRAM} THEN array()
      ELSE array_distinct(transform(
-       sequence(1, size(__W__) - {_NGRAM} + 1),
-       i -> concat_ws(' ', slice(__W__, i, {_NGRAM}))))
+       arrays_zip({", ".join(
+           f"slice(__W__, {i + 1}, size(__W__) - {_NGRAM - 1})"
+           for i in range(_NGRAM))}),
+       s -> concat_ws(' ', {", ".join(f"s['{i}']" for i in range(_NGRAM))})))
 END
 """
 
@@ -255,11 +261,8 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, not an occurrence count, on both engines."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = docs.select(
-        "doc_id",
-        F.expr(_NGRAM_EXPR.replace("__W__", "split(lower(text), ' ')")).alias(
-            "grams"
-        ),
-    )
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).select("doc_id", F.expr(_NGRAM_EXPR.replace("__W__", "ws")).alias("grams"))
     bench = (
         w.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("grams").alias("gram"))
