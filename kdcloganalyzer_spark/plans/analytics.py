@@ -1,0 +1,290 @@
+"""Event-analytics operators over the driver's `events` table: batch
+gap-sessionization, CDC latest-per-key compaction, funnel analysis,
+cohort retention, and a mergeable HLL sketch rollup.
+
+These extend the reference's "Top N hosts, users, services, etc"
+roadmap (/root/reference/README.md:10-13) from per-entity counts to the
+session/funnel/retention family a production log-analytics deployment
+runs next — all built on window functions and conditional aggregation so
+Catalyst plans them as ordinary shuffles.
+
+Timestamp equivalences: the driver parquet carries TIMESTAMP(NANOS);
+Spark loads it as micros (integer div — sources/tables.py), DuckDB reads
+it natively as TIMESTAMP_NS. Microsecond-exact comparisons therefore use
+`unix_micros(ts)` ⇄ `epoch_us(ts)` (both floor), never `unix_timestamp`
+(Spark floors to seconds — pinned verify-skill gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.tables import load_table
+
+_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-based sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events_gap",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL
+                        OR gap_us > {_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT user_id, CAST(sess_id AS INT) AS sess_id,
+           CAST(min(ts) AS TIMESTAMP) AS sess_start,
+           CAST(max(ts) AS TIMESTAMP) AS sess_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-minute inactivity gap): the
+    gaps-and-islands pattern — flag a session start when the gap to the
+    previous event exceeds the threshold, running-sum the flags into a
+    per-user session id, aggregate per session. The batch twin of
+    `stream_session_window` (same semantics, no state store).
+
+    Scale: ONE shuffle on user_id serves both window functions and the
+    final aggregation (same partitioning, Catalyst reuses the exchange);
+    state is bounded by a user's events in one task. Ties at equal ts
+    are gap-0 and land in the same session, so output is order-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > _GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("sess_id"),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: latest record per key
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC/upsert materialization
+    pattern): keep the newest event per (user_id, event_type), total
+    order enforced by (ts DESC, event_id DESC) so ties are deterministic.
+
+    Scale: one shuffle on the key; `row_number` keeps a single row of
+    state per key within each sorted partition. At 100 TB this is the
+    standard log-compaction pass before serving a snapshot — AQE handles
+    hot keys, and the same plan incrementalizes under Structured
+    Streaming with `flatMapGroupsWithState` if run continuously."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    )
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click. Each stage is
+    a groupBy for the stage's first qualifying timestamp, joined to the
+    previous stage's result; the final answer is three stage counts.
+
+    Scale: stage results shrink monotonically (users, not events), so
+    every join after the first has a small broadcastable right side; the
+    events scan is reused across stages by Catalyst (same source, three
+    type filters — each scan prunes with a pushed event_type filter)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionByName(stage(2, "click", c))
+        .unionByName(stage(3, "purchase", p))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+_MAX_OFFSET = 3
+
+
+@query(
+    "retention_cohort",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7
+          <= {_MAX_OFFSET}
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event; each later week-of-activity increments that cohort's
+    (cohort_week, week_offset) distinct-user count, up to offset 3.
+    The standard growth-analytics matrix.
+
+    Scale: one groupBy(user_id) for cohort assignment (small result —
+    one row per user), broadcast back onto the events scan, then a
+    distinct-count shuffle on (cohort, offset). `count(DISTINCT)` plans
+    as a two-stage expand+agg; for 100 TB swap in
+    `approx_count_distinct` (the `distinct_exact_approx` query pins that
+    variant's semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    offset = (F.datediff(week, F.col("cohort_week")) / 7).cast("int")
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .filter(F.col("week_offset") <= _MAX_OFFSET)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup (rows-only; accuracy pinned by pytest)
+# ---------------------------------------------------------------------------
+@query("agg_hll_sketch_merge")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per (event_type, day) HLL
+    sketches built once, then UNIONED per event_type to answer the
+    coarser query from the fine-grained materialization — distinct users
+    per event_type without touching raw data again.
+
+    This is the 100 TB pattern the exact `countDistinct` cannot give:
+    daily sketch partials are tiny (~KB), mergeable across any date
+    range, and each rollup is a sum-shaped shuffle of sketches instead
+    of a re-scan. Estimate accuracy vs exact is pinned to <5% by
+    tests/test_analytics.py (DuckDB cannot evaluate Spark's sketch
+    binary format → rows-only driver check)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            ),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "approx_users", "n_days")
+    )

@@ -43,6 +43,7 @@ def query(qid: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from kdcloganalyzer_spark.plans import (  # noqa: F401
+        analytics,
         curation,
         kdc_queries,
         llm_pipeline,
