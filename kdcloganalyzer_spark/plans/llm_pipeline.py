@@ -219,6 +219,27 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_ivf(assigned, centers, n_queries=5, k=10)
 
 
+_PQ_CACHE: dict = {}
+
+
+@query("sim_search_pq")
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors encoded as 8 codes against a
+    shared 32-codeword codebook (8 codes/vector instead of 64 doubles);
+    queries score by ADC lookup-table sums and exactly re-rank the top-100
+    (rows-only: recall is probabilistic; pinned ≥0.8 @10 by pytest).
+    Like IVF, the index builds once per (session, sf) and persists —
+    that amortization IS the PQ contract."""
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        encoded, codebook = similarity.build_pq_index(
+            load_table(spark, sf_dir, "embeddings")
+        )
+        _PQ_CACHE[key] = (encoded.persist(), codebook)
+    encoded, codebook = _PQ_CACHE[key]
+    return similarity.topk_cosine_pq(encoded, codebook, n_queries=5, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

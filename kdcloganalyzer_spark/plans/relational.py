@@ -1120,3 +1120,103 @@ def scalar_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 1, 3).alias("etype3"),
         F.concat_ws(":", "event_type", F.col("user_id").cast("string")).alias("ek"),
     )
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 ships the XML source
+    built-in): an orders slice written as row-tagged XML, re-read with an
+    EXPLICIT schema, re-aggregated to the oracle's numbers. XML is the
+    interchange format log estates still receive from appliances; the
+    scan parallelizes per file like any text source, and explicit
+    schemas avoid the inference pass."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orders_xml_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned join: a selective predicate on the
+    build side (c_acctbal > 9000 keeps ~5% of customers) lets Spark
+    inject a bloom filter of the surviving join keys into the fact-table
+    scan, so most orders rows are dropped BEFORE the shuffle instead of
+    after reaching the join. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~5% that can match.
+
+    Spark's default thresholds target real clusters (application side
+    ≥10 GB scan); they are lowered here so the rewrite fires at bench
+    scale, the plan is forced through optimization, and the session
+    settings are restored — the result is a plain inner join either way
+    (tests/test_plans.py pins `might_contain` in the physical plan)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        # force a shuffle join: broadcast joins get no benefit from a
+        # bloom filter (the dim is already hash-probed at the scan)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_acctbal") > 9000
+        )
+        out = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        # materialize the optimized plan (runtime-filter injection happens
+        # in logical optimization, cached on this DataFrame) while the
+        # lowered thresholds are still in effect
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -116,3 +116,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming multi-line KDC sessionizer (file-granular micro-batches
     via foreachBatch; batch-equivalence pinned in tests)."""
     return SQ.stream_sessionize_kdc(spark, synth_dir_for_sf(sf_dir))
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of a twice-replayed source: state-store
+    dropDuplicates under a watermark collapses the replay to one copy;
+    the oracle aggregates the single original."""
+    return SQ.stream_dedup_events(spark, sf_dir)

@@ -292,3 +292,42 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events file is staged TWICE into the
+    monitored directory (a replayed/at-least-once upstream), and
+    ``withWatermark + dropDuplicates`` emits each event_id exactly once;
+    the materialized sink is then batch-aggregated per event_type — equal
+    to the oracle's aggregation over the single original copy.
+
+    Scale: dedup state is per-key in the state store, partitioned by the
+    dedup key; the watermark bounds retention so an unbounded stream
+    holds state only for the lateness horizon (under AvailableNow the
+    watermark advances at the final commit, so the full bounded run
+    dedups globally — exactly what a backfill replay wants)."""
+    import os
+
+    key = f"{sf_dir}::dup2"
+    if key not in _STAGE_CACHE:
+        d = tempfile.mkdtemp(prefix="events_dup_")
+        src = os.path.abspath(f"{sf_dir}/events.parquet")
+        os.symlink(src, f"{d}/copy_a.parquet")
+        os.symlink(src, f"{d}/copy_b.parquet")
+        _STAGE_CACHE[key] = d
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_STAGE_CACHE[key])
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    deduped = _run_to_memory(sdf, "append")
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -116,3 +116,28 @@ def test_cli_list_and_explain(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out
     assert main(["run", "nope_not_a_query"]) == 2
+
+
+def test_bloom_runtime_filter_fires(spark, sf_dir):
+    df = registry.QUERIES["join_bloom_runtime"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan  # runtime bloom filter reached the scan
+    # and the lowered thresholds were restored afterwards
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    exact = registry.QUERIES["sim_search_cosine"](spark, sf_dir).collect()
+    approx = registry.QUERIES["sim_search_pq"](spark, sf_dir).collect()
+    ex, pq = {}, {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in approx:
+        pq.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & pq.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
