@@ -371,3 +371,21 @@ def q_top_n_kdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(kind).alias("kind"), "entity", "n")
         )
     return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@query("scan_python_datasource")
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDC logs through the registered Python DataSource (format
+    'kdclog', sources/kdc_pyds.py) — the imperative custom-input-format
+    surface (reference KDCLogFileInputType + KDCLogRecordReader as a
+    first-class Spark source), aggregated to the record-type × success
+    histogram. Rows-only; record-level parity with the declarative
+    sessionizer is pinned by tests/test_kdc_pyds.py."""
+    from kdcloganalyzer_spark.sources.kdc_pyds import read_kdc_python_source
+
+    recs = read_kdc_python_source(spark, synth_dir_for_sf(sf_dir))
+    return (
+        recs.groupBy("req_type", "valid", "success")
+        .agg(F.count("*").alias("n"))
+        .orderBy("req_type", "valid", "success")
+    )

@@ -1,0 +1,216 @@
+"""KDC multi-line log format as a Spark 4 Python DataSource — the direct
+structural analog of the reference's custom input format
+(KDCLogFileInputType.java + KDCLogRecordReader.java:208-324): a registered
+`spark.read.format("kdclog")` source whose reader assembles multi-line
+request records, one InputPartition per file (the reference's one split
+per block, records scoped to a file).
+
+This is the IMPERATIVE twin of the declarative window-based sessionizer
+(operators/sessionize.py) — same record semantics, pinned equal by
+tests/test_kdc_pyds.py. The declarative path is the production one
+(whole-stage codegen, no Python workers); this source exists because the
+Python DataSource API is the right surface when a format genuinely cannot
+be expressed as lines + windows (binary framing, seekable containers),
+and the KDC format doubles as its parity fixture.
+
+Pickling: the DataSource class ships to Python workers by VALUE
+(cloudpickle), so everything it needs — patterns, the per-file state
+machine — is defined inside the builder function, never imported from
+this repo (executors do not have /root/repo on sys.path; see the verify
+skill).
+
+Scale: parallelism = #files, matching the reference's workload of many
+per-server daily logs. Each partition streams its file line-by-line in
+one pass with O(record) state. Python-worker throughput is the price of
+imperative parsing — the parity test keeps both paths honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REGISTERED: set[int] = set()
+
+
+def read_kdc_python_source(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Read a KDC log directory through the registered Python data source."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    schema_ddl = (
+        "file string, ts_raw string, req_type string, client string, "
+        "crealm string, service string, srealm string, client_ip string, "
+        "valid boolean, success boolean, referral boolean, "
+        "error_class string, error string, chosen_enctype string"
+    )
+
+    class KDCLogDataSource(DataSource):
+        """format('kdclog'): option 'path' = directory of .log files."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kdclog"
+
+        def schema(self) -> str:
+            return schema_ddl
+
+        def reader(self, schema) -> "KDCLogReader":  # noqa: F821
+            return KDCLogReader(self.options)
+
+    class KDCLogReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def partitions(self):
+            # one partition per file — records never span files, the
+            # same invariant the reference's per-split reader relies on
+            import glob as g
+
+            return [
+                InputPartition(f)
+                for f in sorted(g.glob(f"{self.path}/*.log"))
+                + sorted(g.glob(f"{self.path}/*.log.gz"))
+            ]
+
+        def read(self, partition):
+            import gzip
+            import re
+
+            ts = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+            atom = r"[-/_\.a-zA-Z0-9]+"
+            realm = r"[-\.a-zA-Z0-9]+"
+            ip = r"IPv4:[\d\.]+|IPv6:[0-9a-fA-F\.:]+"
+            header_re = re.compile(
+                f"({ts})\\s+((?:AS|TGS)-REQ)\\s+({atom})@({realm})"
+                f"\\s+from\\s+({ip})\\s+for\\s+({atom})@({realm})"
+            )
+            sending_re = re.compile(
+                f"{ts}\\s+sending\\s+\\d+\\s+bytes\\s+to\\s+(?:{ip})"
+            )
+            verify_re = re.compile(
+                f"({ts})\\s+(Failed to verify "
+                f"(?:AP-REQ:|checksum|authenticator).*)"
+            )
+            bad_etype_re = re.compile(
+                r"\bServer \(.*\) has no support.*\betypes\b"
+            )
+            enc_re = re.compile(
+                r"Client supported enctypes: (.*) using (\S+)"
+            )
+            chain = [
+                ("BAD_PASSWORD", ["Failed to decrypt PA-DATA --"]),
+                ("BAD_NAME", ["UNKNOWN --", "Client no longer in database",
+                              "Client not found in database",
+                              "Server not found in database"]),
+                ("UNUSABLE_NAME", ["Client expired",
+                                   "Client's key has expired",
+                                   "Server's key has expired",
+                                   "Principal may not act as server",
+                                   "Principal may not act as client"]),
+                ("BAD_AUTHENTICATION", ["krb_rd_req:", "Too large time skew",
+                                        "No key matches pa-data",
+                                        "@RE@",
+                                        "Addition ticket have not matching "
+                                        "etypes",
+                                        "Bad request for renewable ticket",
+                                        "Ticket expired"]),
+                ("BAD_PARAMETERS", ["equest to forward non-forwardable "
+                                    "ticket",
+                                    "equest to renew non-renewable ticket"]),
+                ("UNKNOWN", ["Failed building TGS-REP"]),
+            ]
+
+            def classify(line):
+                for cls, subs in chain:
+                    for s in subs:
+                        if s == "@RE@":
+                            if ("has no support" in line
+                                    and bad_etype_re.search(line)):
+                                return cls
+                        elif s in line:
+                            return cls
+                return None
+
+            path = partition.value
+            fresh = {
+                "ts_raw": None, "req_type": None, "client": None,
+                "crealm": None, "service": None, "srealm": None,
+                "client_ip": None, "valid": False, "success": False,
+                "referral": False, "error_class": None, "error": None,
+                "chosen_enctype": None,
+            }
+            rec = dict(fresh)
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt", encoding="utf-8", errors="replace") as fh:
+                for raw in fh:
+                    line = raw.rstrip("\n")
+                    m = header_re.search(line)
+                    if m:
+                        # last header wins for identity (B5); error sticks
+                        rec.update(
+                            ts_raw=m.group(1),
+                            req_type=(
+                                "AUTH" if m.group(2) == "AS-REQ" else "TGS"
+                            ),
+                            client=m.group(3), crealm=m.group(4),
+                            client_ip=m.group(5), service=m.group(6),
+                            srealm=m.group(7), valid=True,
+                        )
+                        # TGS presumed success (reader:252); AS false until
+                        # preauth (reader:270-271). Unconditional: a later
+                        # header re-sets success even after an error (B5) —
+                        # last effect wins, exactly like the declarative
+                        # sessionizer's success_effect aggregation.
+                        rec["success"] = m.group(2) == "TGS-REQ"
+                        continue
+                    if sending_re.search(line):
+                        yield (
+                            path, rec["ts_raw"], rec["req_type"],
+                            rec["client"] if rec["valid"] else None,
+                            rec["crealm"] if rec["valid"] else None,
+                            rec["service"] if rec["valid"] else None,
+                            rec["srealm"] if rec["valid"] else None,
+                            rec["client_ip"] if rec["valid"] else None,
+                            rec["valid"], rec["success"], rec["referral"],
+                            rec["error_class"], rec["error"],
+                            rec["chosen_enctype"],
+                        )
+                        rec = dict(fresh)
+                        continue
+                    if "Pre-authentication succeeded" in line:
+                        rec["success"] = True  # reader:270-271, unconditional
+                        continue
+                    cls = classify(line)
+                    if cls is not None:
+                        if rec["error"] is None:  # first error wins
+                            rec["error"] = line
+                            rec["error_class"] = cls
+                        rec["success"] = False
+                        continue
+                    if "eturning a referral to realm" in line:
+                        rec["referral"] = True
+                        continue
+                    mv = verify_re.search(line)
+                    if mv:
+                        rec["ts_raw"] = mv.group(1)
+                        if rec["error"] is None:
+                            rec["error"] = mv.group(2)
+                            rec["error_class"] = "BAD_AUTHENTICATION"
+                        rec["success"] = False
+                        continue
+                    me = enc_re.search(line)
+                    if me:
+                        rec["chosen_enctype"] = me.group(2)
+                # trailing incomplete record dropped (reader:317-320,
+                # by design — B2 applies to split handling, not EOF)
+
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(KDCLogDataSource)
+        _REGISTERED.add(key)
+    return (
+        spark.read.format("kdclog").option("path", log_dir).load()
+    )
