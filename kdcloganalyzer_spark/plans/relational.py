@@ -1220,3 +1220,61 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+@query(
+    "fn_json_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the Spark 4 VARIANT type: `parse_json`
+    once at the scan, then typed `variant_get` path extraction — the
+    open-schema ingestion pattern (parse once into a binary-encoded
+    variant, bind types per query) that replaces per-query string
+    re-parsing of `get_json_object`. At 100 TB the variant column
+    parses each props string ONCE however many extractions follow, and
+    shredded storage keeps pushdown available."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.try_variant_get("p", "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+@query(
+    "sql_interface",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (SURVEY.md §3.3: EP1/EP2/EP3 collapse
+    into one SparkSession API): driver tables registered as temp views,
+    the query expressed in ANSI SQL via `spark.sql` — same Catalyst
+    plan, same optimizations as the DataFrame path (the analyzer unifies
+    both front ends before optimization)."""
+    for t in ("customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
