@@ -35,3 +35,26 @@ def test_python_source_parallelism_is_per_file(spark, sf_dir):
     df = read_kdc_python_source(spark, log_dir)
     n_files = df.select("file").distinct().count()
     assert df.rdd.getNumPartitions() == n_files
+
+
+def test_python_source_matches_sessionizer_on_golden(spark, tmp_path):
+    """The adversarial golden fixture (every error class, B5 interleaved
+    headers, headerless verify, referral, no-preauth) must parse
+    identically through both implementations."""
+    import os
+    import shutil
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "fixtures", "kdc", "golden.log"
+    )
+    d = tmp_path / "logs"
+    d.mkdir()
+    shutil.copy(golden, d / "golden.log")
+
+    from kdcloganalyzer_spark.operators.sessionize import sessionize
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+    decl = sessionize(read_log_lines_raw(spark, str(d))).drop("enctypes")
+    pyds = read_kdc_python_source(spark, str(d))
+    a, b = _multiset(pyds), _multiset(decl)
+    assert len(a) > 0 and a == b
