@@ -22,7 +22,7 @@ Dialect notes (Spark ⇄ DuckDB equivalences used below):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kdcloganalyzer_spark.operators.dedup import spread
@@ -422,4 +422,190 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_num"
         ),
         F.md5(scrub).alias("scrub_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The pipeline, composed
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_corpus_funnel",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ws, text
+      FROM documents
+    ), q AS (  -- stage 1: quality gate (subset of gopher signals)
+      SELECT *,
+             (len(ws) BETWEEN 5 AND 1000
+              AND round(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w))))::DOUBLE
+                    / len(ws), 4) <= 0.12) AS q_keep
+      FROM w
+    ), d AS (  -- stage 2: exact dedup (min doc_id survives per text)
+      SELECT q.*, (doc_id = min(doc_id) OVER (PARTITION BY text)) AS d_keep
+      FROM q
+    ), l AS (  -- stage 3: pseudo-line global dedup <= 30% duplicated
+      SELECT doc_id, sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) <= 0.3 AS l_keep
+      FROM (
+        SELECT doc_id, line FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS INT) - 1),
+                   i -> array_to_string(list_slice(
+                          ws, CAST(i * {_LINE_WORDS} + 1 AS INT),
+                          CAST(i * {_LINE_WORDS} + {_LINE_WORDS} AS INT)),
+                          ' '))) AS line
+          FROM w)
+      ) x JOIN (
+        SELECT line, count(*) AS freq FROM (
+          SELECT unnest(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS INT) - 1),
+                   i -> array_to_string(list_slice(
+                          ws, CAST(i * {_LINE_WORDS} + 1 AS INT),
+                          CAST(i * {_LINE_WORDS} + {_LINE_WORDS} AS INT)),
+                          ' '))) AS line
+          FROM w)
+        GROUP BY line
+      ) g USING (line)
+      GROUP BY doc_id
+    ), s AS (  -- stage 4: deterministic mixture sample
+      SELECT doc_id,
+             ((doc_id % 1000003) * 31 + 7) % 100
+               < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 20 AS s_keep
+      FROM w
+    ), m AS (
+      SELECT d.doc_id, len(d.ws) AS n_tok,
+             d.q_keep, d.d_keep, l.l_keep, s.s_keep
+      FROM d JOIN l USING (doc_id) JOIN s USING (doc_id)
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+      SELECT 0 AS stage, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM m
+      UNION ALL
+      SELECT 1, count(*), CAST(sum(n_tok) AS BIGINT) FROM m WHERE q_keep
+      UNION ALL
+      SELECT 2, count(*), CAST(sum(n_tok) AS BIGINT) FROM m
+      WHERE q_keep AND d_keep
+      UNION ALL
+      SELECT 3, count(*), CAST(sum(n_tok) AS BIGINT) FROM m
+      WHERE q_keep AND d_keep AND l_keep
+      UNION ALL
+      SELECT 4, count(*), CAST(sum(n_tok) AS BIGINT) FROM m
+      WHERE q_keep AND d_keep AND l_keep AND s_keep
+    )
+    """,
+)
+def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline composed as ONE DataFrame DAG: quality gate →
+    exact dedup → global line dedup → mixture sampling, reporting
+    surviving docs and tokens after each stage (the corpus funnel a
+    pre-training run reviews before committing GPU time).
+
+    Composition is where Spark's declarative model pays off: the four
+    stages are independent boolean columns derived from three shuffles
+    TOTAL (text-dedup window, line explode+count+join, nothing for the
+    gate or sampler), then one aggregation — Catalyst pipelines
+    everything else into the scan. A stage-at-a-time imperative pipeline
+    would re-scan the corpus five times. MinHash near-dup (engine-hash
+    dependent) intentionally sits outside this oracle-checked funnel —
+    at scale it slots between stages 2 and 3 as one more boolean."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = _words(F.col("text"))
+    base = docs.select("doc_id", "source", "text", ws.alias("ws"))
+    n = F.size("ws")
+
+    top_frac = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct("ws"),
+                lambda w: F.size(F.filter("ws", lambda x: x == w)),
+            )
+        ).cast("double")
+        / n,
+        4,
+    )
+    # 0.12, not the standalone gate's Gopher-style 0.3: the synthetic
+    # corpus draws from a tiny vocabulary, so the funnel threshold sits at
+    # this corpus's p85 to make stage 1 demonstrably selective.
+    q_keep = F.col("n_words").between(5, 1000) & (top_frac <= 0.12)
+
+    w_text = Window.partitionBy("text")
+    d_keep = F.col("doc_id") == F.min("doc_id").over(w_text)
+
+    staged = base.select(
+        "doc_id",
+        "source",
+        "text",
+        "ws",
+        n.alias("n_words"),
+    ).select(
+        "*",
+        q_keep.alias("q_keep"),
+        d_keep.alias("d_keep"),
+    )
+
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(_CHUNK_EXPR.replace("__W__", "ws"))
+        ).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(F.count("*").alias("freq"))
+    l_keep = (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+                <= 0.3
+            ).alias("l_keep")
+        )
+    )
+
+    s_keep = (
+        ((F.col("doc_id") % 1000003) * 31 + 7) % 100
+        < (F.substring("source", 4, 10).cast("int") % 4 + 1) * 20
+    )
+
+    m = (
+        staged.join(l_keep, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").alias("n_tok"),
+            "q_keep",
+            "d_keep",
+            "l_keep",
+            s_keep.alias("s_keep"),
+        )
+    )
+
+    def stage(i: int, cond):
+        return m.filter(cond).agg(
+            F.lit(i).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+
+    t = F.lit(True)
+    return (
+        stage(0, t)
+        .unionByName(stage(1, F.col("q_keep")))
+        .unionByName(stage(2, F.col("q_keep") & F.col("d_keep")))
+        .unionByName(
+            stage(3, F.col("q_keep") & F.col("d_keep") & F.col("l_keep"))
+        )
+        .unionByName(
+            stage(
+                4,
+                F.col("q_keep")
+                & F.col("d_keep")
+                & F.col("l_keep")
+                & F.col("s_keep"),
+            )
+        )
     )

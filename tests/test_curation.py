@@ -77,3 +77,14 @@ def test_pii_scrub_injected_counts(spark, sf_dir):
 def test_pii_scrub_stays_codegen(spark, sf_dir):
     plan = _plan(registry.QUERIES["text_pii_scrub"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_funnel_is_monotonic(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["pipeline_corpus_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
