@@ -164,12 +164,20 @@ def line_features(line: Column) -> dict[str, Column]:
     )
     is_error = is_chain_error | is_verify
 
-    # success: preauth → true (reader:271); TGS header → true (reader:252);
-    # any error line → false (setErrorIfUnset always clears success,
-    # KDCLogRecord.java:187). Last effect wins at the record level.
+    # success: preauth → true (reader:271); TGS header → true (reader:252,
+    # switching on the EXTRACTED request-type group — a whole-line
+    # contains("TGS-REQ") would also fire on an AS-REQ whose principal
+    # embeds the substring, e.g. service "TGS-REQ-proxy"; ATOM allows
+    # '-'); any error line → false (setErrorIfUnset always clears
+    # success, KDCLogRecord.java:187). Last effect wins at the record
+    # level. The regexp_extract only evaluates on header lines (the
+    # when-branch short-circuits), so the cheap-pass contract holds.
     success_effect = (
         F.when(is_preauth, F.lit(True))
-        .when(is_header & line.contains("TGS-REQ"), F.lit(True))
+        .when(
+            is_header & (F.regexp_extract(line, HEADER_RE, 2) == "TGS-REQ"),
+            F.lit(True),
+        )
         .when(is_error, F.lit(False))
     )
 

@@ -22,11 +22,13 @@ from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.kdc_log import read_log_lines, read_log_lines_raw
 from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
 
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def kdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed on applicationId, not id(spark): CPython can reuse a stopped
+    # session's id, which would hand back DataFrames bound to a dead session
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CACHE:
         log_dir = synth_dir_for_sf(sf_dir)
         df = sessionize(read_log_lines_raw(spark, log_dir)).persist()

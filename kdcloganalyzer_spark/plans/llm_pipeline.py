@@ -209,7 +209,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index (centroids + cell assignment) builds once per (session, sf)
     and persists — the IVF contract is amortized index build, per-query
     probe cost."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CACHE:
         assigned, centers = similarity.build_ivf_index(
             load_table(spark, sf_dir, "embeddings")
@@ -230,7 +230,7 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: recall is probabilistic; pinned ≥0.8 @10 by pytest).
     Like IVF, the index builds once per (session, sf) and persists —
     that amortization IS the PQ contract."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_CACHE:
         encoded, codebook = similarity.build_pq_index(
             load_table(spark, sf_dir, "embeddings")
@@ -574,10 +574,15 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         std = float(np.std(pdf["value"].to_numpy(), ddof=0))
         mean = float(pdf["value"].mean())
-        z = ((pdf["value"] - mean) / std).round(4) if std > 0 else None
-        return pd.DataFrame(
-            {"event_id": pdf["event_id"], "z": z if std > 0 else float("nan")}
+        # zero-stddev group → NULL, matching the oracle's
+        # nullif(stddev_pop(...), 0); pd.NA in a nullable Float64 column
+        # crosses Arrow as a true null (plain NaN in float64 would not)
+        z = (
+            ((pdf["value"] - mean) / std).round(4)
+            if std > 0
+            else pd.array([pd.NA] * len(pdf), dtype=pd.Float64Dtype())
         )
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
     zdf = events.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, z double"

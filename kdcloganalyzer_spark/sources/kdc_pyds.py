@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set[str] = set()
 
 
 def read_kdc_python_source(spark: SparkSession, log_dir: str) -> DataFrame:
@@ -159,12 +159,14 @@ def read_kdc_python_source(spark: SparkSession, log_dir: str) -> DataFrame:
                             client_ip=m.group(5), service=m.group(6),
                             srealm=m.group(7), valid=True,
                         )
-                        # TGS presumed success (reader:252); AS false until
-                        # preauth (reader:270-271). Unconditional: a later
-                        # header re-sets success even after an error (B5) —
-                        # last effect wins, exactly like the declarative
-                        # sessionizer's success_effect aggregation.
-                        rec["success"] = m.group(2) == "TGS-REQ"
+                        # TGS presumed success (reader:246-258 calls
+                        # setSuccess(true) ONLY for TGS-REQ; an AS header
+                        # leaves success untouched, so a preauth line
+                        # followed by a second AS header keeps its
+                        # success=true) — last effect wins, exactly like
+                        # the declarative sessionizer's success_effect.
+                        if m.group(2) == "TGS-REQ":
+                            rec["success"] = True
                         continue
                     if sending_re.search(line):
                         yield (
@@ -207,7 +209,9 @@ def read_kdc_python_source(spark: SparkSession, log_dir: str) -> DataFrame:
                 # trailing incomplete record dropped (reader:317-320,
                 # by design — B2 applies to split handling, not EOF)
 
-    key = id(spark)
+    # keyed on applicationId, not id(spark): CPython can reuse a stopped
+    # session's id for a new one, which would skip re-registration
+    key = spark.sparkContext.applicationId
     if key not in _REGISTERED:
         spark.dataSource.register(KDCLogDataSource)
         _REGISTERED.add(key)
