@@ -34,23 +34,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _gate_order(ids: list[str]) -> list[str]:
-    """Order ids so a capped correctness run maximizes NEW coverage.
+    """Order ids so a capped correctness run maximizes useful coverage.
 
-    The r1 gate recorded exactly the first 50 ids of the registry's
-    insertion order, leaving 55 registered queries without a driver-gate
-    row. Whether the cap is count- or time-based, the fix is the same:
-    ids with no row in any prior CORRECTNESS_r*.json run first, and
-    within each group the cheapest (per the last local bench) run first,
-    so the gate's budget buys breadth instead of repeats.
+    The r1/r2 gates each recorded only ~44-50 rows, so ordering decides
+    what the driver actually verifies. Three priority groups:
+
+    1. ids whose LATEST gate row failed (err / hash mismatch) — the fix
+       must be re-verified before anything else;
+    2. ids with no row in any prior CORRECTNESS_r*.json — new coverage;
+    3. previously-passing ids — regression re-checks.
+
+    Groups 1+2 run cheapest-first (per the last local bench) so the
+    gate's budget buys breadth; one group-3 id is interleaved every 5th
+    slot so each round re-verifies a rotating sample of prior passes
+    (a capped gate would otherwise never revisit them — ADVICE r2).
     """
     import glob
     import json
 
-    covered: set[str] = set()
-    for p in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    latest: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                covered.update(json.load(f).keys())
+                latest.update(json.load(f))
         except (OSError, ValueError):
             pass
     cost: dict[str, float] = {}
@@ -59,7 +65,27 @@ def _gate_order(ids: list[str]) -> list[str]:
             cost = json.load(f)["queries"]
     except (OSError, ValueError, KeyError):
         pass
-    return sorted(ids, key=lambda q: (q in covered, cost.get(q, 0.5), q))
+
+    def failed(row: dict) -> bool:
+        return (row.get("err") not in (None, "no_oracle")) or (
+            row.get("hash_match") is False
+        )
+
+    by_cost = sorted(ids, key=lambda q: (cost.get(q, 0.5), q))
+    urgent = [q for q in by_cost if q not in latest or failed(latest[q])]
+    steady = [q for q in by_cost if q in latest and not failed(latest[q])]
+    # Put failed-last-time ids at the very front of the urgent group.
+    urgent.sort(key=lambda q: (not (q in latest and failed(latest[q]))))
+    out: list[str] = []
+    ui, si = iter(urgent), iter(steady)
+    for q in by_cost:
+        take_steady = len(out) % 5 == 4
+        nxt = next(si if take_steady else ui, None) or next(
+            ui if take_steady else si, None
+        )
+        if nxt is not None:
+            out.append(nxt)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

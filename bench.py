@@ -36,27 +36,36 @@ def main() -> None:
     spark.range(100000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in sorted(registry.QUERIES):
         fn = registry.QUERIES[qid]
         # One warm-up execution (JVM codegen/JIT), then the timed run —
         # steady-state throughput, which is what a long-lived cluster pays.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
+        # A failing query is RECORDED, never fatal: the suite total and
+        # the JSON line must exist even when one operator regresses.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[qid] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — bench must survive any query
+            errors[qid] = f"{type(e).__name__}: {e}"[:300]
 
     # KDC parser throughput, uncached (the registered query reads the
     # persisted records; this times the raw scan→sessionize pipeline).
-    from kdcloganalyzer_spark.operators.sessionize import sessionize
-    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
-    from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+    try:
+        from kdcloganalyzer_spark.operators.sessionize import sessionize
+        from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+        from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
 
-    log_dir = synth_dir_for_sf(sf_dir)
-    t0 = time.perf_counter()
-    sessionize(read_log_lines_raw(spark, log_dir)).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["kdc_parse_uncached"] = round(time.perf_counter() - t0, 3)
+        log_dir = synth_dir_for_sf(sf_dir)
+        t0 = time.perf_counter()
+        sessionize(read_log_lines_raw(spark, log_dir)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["kdc_parse_uncached"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        errors["kdc_parse_uncached"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -64,6 +73,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
     }
     # Full per-query detail goes to a file; stdout gets a line that FITS
@@ -73,39 +83,33 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
 
+    # Greedy slowest-first fill of the stdout line under a byte budget:
+    # serialize each candidate entry once and track the accumulated
+    # length instead of re-dumping the whole dict per iteration.
+    base = {
+        "metric": "full_query_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {},
+        "queries_file": "BENCH_LOCAL.json",
+    }
     budget = 1700
-    slowest = sorted(timings, key=timings.get, reverse=True)
+    used = len(json.dumps(base, separators=(",", ":")))
     shown: dict[str, float] = {}
-    for qid in slowest:
-        shown[qid] = timings[qid]
-        line = json.dumps(
-            {
-                "metric": "full_query_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": shown,
-                "queries_file": "BENCH_LOCAL.json",
-            },
-            separators=(",", ":"),
-        )
-        if len(line) > budget:
-            del shown[qid]
+    for qid in sorted(timings, key=timings.get, reverse=True):
+        entry = len(json.dumps({qid: timings[qid]}, separators=(",", ":"))) - 2
+        if used + entry + (1 if shown else 0) > budget:
             break
-    line = json.dumps(
-        {
-            "metric": "full_query_suite_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": shown,
-            "queries_file": "BENCH_LOCAL.json",
-        },
-        separators=(",", ":"),
-    )
-    print(line)
+        used += entry + (1 if shown else 0)
+        shown[qid] = timings[qid]
+    base["queries"] = shown
+    # Always exit 0 with the JSON line on stdout — `n_errors`/BENCH_LOCAL
+    # carry any per-query failures; a nonzero rc would make the driver
+    # discard the whole run (as r2's crash did).
+    print(json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":

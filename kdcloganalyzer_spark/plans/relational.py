@@ -936,7 +936,8 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_orc_roundtrip",
     oracle="""
-    SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY lang, source
     """,
 )
@@ -1043,13 +1044,22 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy 1000 — constant memory per group regardless of group size,
     the 100 TB path. Rows-only: sketch outputs are
     implementation-defined; the companion agg_percentiles pins exact
-    values against the oracle."""
+    values against the oracle. The sketch array is unpacked to scalar
+    columns (the driver's canonicalizer sorts on values, and array cells
+    aren't sortable/hashable in pandas — r2 gate TypeError)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    sk = events.groupBy("event_type").agg(
         F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 1000)").alias(
-            "approx_pcts"
+            "pcts"
         ),
         F.count("*").alias("n"),
+    )
+    return sk.select(
+        "event_type",
+        F.col("pcts")[0].alias("p25"),
+        F.col("pcts")[1].alias("p50"),
+        F.col("pcts")[2].alias("p75"),
+        "n",
     )
 
 

@@ -67,14 +67,17 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same TIMESTAMP(NANOS)
-    handling as the batch loader (sources/tables.py): nanos as int64,
-    integer-div to micros."""
+    """readStream over the events parquet with the same timestamp
+    normalization as the batch loader (sources/tables.py): dtype-dispatch
+    over nanos-as-int64 / TIMESTAMP_NTZ / TIMESTAMP, always yielding a
+    watermarkable TIMESTAMP column."""
+    from kdcloganalyzer_spark.sources.tables import normalize_ts
+
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).parquet(_staged_events_dir(sf_dir))
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(sdf, "ts")
 
 
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,14 +321,14 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    sdf = (
+    from kdcloganalyzer_spark.sources.tables import normalize_ts
+
+    sdf = normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_STAGE_CACHE[key])
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
-    )
+        .parquet(_STAGE_CACHE[key]),
+        "ts",
+    ).withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     deduped = _run_to_memory(sdf, "append")
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"),
