@@ -87,6 +87,197 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-set Jaccard pairs via PREFIX-FILTERED candidate join —
+    the scale-safe front end whose output is PROVABLY IDENTICAL to the
+    blocked all-pairs form (``ngram_jaccard_pairs``), which stays as the
+    small-N oracle cross-check.
+
+    The prefix filter (Chaudhuri/Ganti/Kaushik SSJoin, ICDE'06; Bayardo/
+    Ma/Srikant "Scaling Up All Pairs Similarity Search", WWW'07): fix any
+    global total order on tokens; J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, so
+    if the first ``|A| − ⌈t·|A|⌉ + 1`` tokens of A (in that order) miss B
+    entirely, the overlap bound is violated. Hence any qualifying pair
+    shares ≥1 PREFIX token, and an equi-join on exploded prefix tokens is
+    a LOSSLESS candidate generator. Our order is (xxhash64(token), token)
+    — deterministic and needs no document-frequency pass (df-ascending
+    order would shrink candidates further at the cost of one extra
+    aggregation over the corpus; at 100 TB that trade usually pays, and
+    slots in here as a join against a broadcast df table).
+
+    Scale shape: explode O(N·(1−t)·|words|) prefix tokens; one equi-join
+    on (block, token) whose fan-out is Σ per-token posting-list² — the
+    inverted-index join from the literature, NOT an N² block self-join;
+    a distinct on surviving id pairs; two narrow joins to fetch word sets
+    for exact verification. Hot tokens are AQE-split like any skewed join
+    key. The size-ratio prefilter (min ≥ t·max) prunes before candidates
+    materialize."""
+    d = (
+        spread(docs)
+        .select(
+            "doc_id", "lang", "source", word_set(F.col("text")).alias("words")
+        )
+        .withColumn("nw", F.size("words"))
+        .filter(F.col("nw") > 0)
+        .localCheckpoint(eager=False)
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                "words",
+                lambda w: F.struct(F.xxhash64(w).alias("h"), w.alias("w")),
+            )
+        ),
+        lambda s: s["w"],
+    )
+    plen = (
+        F.col("nw") - F.ceil(F.lit(threshold) * F.col("nw")) + F.lit(1)
+    ).cast("int")
+    idx = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "nw",
+        F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.nw"), F.col("b.nw"))
+                >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("words").alias("words_a"),
+        F.col("nw").alias("nw_a"),
+    )
+    wb = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("words").alias("words_b"),
+        F.col("nw").alias("nw_b"),
+    )
+    ver = cand.join(wa, "id_a").join(wb, "id_b")
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    union = F.col("nw_a") + F.col("nw_b") - inter
+    jac = F.round(inter / union, 6)
+    return ver.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def embedding_cosine_pairs_pivot(
+    emb: DataFrame, threshold: float = 0.35, n_cells: int = 16
+) -> DataFrame:
+    """Exact embedding-cosine pairs via PIVOT-PRUNED candidate join — the
+    scale-safe front end whose output is IDENTICAL to the label-blocked
+    all-pairs form (``embedding_cosine_pairs``, kept as the small-N
+    oracle cross-check), because the pruning is a triangle-inequality
+    bound, not a probabilistic LSH.
+
+    On unit vectors cos(a,b) ≥ t ⟺ ‖a−b‖ ≤ R = √(2−2t). Assign every
+    vector to its nearest KMeans pivot; per cell record the radius
+    r_i = max ‖v − p_i‖. For a in cell i and b in cell j the reverse
+    triangle inequality gives ‖a−b‖ ≥ d(p_i,p_j) − r_i − r_j, so a cell
+    PAIR with d(p_i,p_j) > R + r_i + r_j cannot contain any qualifying
+    pair and is pruned on the DRIVER over k² cell pairs (k=16 → 256
+    distance checks on the collected centroid/radius table — bounded,
+    data-independent). Survivor cell pairs drive an equi-join on
+    (cell_a, cell_b); exact cosine verifies each candidate. Lossless for
+    ANY clustering — pivot quality affects only prune rate, never
+    correctness (same contract as a ball-tree/cover-tree join).
+
+    Scale shape: one KMeans pass (sample-fit at 100 TB), one codegen
+    assignment projection, a tiny driver-side admissibility matrix, and
+    a join whose fan-out is Σ admissible |cell_i|·|cell_j| — the
+    distributed exact-similarity-join layout; threshold↔data geometry
+    decides the prune rate (tight clusters at high t prune nearly
+    everything; a low t on isotropic data degrades gracefully toward
+    blocked all-pairs)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from kdcloganalyzer_spark.operators.similarity import _cell_dist_exprs
+
+    radius = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    unit = with_unit_vector(
+        spread(emb).select("vec_id", "label", "embedding"), "embedding"
+    ).drop("embedding")
+    feat = unit.withColumn("features", array_to_vector("unit"))
+    model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    dists, _ranked = _cell_dist_exprs(n_cells, centers)
+    # _cell_dist_exprs folds over the raw `embedding` column; here the
+    # unit vector IS the feature space, so alias it in.
+    assigned = (
+        unit.withColumn("embedding", F.col("unit"))
+        .withColumn("dists", dists)
+        .withColumn("cell", F.expr(
+            "transform(array_sort(transform(sequence(0, "
+            f"{n_cells - 1}), i -> struct(dists[i] AS d, i AS idx))), "
+            "s -> s.idx)[0]"
+        ))
+        .withColumn("pdist", F.sqrt(F.array_min("dists")))
+        .drop("embedding", "dists")
+        .localCheckpoint(eager=False)
+    )
+    radii_rows = (
+        assigned.groupBy("cell").agg(F.max("pdist").alias("r")).collect()
+    )
+    radii = {int(r["cell"]): float(r["r"]) for r in radii_rows}
+    C = np.array(centers)
+    admissible = []
+    for i in radii:
+        for j in radii:
+            d_ij = float(np.linalg.norm(C[i] - C[j]))
+            if d_ij <= radius + radii[i] + radii[j]:
+                admissible.append((i, j))
+    adm = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            admissible, "cell_a int, cell_b int"
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("unit").alias("unit_a"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("unit").alias("unit_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    # Both (i,j) and (j,i) orientations sit in `admissible`, so every
+    # qualifying unordered pair survives regardless of which cell holds
+    # the lower vec_id; the id_a < id_b filter then emits it exactly once.
+    pairs = a.join(adm, "cell_a").join(b, "cell_b")
+    cos = F.round(_dot(F.col("unit_a"), F.col("unit_b")), 6)
+    return (
+        pairs.filter(
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _seeded_word_hash(seed: int):
     """One-arg lambda factory for ``F.transform``.
 

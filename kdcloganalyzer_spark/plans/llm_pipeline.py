@@ -58,12 +58,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard near-dup pairs inside (lang, source) blocks.
+    """Exact word-set Jaccard near-dup pairs via the prefix-filtered
+    inverted-index join (operators/dedup.py:ngram_jaccard_pairs_prefix).
 
-    Scale: blocking bounds the pairwise work to Σ block² instead of N²;
-    block keys come from cheap metadata. The block join is a plain
-    equi-join Catalyst can shuffle or broadcast."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    Scale: candidates come from an equi-join on prefix tokens (posting
+    lists), never a block self-join — the SSJoin/AllPairs construction,
+    lossless by the prefix-filter theorem, so the exact all-pairs oracle
+    still hash-matches. The blocked all-pairs form remains in
+    operators/dedup.py as the pytest cross-check
+    (tests/test_dedup_frontends.py)."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), 0.5
+    )
 
 
 @query("dedup_fuzzy_minhash")
@@ -108,12 +114,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with same-label blocking.
+    """Embedding-cosine near-dup pairs via the pivot-pruned exact join
+    (operators/dedup.py:embedding_cosine_pairs_pivot).
 
-    Scale: blocking by label (or by an IVF/LSH bucket at real scale) keeps
-    the pair explosion local; cosine runs in codegen via zip_with/aggregate
-    in double precision (matches the oracle's math)."""
-    return dedup.embedding_cosine_pairs(
+    Scale: KMeans pivots + triangle-inequality cell-pair pruning bound
+    the candidate join to admissible cell pairs instead of label-block
+    all-pairs; pruning is a metric bound, not LSH, so the exact oracle
+    still hash-matches bit-for-bit. The label-blocked all-pairs form
+    remains as the pytest cross-check (tests/test_dedup_frontends.py)."""
+    return dedup.embedding_cosine_pairs_pivot(
         load_table(spark, sf_dir, "embeddings"), 0.35
     )
 
@@ -153,7 +162,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin computes the same components with a recursive CTE
     (min-reachable-id over the same edge set)."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = dedup.ngram_jaccard_pairs(docs, 0.9)
+    # Edge generation through the prefix-filtered join: at t=0.9 the
+    # indexed prefix is ~10% of each word set, so the posting-list join
+    # is tiny — and lossless, so the recursive-CTE oracle still matches.
+    edges = dedup.ngram_jaccard_pairs_prefix(docs, 0.9)
     return dedup.connected_components(docs, edges)
 
 
