@@ -53,12 +53,18 @@ def _gate_order(ids: list[str]) -> list[str]:
     import json
 
     latest: dict[str, dict] = {}
-    for p in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    seen_round: dict[str, int] = {}
+    for rnd, p in enumerate(
+        sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(p) as f:
-                latest.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
-            pass
+            continue
+        latest.update(rows)
+        for q in rows:
+            seen_round[q] = rnd
     cost: dict[str, float] = {}
     try:
         with open(os.path.join(_HERE, "BENCH_LOCAL.json")) as f:
@@ -67,13 +73,22 @@ def _gate_order(ids: list[str]) -> list[str]:
         pass
 
     def failed(row: dict) -> bool:
-        return (row.get("err") not in (None, "no_oracle")) or (
-            row.get("hash_match") is False
+        return (
+            (row.get("err") not in (None, "no_oracle"))
+            or (row.get("hash_match") is False)
+            or (row.get("schema_match") is False)
+            or (row.get("rows_match") is False)
         )
 
     by_cost = sorted(ids, key=lambda q: (cost.get(q, 0.5), q))
     urgent = [q for q in by_cost if q not in latest or failed(latest[q])]
-    steady = [q for q in by_cost if q in latest and not failed(latest[q])]
+    # Steady re-checks drain STALEST-first (oldest verifying round, then
+    # cheapest) so no passing id's latest check ages more than a couple of
+    # rounds under the ~50-row gate cap.
+    steady = sorted(
+        (q for q in by_cost if q in latest and not failed(latest[q])),
+        key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
+    )
     # Put failed-last-time ids at the very front of the urgent group.
     urgent.sort(key=lambda q: (not (q in latest and failed(latest[q]))))
     out: list[str] = []

@@ -68,8 +68,18 @@ def main() -> None:
         errors["kdc_parse_uncached"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
+    # A crashed query contributes 0 to the sum, which would make a
+    # regression LOOK like a speedup. Make failure visible in the metric
+    # itself: errored runs report under a different metric name, so no
+    # consumer can mistake a partial total for the full-suite number
+    # (n_errors still carries the count).
+    metric = (
+        "full_query_suite_wall_sec"
+        if not errors
+        else "partial_query_suite_wall_sec"
+    )
     result = {
-        "metric": "full_query_suite_wall_sec",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -87,7 +97,7 @@ def main() -> None:
     # serialize each candidate entry once and track the accumulated
     # length instead of re-dumping the whole dict per iteration.
     base = {
-        "metric": "full_query_suite_wall_sec",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "sf": sf,

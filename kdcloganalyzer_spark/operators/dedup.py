@@ -34,10 +34,16 @@ def spread(df: DataFrame) -> DataFrame:
     many the cluster has; row-group granularity means no file-split
     setting can fix it at the scan. The explicit round-robin exchange
     costs one tiny shuffle of N input rows and buys full parallelism on
-    the O(N·k)/O(pairs) work that follows. At real scale (many splits)
-    it degrades into a cheap rebalance; callers that already hold a
-    well-partitioned input can skip it."""
+    the O(N·k)/O(pairs) work that follows.
+
+    Guarded: an input that already carries >= defaultParallelism
+    partitions (the many-splits reality on a real cluster) passes through
+    untouched — an unconditional repartition(defaultParallelism) there
+    would SHRINK a wide scan down to the session constant and throttle
+    every downstream stage."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 
@@ -132,8 +138,15 @@ def ngram_jaccard_pairs_prefix(
         ),
         lambda s: s["w"],
     )
+    # ceil over FLOAT t·nw can land one integer too high when the double
+    # representation of t sits just above the rational value (e.g. 0.7),
+    # which would SHORTEN the prefix and silently drop minimum-overlap
+    # pairs. Subtracting epsilon before ceil keeps the bound safe for any
+    # threshold; for exact products (0.5, 0.9) it changes nothing.
     plen = (
-        F.col("nw") - F.ceil(F.lit(threshold) * F.col("nw")) + F.lit(1)
+        F.col("nw")
+        - F.ceil(F.lit(threshold) * F.col("nw") - F.lit(1e-9))
+        + F.lit(1)
     ).cast("int")
     idx = d.select(
         "doc_id",

@@ -50,6 +50,9 @@ def sessionize(lines: DataFrame) -> DataFrame:
     ``read_log_lines_raw`` output (file, _block_start, _mid, line); with the
     raw form, line numbering and record-id assignment share ONE window spec
     → a single Sort in the physical plan.
+
+    Parallelism = #files (the window partitions by file). For the
+    single-huge-file layout use ``sessionize_split_parallel``.
     """
     order_cols = (
         ["_block_start", "_mid"] if "_block_start" in lines.columns else ["line_no"]
@@ -70,12 +73,85 @@ def sessionize(lines: DataFrame) -> DataFrame:
     if "line_no" not in df.columns:
         extra.append(F.row_number().over(w_order).alias("line_no"))
     df = df.select("*", *extra)
+    return _assemble(df, "line_no")
+
+
+def sessionize_split_parallel(lines_raw: DataFrame) -> DataFrame:
+    """Split-parallel record assembly (SURVEY.md §4.3 fallback): identical
+    output to ``sessionize``, but parallelism = #byte-range SPLITS instead
+    of #files — the path for one huge log file.
+
+    Instead of stitching boundary fragments imperatively, compute a
+    GLOBALLY consistent rec_id from per-split terminator counts:
+
+    1. per split (file, _block_start): running terminator count before each
+       line — a window over (file, _block_start), parallelism = #splits;
+    2. per-split terminator TOTALS (one tiny aggregate, #splits rows) →
+       running offset per split via a cumulative window over the split
+       table — the only per-file serial step, sized to #splits, not lines;
+    3. global rec_id = split offset + local running count, broadcast-joined
+       back onto the lines.
+
+    A record spanning a split boundary (the reference's FIXME at
+    KDCLogRecordReader.java:210) gets the SAME (file, rec_id) on both
+    sides, so the groupBy in ``_assemble`` merges it with no special
+    casing; per-record line order uses the (block_start, local row number)
+    struct, which is the total in-file order. Shuffle count matches
+    ``sessionize`` (one Sort for the split windows + the groupBy exchange)
+    plus one broadcast of the split-offset table."""
+    feats = line_features(F.col("line"))
+    df = lines_raw.select(
+        "file",
+        "_block_start",
+        "_mid",
+        "line",
+        *[v.alias(k) for k, v in feats.items()],
+    )
+    w_split = Window.partitionBy("file", "_block_start").orderBy("_mid")
+    w_prev = w_split.rowsBetween(Window.unboundedPreceding, -1)
+    df = df.select(
+        "*",
+        F.coalesce(
+            F.sum(F.col("is_sending").cast("long")).over(w_prev), F.lit(0)
+        ).alias("_local_rec"),
+        F.row_number().over(w_split).alias("_local_rn"),
+    )
+    w_file = (
+        Window.partitionBy("file")
+        .orderBy("_block_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        df.groupBy("file", "_block_start")
+        .agg(F.sum(F.col("is_sending").cast("long")).alias("_n_term"))
+        .select(
+            "file",
+            "_block_start",
+            F.coalesce(F.sum("_n_term").over(w_file), F.lit(0)).alias(
+                "_offset"
+            ),
+        )
+    )
+    df = df.join(F.broadcast(offsets), ["file", "_block_start"]).select(
+        "file",
+        (F.col("_offset") + F.col("_local_rec")).alias("rec_id"),
+        F.struct("_block_start", "_local_rn").alias("_ord"),
+        "line",
+        *[k for k in line_features(F.col("line"))],
+    )
+    return _assemble(df, "_ord")
+
+
+def _assemble(df: DataFrame, ord_col: str) -> DataFrame:
+    """groupBy(file, rec_id) with the reader's merge rules; ``df`` carries
+    file, rec_id, line, the line_features columns, and an orderable
+    ``ord_col`` giving total in-file line order."""
 
     def first_where(cond, col):
-        return F.min_by(F.when(cond, col), F.when(cond, F.col("line_no")))
+        return F.min_by(F.when(cond, col), F.when(cond, F.col(ord_col)))
 
     def last_where(cond, col):
-        return F.max_by(F.when(cond, col), F.when(cond, F.col("line_no")))
+        return F.max_by(F.when(cond, col), F.when(cond, F.col(ord_col)))
 
     rec = df.groupBy("file", "rec_id").agg(
         F.max("is_sending").alias("complete"),

@@ -515,7 +515,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode → two aggregations (term freq, doc freq) + one join;
     df table is vocabulary-sized → broadcastable; per-language top-k via
     window. Rounded score is the ranking key on BOTH engines so ties
-    break identically."""
+    break identically. The corpus size N rides the SAME DAG as a
+    broadcast 1-row aggregate cross-join — no separate driver-side
+    count() job per invocation."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -530,13 +532,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("df"))
     )
-    n_docs = float(docs.count())
-    scored = tf.join(F.broadcast(dfq), "word").select(
-        "lang",
-        "word",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
     return (

@@ -44,6 +44,18 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (idempotent, runtime-settable).
+
+    Our sessions (session.py) set this at build; the driver builds its
+    own, so every source entry point (load_table, the streaming readers)
+    calls this ONCE up front. Unconditional — not keyed on whether an NTZ
+    column happens to be present — so behavior is uniform across testdata
+    generations, and pure-transform helpers like normalize_ts stay free
+    of session-state side effects."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def normalize_ts(df: DataFrame, *cols: str) -> DataFrame:
     """Normalize timestamp-bearing columns to TIMESTAMP (instant) type.
 
@@ -64,15 +76,14 @@ def normalize_ts(df: DataFrame, *cols: str) -> DataFrame:
         if t.typeName() in ("long", "bigint"):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(t, TimestampNTZType):
-            # Runtime-settable; forced here so NTZ→instant is
-            # deterministic under any SparkSession (the driver builds its
-            # own, and the oracle compares naive UTC wall values).
-            df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+            # NTZ→instant is only deterministic under a pinned session
+            # timezone; callers own that via ensure_utc_session.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc_session(spark)
     path = f"{sf_dir}/{name}.parquet"
     nano_cols = _nano_ts_columns(path)
     if nano_cols:

@@ -71,8 +71,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization as the batch loader (sources/tables.py): dtype-dispatch
     over nanos-as-int64 / TIMESTAMP_NTZ / TIMESTAMP, always yielding a
     watermarkable TIMESTAMP column."""
-    from kdcloganalyzer_spark.sources.tables import normalize_ts
+    from kdcloganalyzer_spark.sources.tables import (
+        ensure_utc_session,
+        normalize_ts,
+    )
 
+    ensure_utc_session(spark)
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -321,8 +325,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    from kdcloganalyzer_spark.sources.tables import normalize_ts
+    from kdcloganalyzer_spark.sources.tables import (
+        ensure_utc_session,
+        normalize_ts,
+    )
 
+    ensure_utc_session(spark)
     sdf = normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

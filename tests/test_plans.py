@@ -95,13 +95,33 @@ def test_q3_headline_shape(spark, sf_dir):
 def test_fanout_operators_spread_before_pair_work(spark, sf_dir):
     """Single-file inputs must be repartitioned (RoundRobin exchange)
     before signature folds / pair joins — otherwise the whole operator
-    runs on one core (PLANS.md finding 1)."""
-    for qid in ("dedup_ngram_jaccard", "dedup_simhash", "sim_search_lsh"):
+    runs on one core (PLANS.md finding 1).
+
+    `dedup_ngram_jaccard` is covered by the spread() unit test below:
+    its prefix-join frontend localCheckpoints the spread input, which
+    truncates the visible plan to `Scan ExistingRDD` (the repartition
+    still ran — inside the checkpointed lineage)."""
+    for qid in ("dedup_simhash", "sim_search_lsh"):
         plan = _plan(registry.QUERIES[qid](spark, sf_dir))
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
             qid,
             plan,
         )
+
+
+def test_spread_widens_narrow_and_passes_through_wide(spark, sf_dir):
+    """spread(): a single-partition input fans out to defaultParallelism;
+    an input already at/above defaultParallelism is returned UNCHANGED
+    (no shrinking exchange — the 100 TB guard)."""
+    from kdcloganalyzer_spark.operators.dedup import spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, sf_dir, "documents").coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    assert spread(narrow).rdd.getNumPartitions() == par
+
+    wide = load_table(spark, sf_dir, "documents").repartition(par + 7)
+    assert spread(wide) is wide  # pass-through, not merely same count
 
 
 def test_cli_list_and_explain(spark, sf_dir, capsys):

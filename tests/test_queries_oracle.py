@@ -20,12 +20,24 @@ def con(sf_dir):
     return duckdb_con(sf_dir)
 
 
+def _oracle_sql_for(qid: str, sf_dir: str) -> str:
+    """Oracle SQL adapted to the test's sf: the registered KDC oracles
+    embed the driver's sf0.01 materialized-records path (static strings);
+    swap in this sf's path."""
+    from kdcloganalyzer_spark.plans import kdc_queries
+
+    return registry.ORACLES[qid].replace(
+        kdc_queries.DRIVER_RECORDS_GLOB,
+        kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",
+    )
+
+
 @pytest.mark.parametrize("qid", sorted(registry.ORACLES))
 def test_oracle_match(qid, spark, sf_dir, con):
     from tests.oracle_compare import compare
 
     df = registry.QUERIES[qid](spark, sf_dir)
-    ok, msg = compare(df, con, registry.ORACLES[qid])
+    ok, msg = compare(df, con, _oracle_sql_for(qid, sf_dir))
     assert ok, f"{qid}: {msg}"
 
 
