@@ -100,29 +100,22 @@ def sessionize_split_parallel(lines_raw: DataFrame) -> DataFrame:
     ``sessionize`` (one Sort for the split windows + the groupBy exchange)
     plus one broadcast of the split-offset table."""
     feats = line_features(F.col("line"))
-    df = lines_raw.select(
+    base = lines_raw.select(
         "file",
         "_block_start",
         "_mid",
         "line",
         *[v.alias(k) for k, v in feats.items()],
     )
-    w_split = Window.partitionBy("file", "_block_start").orderBy("_mid")
-    w_prev = w_split.rowsBetween(Window.unboundedPreceding, -1)
-    df = df.select(
-        "*",
-        F.coalesce(
-            F.sum(F.col("is_sending").cast("long")).over(w_prev), F.lit(0)
-        ).alias("_local_rec"),
-        F.row_number().over(w_split).alias("_local_rn"),
-    )
+    # Per-split terminator totals: a narrow scan branch (file, offset,
+    # one boolean) — column pruning keeps the other feature regexes out.
     w_file = (
         Window.partitionBy("file")
         .orderBy("_block_start")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        df.groupBy("file", "_block_start")
+        base.groupBy("file", "_block_start")
         .agg(F.sum(F.col("is_sending").cast("long")).alias("_n_term"))
         .select(
             "file",
@@ -132,12 +125,24 @@ def sessionize_split_parallel(lines_raw: DataFrame) -> DataFrame:
             ),
         )
     )
-    df = df.join(F.broadcast(offsets), ["file", "_block_start"]).select(
-        "file",
-        (F.col("_offset") + F.col("_local_rec")).alias("rec_id"),
-        F.struct("_block_start", "_local_rn").alias("_ord"),
-        "line",
-        *[k for k in line_features(F.col("line"))],
+    w_split = Window.partitionBy("file", "_block_start").orderBy("_mid")
+    w_prev = w_split.rowsBetween(Window.unboundedPreceding, -1)
+    df = (
+        base.select(
+            "*",
+            F.coalesce(
+                F.sum(F.col("is_sending").cast("long")).over(w_prev), F.lit(0)
+            ).alias("_local_rec"),
+            F.row_number().over(w_split).alias("_local_rn"),
+        )
+        .join(F.broadcast(offsets), ["file", "_block_start"])
+        .select(
+            "file",
+            (F.col("_offset") + F.col("_local_rec")).alias("rec_id"),
+            F.struct("_block_start", "_local_rn").alias("_ord"),
+            "line",
+            *feats.keys(),
+        )
     )
     return _assemble(df, "_ord")
 

@@ -24,6 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,19 +33,41 @@ from pyspark.sql import functions as F
 _MEM_SEQ = count()
 
 
+@contextmanager
+def _state_sized_shuffle(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming run.
+
+    Stateful streaming stages shuffle to the session's shuffle-partition
+    count and the state store opens one instance PER partition PER
+    micro-batch; with a few thousand state keys, 32+ partitions are pure
+    task-scheduling overhead (2-4× the wall time of these bounded
+    benches). The count binds into the checkpoint at first start, so it
+    must be set BEFORE ``.start()`` — every query here uses a fresh
+    checkpoint per invocation, making the restore safe. At real scale
+    size this to key cardinality × executor count instead; AQE cannot do
+    it for streaming (state partitioning is fixed by the checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_to_memory(
     sdf: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
     """Run a bounded streaming DataFrame to a memory sink; return result."""
     name = f"stream_result_{next(_MEM_SEQ)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
@@ -195,10 +218,15 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    os.symlink(f"{half_dir}/00_recent.parquet", f"{data_dir}/00_recent.parquet")
-    run_once()  # commits watermark = max(recent.ts) - 10 min
-    os.symlink(f"{half_dir}/01_late.parquet", f"{data_dir}/01_late.parquet")
-    run_once()  # old rows < restored watermark → dropped
+    with _state_sized_shuffle(spark):
+        os.symlink(
+            f"{half_dir}/00_recent.parquet", f"{data_dir}/00_recent.parquet"
+        )
+        run_once()  # commits watermark = max(recent.ts) - 10 min
+        os.symlink(
+            f"{half_dir}/01_late.parquet", f"{data_dir}/01_late.parquet"
+        )
+        run_once()  # old rows < restored watermark → dropped
 
     return spark.read.parquet(out_dir)
 
@@ -289,15 +317,16 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
         recs = sessionize(read_log_lines_raw(spark, files)).drop("enctypes")
         recs.write.mode("append").parquet(out_dir)
 
-    q = (
-        spark.readStream.option("maxFilesPerTrigger", 16)
-        .text(log_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", f"{out_dir}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark, 16):
+        q = (
+            spark.readStream.option("maxFilesPerTrigger", 16)
+            .text(log_dir)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", f"{out_dir}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
