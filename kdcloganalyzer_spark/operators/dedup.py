@@ -138,16 +138,7 @@ def ngram_jaccard_pairs_prefix(
         ),
         lambda s: s["w"],
     )
-    # ceil over FLOAT t·nw can land one integer too high when the double
-    # representation of t sits just above the rational value (e.g. 0.7),
-    # which would SHORTEN the prefix and silently drop minimum-overlap
-    # pairs. Subtracting epsilon before ceil keeps the bound safe for any
-    # threshold; for exact products (0.5, 0.9) it changes nothing.
-    plen = (
-        F.col("nw")
-        - F.ceil(F.lit(threshold) * F.col("nw") - F.lit(1e-9))
-        + F.lit(1)
-    ).cast("int")
+    plen = _prefix_len(threshold)
     idx = d.select(
         "doc_id",
         "lang",
@@ -155,8 +146,26 @@ def ngram_jaccard_pairs_prefix(
         "nw",
         F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
     )
+    return _verify_jaccard(_prefix_candidates(idx, threshold), d, threshold)
+
+
+def _prefix_len(threshold: float):
+    """|A| − ⌈t·|A|⌉ + 1 over the ``nw`` column, epsilon-guarded: ceil over
+    FLOAT t·nw can land one integer too high when the double representation
+    of t sits just above the rational value (e.g. 0.7), which would SHORTEN
+    the prefix and silently drop minimum-overlap pairs."""
+    return (
+        F.col("nw")
+        - F.ceil(F.lit(threshold) * F.col("nw") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+
+
+def _prefix_candidates(idx: DataFrame, threshold: float) -> DataFrame:
+    """Equi-join on exploded prefix tokens within (lang, source) blocks,
+    with the size-ratio prefilter; distinct surviving id pairs."""
     a, b = idx.alias("a"), idx.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -173,6 +182,12 @@ def ngram_jaccard_pairs_prefix(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _verify_jaccard(
+    cand: DataFrame, d: DataFrame, threshold: float
+) -> DataFrame:
+    """Fetch word sets for candidate pairs and verify exact Jaccard."""
     wa = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("words").alias("words_a"),
@@ -190,6 +205,52 @@ def ngram_jaccard_pairs_prefix(
     return ver.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def ngram_jaccard_pairs_prefix_dford(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Prefix-filtered Jaccard pairs with DOCUMENT-FREQUENCY-ASCENDING
+    token order — the Bayardo/Ma/Srikant refinement over the hash order
+    of ``ngram_jaccard_pairs_prefix``. Still lossless (the prefix-filter
+    theorem holds for ANY fixed total order), so output is identical;
+    what changes is candidate volume: with tokens ordered rarest-first,
+    every doc's indexed prefix holds its RAREST tokens, so posting lists
+    driving the equi-join are the shortest ones — at 100 TB this is the
+    difference between joining on stopword lists and joining on near-
+    unique shingles.
+
+    Cost of the better order: one extra aggregation over exploded tokens
+    (document frequency) and a broadcast of the vocabulary df table onto
+    the token stream, plus a per-doc row_number window to take the prefix
+    (shuffle on doc_id). When the vocabulary outgrows broadcast range,
+    the df join becomes a shuffle join on token — still linear. The
+    small-N all-pairs form remains the oracle cross-check
+    (tests/test_dedup_frontends.py)."""
+    from pyspark.sql import Window
+
+    d = (
+        spread(docs)
+        .select(
+            "doc_id", "lang", "source", word_set(F.col("text")).alias("words")
+        )
+        .withColumn("nw", F.size("words"))
+        .filter(F.col("nw") > 0)
+        .localCheckpoint(eager=False)
+    )
+    toks = d.select(
+        "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
+    )
+    # words are distinct per doc, so count(*) per token IS document freq.
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    idx = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _prefix_len(threshold))
+        .select("doc_id", "lang", "source", "nw", "tok")
+    )
+    return _verify_jaccard(_prefix_candidates(idx, threshold), d, threshold)
 
 
 def embedding_cosine_pairs_pivot(

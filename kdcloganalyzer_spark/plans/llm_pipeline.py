@@ -72,6 +72,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard_dford",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.words, b.words))::DOUBLE /
+                 (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+                 6) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))),
+                6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_dford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered Jaccard pairs with document-frequency-ascending
+    token order (operators/dedup.py:ngram_jaccard_pairs_prefix_dford) —
+    the rarest-tokens-first refinement whose candidate volume tracks the
+    SHORTEST posting lists. Lossless for any fixed token order, so the
+    same exact all-pairs oracle hash-matches."""
+    return dedup.ngram_jaccard_pairs_prefix_dford(
+        load_table(spark, sf_dir, "documents"), 0.5
+    )
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH dedup at J≥0.9: per-doc representative

@@ -104,6 +104,22 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.stateful_user_counts(spark, sf_dir)
 
 
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join + segment aggregation;
+    bounded complete-mode result equals the batch LEFT JOIN the oracle
+    computes (unmatched users aggregate under the NULL segment)."""
+    return SQ.static_join_agg(spark, sf_dir)
+
+
 @query("stream_watermark_late_drop")
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-driven late-data drop (append mode, two ordered

@@ -287,6 +287,29 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins the
+    static customer dim (broadcast — re-planned per batch, so a dim
+    refresh is picked up between batches on a real cluster), then a
+    complete-mode aggregation by market segment.
+
+    Scale: the canonical streaming-enrichment shape — no state for the
+    join itself (stateless per batch, unlike stream-stream joins); only
+    the downstream aggregation keeps state, bounded by segment
+    cardinality."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id", "left")
+    out = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return _run_to_memory(out)
+
+
 def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     """Streaming port of the multi-line KDC sessionizer
     (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).

@@ -34,6 +34,18 @@ def test_prefix_join_matches_blocked_all_pairs(spark, sf_dir, threshold):
     assert naive, "degenerate corpus: no qualifying pairs to compare"
 
 
+@pytest.mark.parametrize("threshold", [0.5, 0.9])
+def test_dford_prefix_matches_blocked_all_pairs(spark, sf_dir, threshold):
+    """The df-ascending token order changes WHICH tokens index each doc,
+    never the result set — lossless for any fixed total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    naive = _pairs(dedup.ngram_jaccard_pairs(docs, threshold), "jaccard")
+    dford = _pairs(
+        dedup.ngram_jaccard_pairs_prefix_dford(docs, threshold), "jaccard"
+    )
+    assert dford == naive
+
+
 @pytest.mark.parametrize("threshold", [0.7])
 def test_prefix_bound_safe_for_inexact_float_thresholds(
     spark, sf_dir, threshold
