@@ -120,6 +120,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.static_join_agg(spark, sf_dir)
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream range join (clicks ⋈ purchases within
+    1 hour, per user); bounded inner-join emissions equal the batch
+    range join."""
+    return SQ.stream_stream_join(spark, sf_dir)
+
+
 @query("stream_watermark_late_drop")
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-driven late-data drop (append mode, two ordered

@@ -310,6 +310,48 @@ def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out)
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time range join: each click joins the same
+    user's purchases within the following hour. Both sides carry
+    watermarks and the join condition carries the event-time range, so
+    the state store retains only one hour (+ lateness) of each side —
+    the construction that keeps an unbounded stream-stream join's state
+    finite. Under the bounded availableNow run the INNER join emits
+    every match (watermarks only bound state/outer-finalization), so the
+    result equals the batch range join the oracle computes."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
 def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     """Streaming port of the multi-line KDC sessionizer
     (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).

@@ -59,7 +59,7 @@ def test_hot_path_stays_in_codegen(spark, sf_dir):
 
 
 def test_lsh_band_joins_are_equi_joins(spark, sf_dir):
-    for qid in ("dedup_simhash", "dedup_fuzzy_minhash"):
+    for qid in ("dedup_simhash", "dedup_fuzzy_minhash", "dedup_ngram_jaccard_dford"):
         plan = _plan(registry.QUERIES[qid](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, (qid, plan)
         assert "CartesianProduct" not in plan, (qid, plan)
