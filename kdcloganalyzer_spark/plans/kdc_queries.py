@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from kdcloganalyzer_spark.operators.sessionize import sessionize
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.kdc_log import read_log_lines, read_log_lines_raw
-from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+from kdcloganalyzer_spark.sources.kdc_synth import (
+    synth_dir_for_sf,
+    synth_path_for_sf,
+)
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -49,6 +52,28 @@ def records_path_for_sf(sf_dir: str) -> str:
 # pytest harness substitutes its own sf path (tests/test_queries_oracle.py).
 DRIVER_RECORDS_GLOB = records_path_for_sf("/root/testdata/sf0.01") + "/*.parquet"
 _R = f"read_parquet('{DRIVER_RECORDS_GLOB}')"
+
+# The raw synth corpus, as DuckDB sees it: delimiter-free read_csv turns
+# each line into one row (quote disabled — log text is not CSV), .gz
+# decompressed transparently — which lets the scan-layer queries be
+# hash-verified too, not just the record-level ones.
+DRIVER_SYNTH_DIR = synth_path_for_sf("/root/testdata/sf0.01")
+
+
+def _lines_sql(globs: str) -> str:
+    # delim is a literal 0x01 byte (never occurs in log text), making
+    # read_csv a plain line reader; DuckDB rejects multi-byte delims, so
+    # no escape syntax — the raw control character goes into the SQL.
+    return (
+        f"read_csv([{globs}], header=false, quote='', delim='{chr(1)}', "
+        "filename=true, columns={'line': 'VARCHAR'})"
+    )
+
+
+_LINES_ALL = _lines_sql(
+    f"'{DRIVER_SYNTH_DIR}/*.log', '{DRIVER_SYNTH_DIR}/*.log.gz'"
+)
+_LINES_GZ = _lines_sql(f"'{DRIVER_SYNTH_DIR}/*.log.gz'")
 
 
 def kdc_records_parquet(spark: SparkSession, sf_dir: str) -> str:
@@ -126,22 +151,44 @@ def q_sessionize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.drop("enctypes")
 
 
-@query("scan_text_splittable")
+@query(
+    "scan_text_splittable",
+    oracle=f"""
+    SELECT parse_filename(filename) AS file, count(*) AS n_lines,
+           count(*) AS max_line_no
+    FROM {_LINES_ALL} GROUP BY 1
+    """,
+)
 def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-correct text scan with per-file line numbers
-    (KDCLogRecordReader.java:163-206 equivalent; Spark's text source)."""
+    (KDCLogRecordReader.java:163-206 equivalent; Spark's text source).
+    Grouped by basename so the DuckDB twin (read_csv with a never-
+    occurring delimiter = line reader) can hash-verify counts; per-file
+    max(line_no) must equal count(*) because row_number is contiguous —
+    line ORDER itself is pinned by the golden parser tests."""
     lines = read_log_lines(spark, synth_dir_for_sf(sf_dir))
-    return lines.groupBy("file").agg(
+    return lines.groupBy(
+        F.regexp_extract("file", r"([^/]+)$", 1).alias("file")
+    ).agg(
         F.count("*").alias("n_lines"), F.max("line_no").alias("max_line_no")
     )
 
 
-@query("scan_compressed")
+@query(
+    "scan_compressed",
+    oracle=f"""
+    SELECT parse_filename(filename) AS file, count(*) AS n_lines
+    FROM {_LINES_GZ} GROUP BY 1
+    """,
+)
 def q_scan_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-by-extension scan (CustomFileInputFormat.java:34-42 equivalent):
-    the synth dir's last file is gzip — same records either way."""
+    the synth dir's last file is gzip — same records either way; DuckDB
+    decompresses the same file for the count twin."""
     lines = read_log_lines(spark, synth_dir_for_sf(sf_dir) + "/*.gz")
-    return lines.groupBy("file").agg(F.count("*").alias("n_lines"))
+    return lines.groupBy(
+        F.regexp_extract("file", r"([^/]+)$", 1).alias("file")
+    ).agg(F.count("*").alias("n_lines"))
 
 
 @query(

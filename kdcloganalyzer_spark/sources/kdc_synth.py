@@ -129,11 +129,9 @@ def generate_logs(
     return out_dir
 
 
-def synth_dir_for_sf(sf_dir: str) -> str:
-    """Map a driver sf dir to a generated KDC log dir (1M records/sf unit).
-
-    sf0.001 → 1k records, sf0.01 → 10k, sf0.1 → 100k (~700k lines).
-    """
+def synth_path_for_sf(sf_dir: str) -> str:
+    """Deterministic corpus dir for an sf — path only, NO generation
+    (safe at import time; oracle SQL strings embed this path)."""
     import re
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -141,5 +139,14 @@ def synth_dir_for_sf(sf_dir: str) -> str:
     n = max(200, int(1_000_000 * sf))
     # v2: TGS-success records carry the enctype-negotiation line (bump the
     # dir name to invalidate pre-change cached corpora in /tmp).
-    out = f"/tmp/kdc_synth_v2_{n}"
+    return f"/tmp/kdc_synth_v2_{n}"
+
+
+def synth_dir_for_sf(sf_dir: str) -> str:
+    """Map a driver sf dir to a generated KDC log dir (1M records/sf unit).
+
+    sf0.001 → 1k records, sf0.01 → 10k, sf0.1 → 100k (~700k lines).
+    """
+    out = synth_path_for_sf(sf_dir)
+    n = int(out.rsplit("_", 1)[1])
     return generate_logs(out, n)

@@ -22,13 +22,18 @@ def con(sf_dir):
 
 def _oracle_sql_for(qid: str, sf_dir: str) -> str:
     """Oracle SQL adapted to the test's sf: the registered KDC oracles
-    embed the driver's sf0.01 materialized-records path (static strings);
-    swap in this sf's path."""
+    embed the driver's sf0.01 materialized-records / synth-corpus paths
+    (static strings); swap in this sf's paths."""
     from kdcloganalyzer_spark.plans import kdc_queries
+    from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
 
-    return registry.ORACLES[qid].replace(
-        kdc_queries.DRIVER_RECORDS_GLOB,
-        kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",
+    return (
+        registry.ORACLES[qid]
+        .replace(
+            kdc_queries.DRIVER_RECORDS_GLOB,
+            kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",
+        )
+        .replace(kdc_queries.DRIVER_SYNTH_DIR, synth_path_for_sf(sf_dir))
     )
 
 
