@@ -609,3 +609,119 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) and per-source quality percentile gate
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS tok,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS e
+      FROM documents
+    ), s AS (SELECT lang, doc_id, tok, e - tok AS st, e FROM t)
+    SELECT lang, doc_id, CAST(c AS BIGINT) AS chunk_id,
+           CAST(least(e, (c + 1) * 512) - greatest(st, c * 512) AS BIGINT)
+             AS tok_in_chunk
+    FROM s, unnest(generate_series(CAST(st // 512 AS BIGINT),
+                                   CAST((e - 1) // 512 AS BIGINT))) AS u(c)
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batching transform: per language stream, documents are concatenated
+    in doc_id order and cut into fixed 512-token chunks; a document
+    straddling a cut contributes to both chunks. Output is the
+    (doc, chunk) incidence with per-chunk token spans — exactly what a
+    packed-dataset writer materializes.
+
+    Scale: ONE window shuffle per stream (running token sum), then a
+    codegen projection + bounded explode (a doc spans ⌈tok/512⌉+1 chunks
+    max). At 100 TB the stream key becomes (lang, hash-shard) so no
+    single partition holds a language's whole corpus; chunk ids then
+    offset by a per-shard cumsum exactly like the split-parallel
+    sessionizer's record ids (PLANS.md finding 11)."""
+    B = 512
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        )
+        .withColumn("e", F.sum("tok").over(w))
+        .withColumn("st", F.col("e") - F.col("tok"))
+    )
+    out = s.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / B), F.floor((F.col("e") - 1) / B)
+            )
+        ).alias("chunk_id"),
+        "st",
+        "e",
+    )
+    span = F.least(F.col("e"), (F.col("chunk_id") + 1) * B) - F.greatest(
+        F.col("st"), F.col("chunk_id") * B
+    )
+    return out.select(
+        "lang", "doc_id", "chunk_id", span.cast("long").alias("tok_in_chunk")
+    )
+
+
+@query(
+    "quality_percentile_gate",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(0.5 * (len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'))::DOUBLE
+                          / len(string_split(lower(text), ' ')))
+                 + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 - 0.2 * (len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE
+                          / length(text)),
+               4) AS quality
+      FROM documents
+    )
+    SELECT doc_id, source, quality, round(pr, 6) AS pr FROM (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pr
+      FROM q
+    ) WHERE pr >= 0.75
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source relative quality gate: keep each source's top quartile
+    by heuristic quality score (percent_rank over (quality, doc_id) — a
+    total order, so the kept set is deterministic on both engines).
+
+    Relative-to-source gating is what mixture curation actually uses: an
+    absolute threshold would empty low-register sources entirely instead
+    of keeping their best quartile. Scale: one window shuffle on source
+    (the skew key is the big web crawl — salt to (source, shard) and
+    approximate the rank per shard, or use approx percentile cutoffs
+    joined back, when one source dominates)."""
+    from kdcloganalyzer_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.75)
+        .select("doc_id", "source", "quality", F.round("pr", 6).alias("pr"))
+    )
