@@ -167,10 +167,19 @@ def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(line_no) must equal count(*) because row_number is contiguous —
     line ORDER itself is pinned by the golden parser tests."""
     lines = read_log_lines(spark, synth_dir_for_sf(sf_dir))
-    return lines.groupBy(
-        F.regexp_extract("file", r"([^/]+)$", 1).alias("file")
-    ).agg(
-        F.count("*").alias("n_lines"), F.max("line_no").alias("max_line_no")
+    # group on the raw path, basename-project AFTER the aggregation —
+    # the regex then runs once per file, not once per line.
+    return (
+        lines.groupBy("file")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.max("line_no").alias("max_line_no"),
+        )
+        .select(
+            F.regexp_extract("file", r"([^/]+)$", 1).alias("file"),
+            "n_lines",
+            "max_line_no",
+        )
     )
 
 
@@ -186,9 +195,13 @@ def q_scan_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synth dir's last file is gzip — same records either way; DuckDB
     decompresses the same file for the count twin."""
     lines = read_log_lines(spark, synth_dir_for_sf(sf_dir) + "/*.gz")
-    return lines.groupBy(
-        F.regexp_extract("file", r"([^/]+)$", 1).alias("file")
-    ).agg(F.count("*").alias("n_lines"))
+    return (
+        lines.groupBy("file")
+        .agg(F.count("*").alias("n_lines"))
+        .select(
+            F.regexp_extract("file", r"([^/]+)$", 1).alias("file"), "n_lines"
+        )
+    )
 
 
 @query(

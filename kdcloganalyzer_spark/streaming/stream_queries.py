@@ -19,6 +19,10 @@ Scale notes:
   runs the proven batch sessionizer via foreachBatch. No cross-batch
   state needed; state-API sessionization is only required when one file's
   tail can arrive in a later batch, which the file source never does.
+- arbitrary state uses ``applyInPandasWithState``; the newer
+  ``transformWithStateInPandas`` (Spark 4 composable state) was probed
+  but its driver worker requires ``google.protobuf``, absent from this
+  environment — the older API covers the same per-key-state semantics.
 """
 
 from __future__ import annotations
