@@ -321,6 +321,93 @@ def build_pq_index(
     return encoded, codebook
 
 
+def build_ivfpq_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]], list[list[float]]]:
+    """Composed IVF+PQ index — the production ANN layout (FAISS IVFPQ):
+    coarse KMeans cells bound WHICH vectors each query scores, PQ codes
+    bound WHAT each score costs. Build joins the two single-index builds
+    on vec_id (once, at index time); serving reads one table carrying
+    (vec_id, cell, codes, unit)."""
+    assigned, centers = build_ivf_index(emb, n_cells, seed)
+    encoded, codebook = build_pq_index(emb, n_sub, n_codes, dim, seed)
+    corpus = assigned.select("vec_id", "cell", "unit").join(
+        encoded.select("vec_id", "codes"), "vec_id"
+    )
+    return corpus, centers, codebook
+
+
+def topk_cosine_ivfpq(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    codebook: list[list[float]],
+    n_queries: int = 5,
+    k: int = 10,
+    n_probe: int = 6,
+    n_rerank: int = 100,
+    n_sub: int = 8,
+) -> DataFrame:
+    """IVFPQ serving: per query, (1) nearest n_probe cells chosen on the
+    DRIVER against the tiny centroid table, (2) the probe list and the
+    per-query ADC lookup table broadcast as one small frame, (3) a cell
+    equi-join bounds candidates, ADC lookups score them, and the top
+    n_rerank get the exact-cosine re-rank. Per-query work: |probed
+    cells|·O(n_sub) lookups — both axes of the brute-force cost
+    (candidates × per-pair arithmetic) cut independently."""
+    spark = corpus.sparkSession
+    sub_dim = len(codebook[0])
+    q_rows = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "unit")
+        .collect()
+    )
+    cb = np.array(codebook)
+    C = np.array(centers)
+    rows = []
+    for r in q_rows:
+        q = np.array(r.unit)
+        lut = [
+            (cb @ q[j * sub_dim : (j + 1) * sub_dim]).round(9).tolist()
+            for j in range(n_sub)
+        ]
+        probe_cells = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")[
+            :n_probe
+        ]
+        for cell in probe_cells:
+            rows.append((r.vec_id, r.unit, lut, int(cell)))
+    qdf = spark.createDataFrame(
+        rows,
+        "q_id bigint, q_unit array<double>, lut array<array<double>>, "
+        "cell int",
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {n_sub - 1}), 0D, "
+        "(acc, j) -> acc + lut[j][codes[j]])"
+    )
+    cand = (
+        corpus.join(F.broadcast(qdf), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_unit", "vec_id", "unit", adc.alias("adc"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = cand.withColumn("arank", F.row_number().over(w_adc)).filter(
+        F.col("arank") <= n_rerank
+    )
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        short.select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
 def topk_cosine_pq(
     encoded: DataFrame,
     codebook: list[list[float]],

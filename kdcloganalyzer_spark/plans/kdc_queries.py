@@ -604,6 +604,24 @@ def q_users_few_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("users_few_services_approx")
+def q_users_few_services_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``users_few_services`` promised in SURVEY §2.2:
+    ``approx_count_distinct`` (HLL++, rsd 0.05) replaces the exact
+    distinct — one partial-aggregable pass, no per-user distinct-set
+    shuffle expansion. Rows-only (sketch estimates are engine-internal);
+    agreement vs the exact variant is pinned by pytest."""
+    r = kdc_records(spark, sf_dir)
+    return (
+        r.filter(
+            F.col("valid") & F.col("success") & (F.col("req_type") == "TGS")
+        )
+        .groupBy("client")
+        .agg(F.approx_count_distinct("service", 0.05).alias("n_svc"))
+        .filter(F.col("n_svc") <= 3)
+    )
+
+
 @query(
     "top_n_kdc_entities",
     oracle=f"""

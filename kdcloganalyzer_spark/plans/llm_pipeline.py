@@ -261,6 +261,28 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_ivf(assigned, centers, n_queries=5, k=10)
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+@query("sim_search_ivfpq")
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ ANN (the FAISS-style production layout): coarse
+    cells bound the candidate set, PQ ADC bounds per-candidate cost,
+    exact re-rank restores precision on the shortlist. Index builds once
+    per (session, sf) and persists, like the single-index variants
+    (rows-only: recall is probabilistic; floor pinned by pytest)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_CACHE:
+        corpus, centers, codebook = similarity.build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings")
+        )
+        _IVFPQ_CACHE[key] = (corpus.persist(), centers, codebook)
+    corpus, centers, codebook = _IVFPQ_CACHE[key]
+    return similarity.topk_cosine_ivfpq(
+        corpus, centers, codebook, n_queries=5, k=10
+    )
+
+
 _PQ_CACHE: dict = {}
 
 
