@@ -725,3 +725,78 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.75)
         .select("doc_id", "source", "quality", F.round("pr", 6).alias("pr"))
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n, sqrt(count(*)) AS s FROM documents
+      GROUP BY source
+    ),
+    t AS (
+      SELECT source, n,
+             CAST(floor(round(least(
+               1.0,
+               (0.5 * (sum(n) OVER ()) * s / n) / (sum(s) OVER ())
+             ) * 10000, 4)) AS BIGINT) AS thresh
+      FROM c
+    ),
+    k AS (
+      SELECT d.source, t.n, t.thresh,
+             ((d.doc_id % 1000003) * 31 + 7) % 10000 AS bucket
+      FROM documents d JOIN t USING (source)
+    )
+    SELECT source, n AS n_total, thresh,
+           CAST(sum(CASE WHEN bucket < thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM k GROUP BY source, n, thresh
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (τ = 0.5) — the multilingual-
+    pretraining reweighting: target share q_i ∝ p_i^τ flattens the source
+    distribution, per-source keep rate r_i = min(1, q_i·N_target/n_i)
+    with N_target = N/2, realized by the same engine-neutral
+    multiplicative-hash bucket as ``sample_hash_mixture`` (so DuckDB
+    reproduces the exact kept multiset, not just expectations).
+
+    Scale: one count aggregation (tiny, source-cardinality), broadcast
+    of the per-source thresholds, and a scan-side keep predicate — the
+    sampling itself never shuffles the corpus. Upsampling (r_i > 1)
+    would need explode-replication; capped at 1 here, as curation
+    pipelines usually do before the epoch-level sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("n_all"), F.sum(F.sqrt("n")).alias("s_all")
+    )
+    t = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            F.floor(
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        (0.5 * F.col("n_all") * F.sqrt("n") / F.col("n"))
+                        / F.col("s_all"),
+                    )
+                    * 10000,
+                    4,
+                )
+            ).alias("thresh"),
+        )
+    )
+    bucket = ((F.col("doc_id") % 1000003) * 31 + 7) % 10000
+    return (
+        docs.select("source", bucket.alias("bucket"))
+        .join(F.broadcast(t), "source")
+        .groupBy("source", F.col("n").alias("n_total"), "thresh")
+        .agg(
+            F.sum((F.col("bucket") < F.col("thresh")).cast("bigint")).alias(
+                "n_kept"
+            )
+        )
+    )
