@@ -1,0 +1,42 @@
+"""Suite-wide physical-plan anti-pattern sweep: the 100 TB claims hold
+only if NO registered batch query silently regresses into a cartesian
+product or row-at-a-time Python evaluation. Complements the targeted
+shape tests in test_plans.py with a blanket net over every query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kdcloganalyzer_spark.plans import registry
+
+registry.load_all()
+
+# BroadcastNestedLoopJoin is acceptable ONLY where one side is a tiny
+# broadcast frame by construction (query sets, 1-row grand totals):
+BNLJ_OK = {
+    "sim_search_cosine",  # broadcast 5-query set x corpus (the exact baseline)
+    "sim_search_pq",      # broadcast per-query ADC LUTs
+    "text_tfidf",         # broadcast 1-row corpus-size aggregate
+    "sample_temperature_mixture",  # broadcast 1-row totals
+    "join_range_theta",   # non-equi range join — BNLJ is its honest plan
+}
+# Row-at-a-time Python is allowed only in the UDTF registration demo
+# (Python UDTFs have no Arrow path); everything else must be JVM or
+# Arrow-batched.
+PYEVAL_OK = {"udtf_surface"}
+
+BATCH_IDS = sorted(
+    q for q in registry.QUERIES if not q.startswith("stream")
+)
+
+
+@pytest.mark.parametrize("qid", BATCH_IDS)
+def test_no_plan_antipatterns(qid, spark, sf_dir):
+    df = registry.QUERIES[qid](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, qid
+    if qid not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+    if qid not in PYEVAL_OK:
+        assert "BatchEvalPython" not in plan, qid
