@@ -288,3 +288,76 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "n_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (hypertable gapfill + LOCF)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_gap_fill",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM b
+    )
+    SELECT g.event_type, g.hour,
+           coalesce(h.n, 0) AS n,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM grid g LEFT JOIN h USING (event_type, hour)
+    """,
+)
+def rollup_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup with LOCF — the
+    `time_bucket_gapfill` shape: per event type, every hour between that
+    type's first and last event exists in the output; missing hours get
+    count 0 and carry the last observed hourly value-sum forward
+    (last-observation-carried-forward; the rounded SUM, not the average
+    — round(avg) lands on half-way doubles whose rounding direction
+    differs between engines, a pinned oracle gotcha).
+
+    Scale: one partial-agg'd groupBy builds the sparse rollup; the dense
+    grid comes from a per-type `sequence` explode of the (min, max) hour
+    bounds — grid size is bounded by the time span, never the event
+    count; one left join aligns them and one window pass fills. The
+    rounded hourly sum is computed BEFORE the fill on both engines so
+    LOCF carries identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    b = h.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(h, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
