@@ -1288,3 +1288,66 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema across parquet batches
+# ---------------------------------------------------------------------------
+def evolution_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged dir for the two-generation orders parquet
+    (v1: 2 columns; v2: +o_totalprice). Path only — writing happens in
+    the query (idempotent via _SUCCESS markers)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/schema_evo_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_EVO_GLOB = evolution_path_for_sf("/root/testdata/sf0.01") + "/*/*.parquet"
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM read_parquet('{DRIVER_EVO_GLOB}', union_by_name=true)
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the orders feed
+    (an early extract without o_totalprice, a later one with it) unified
+    by ``mergeSchema`` — rows from the old generation surface NULL for
+    the added column, exactly DuckDB's ``union_by_name`` semantics.
+
+    Scale: schema merge is a FOOTER-only operation (one small task per
+    file footer at planning); the data scan itself stays columnar and
+    pruned. The alternative — rewriting history whenever a column lands
+    — is the thing a 100 TB lake cannot afford; additive evolution +
+    merge-on-read is the standard contract."""
+    import os
+
+    base = evolution_path_for_sf(sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    gens = {
+        "gen1": orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        "gen2": orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    }
+    for name, df in gens.items():
+        out = f"{base}/{name}"
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen1", f"{base}/gen2"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").cast("bigint").alias("n_with_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
