@@ -40,7 +40,11 @@ def spread(df: DataFrame) -> DataFrame:
     partitions (the many-splits reality on a real cluster) passes through
     untouched — an unconditional repartition(defaultParallelism) there
     would SHRINK a wide scan down to the session constant and throttle
-    every downstream stage."""
+    every downstream stage. The guard is a partition-COUNT proxy, not a
+    row-distribution check: a single huge file with one row group can
+    plan as many byte-range splits that are all empty but one, and the
+    guard waves it through — callers facing that layout should
+    repartition explicitly (detecting it requires an action)."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df

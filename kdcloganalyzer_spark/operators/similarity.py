@@ -336,7 +336,12 @@ def build_ivfpq_index(
     (vec_id, cell, codes, unit)."""
     assigned, centers = build_ivf_index(emb, n_cells, seed)
     encoded, codebook = build_pq_index(emb, n_sub, n_codes, dim, seed)
-    corpus = assigned.select("vec_id", "cell", "unit").join(
+    # keep the RAW embedding: the coarse quantizer was trained and
+    # assigned in raw space, so query probe distances must be computed
+    # there too — probing with the unit vector would use a different
+    # metric than the assignment and silently cost recall on corpora
+    # with non-uniform norms.
+    corpus = assigned.select("vec_id", "cell", "embedding", "unit").join(
         encoded.select("vec_id", "codes"), "vec_id"
     )
     return corpus, centers, codebook
@@ -363,7 +368,7 @@ def topk_cosine_ivfpq(
     sub_dim = len(codebook[0])
     q_rows = (
         corpus.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "unit")
+        .select("vec_id", "embedding", "unit")
         .collect()
     )
     cb = np.array(codebook)
@@ -375,9 +380,11 @@ def topk_cosine_ivfpq(
             (cb @ q[j * sub_dim : (j + 1) * sub_dim]).round(9).tolist()
             for j in range(n_sub)
         ]
-        probe_cells = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")[
-            :n_probe
-        ]
+        # probe in RAW space — the space the coarse quantizer assigned in
+        q_raw = np.array(r.embedding, dtype=np.float64)
+        probe_cells = np.argsort(
+            ((C - q_raw) ** 2).sum(axis=1), kind="stable"
+        )[:n_probe]
         for cell in probe_cells:
             rows.append((r.vec_id, r.unit, lut, int(cell)))
     qdf = spark.createDataFrame(

@@ -16,7 +16,6 @@ records table before fanning out queries.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,20 +30,18 @@ from kdcloganalyzer_spark.sources.kdc_synth import (
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
-# Bump whenever the parser/sessionizer output changes: the materialized
-# records in /tmp are keyed on (version, n_records) exactly like the synth
-# corpus itself (kdc_synth.py:144), so a stale cache can't silently feed
-# the oracle old semantics.
+# Bump whenever the parser/sessionizer output changes; the path ALSO
+# embeds the synth corpus's own versioned dir name, so regenerating or
+# re-versioning the corpus (kdc_synth.py) auto-invalidates these records
+# without anyone having to remember a second bump.
 RECORDS_VERSION = 1
 
 
 def records_path_for_sf(sf_dir: str) -> str:
-    """Deterministic materialized-records dir for an sf (mirrors
-    synth_dir_for_sf's n_records keying)."""
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
-    n = max(200, int(1_000_000 * sf))
-    return f"/tmp/kdc_records_v{RECORDS_VERSION}_{n}"
+    """Deterministic materialized-records dir for an sf, derived from the
+    synth corpus path (single owner of the sf→n_records sizing rule)."""
+    synth = os.path.basename(synth_path_for_sf(sf_dir))  # kdc_synth_v2_<n>
+    return f"/tmp/kdc_records_r{RECORDS_VERSION}_{synth}"
 
 
 # The driver's correctness gate runs at sf0.01; its oracle SQL strings are

@@ -43,6 +43,12 @@ def read_log_lines_raw(
     on the scan, so a corrupt multi-MB line costs its read, never memory
     in the sessionizer state.
     """
+    from kdcloganalyzer_spark.sources.tables import ensure_utc_session
+
+    # source entry point: pin the session timezone so to_timestamp in the
+    # downstream sessionizer parses walls as UTC instants deterministically
+    # (not dependent on whether an unrelated load_table ran first).
+    ensure_utc_session(spark)
     df = spark.read.text(path).select(
         F.col("_metadata.file_path").alias("file"),
         F.col("_metadata.file_block_start").alias("_block_start"),
