@@ -654,16 +654,25 @@ def q_top_n_kdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).unionByName(out[2])
 
 
-@query("scan_python_datasource")
+@query(
+    "scan_python_datasource",
+    oracle=f"""
+    SELECT req_type, valid, success, count(*) AS n
+    FROM {_R} GROUP BY 1, 2, 3
+    """,
+)
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KDC logs through the registered Python DataSource (format
     'kdclog', sources/kdc_pyds.py) — the imperative custom-input-format
     surface (reference KDCLogFileInputType + KDCLogRecordReader as a
     first-class Spark source), aggregated to the record-type × success
-    histogram. Rows-only; record-level parity with the declarative
-    sessionizer is pinned by tests/test_kdc_pyds.py."""
+    histogram. The oracle reads the WINDOW-path materialized records, so
+    the hash match cross-checks the imperative reader against the
+    declarative sessionizer; record-level parity is additionally pinned
+    by tests/test_kdc_pyds.py."""
     from kdcloganalyzer_spark.sources.kdc_pyds import read_kdc_python_source
 
+    kdc_records_parquet(spark, sf_dir)  # ensure the oracle twin exists
     recs = read_kdc_python_source(spark, synth_dir_for_sf(sf_dir))
     return (
         recs.groupBy("req_type", "valid", "success")
