@@ -91,3 +91,74 @@ def test_stratified_sample_semantics(spark, sf_dir):
     n, p = src["en"], fractions["en"]
     sigma = math.sqrt(n * p * (1 - p))
     assert abs(got.get("en", 0) - n * p) < 5 * sigma
+
+
+def _split_parallel_records_at_chunk_size(spark, max_bytes: int) -> list[str]:
+    from kdcloganalyzer_spark.operators.sessionize import (
+        sessionize_split_parallel,
+    )
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        rows = (
+            sessionize_split_parallel(read_log_lines_raw(spark, GOLDEN))
+            .drop("enctypes")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    return sorted(str(sorted(r.asDict().items(), key=str)) for r in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=64, max_value=4096))
+def test_split_parallel_chunking_invariant(spark, chunk_bytes):
+    """The split-parallel assembler must be byte-identical to the window
+    path for ANY byte-range chunking — hypothesis drives split sizes down
+    to a few records per split, forcing boundary-straddling records."""
+    if 0 not in _BASELINE_CACHE:
+        _BASELINE_CACHE[0] = _records_at_chunk_size(spark, 128 * 1024 * 1024)
+    assert (
+        _split_parallel_records_at_chunk_size(spark, chunk_bytes)
+        == _BASELINE_CACHE[0]
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_join_equivalence_on_random_corpora(spark, word_lists, threshold):
+    """Prefix-filter losslessness on hypothesis-generated corpora: tiny
+    vocab + short docs force heavy overlap, prefix collisions, and
+    minimum-overlap pairs at every threshold — the regime where an
+    off-by-one prefix bound silently drops pairs."""
+    from kdcloganalyzer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws), "xx", "src") for i, ws in enumerate(word_lists)],
+        "doc_id long, text string, lang string, source string",
+    )
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold).collect()
+    }
+    assert prefix == naive
