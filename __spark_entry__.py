@@ -96,13 +96,26 @@ def _gate_order(ids: list[str]) -> list[str]:
             or (row.get("rows_match") is False)
         )
 
+    from kdcloganalyzer_spark.plans.registry import ORACLES
+
+    def needs_first_check(q: str) -> bool:
+        """New coverage: never seen, failed last time, or seen only as
+        rows-only (`no_oracle`) while an oracle NOW exists — its hash
+        check has never actually run."""
+        if q not in latest:
+            return True
+        row = latest[q]
+        return failed(row) or (
+            q in ORACLES and row.get("err") == "no_oracle"
+        )
+
     by_cost = sorted(ids, key=lambda q: (cost.get(q, 0.5), q))
-    urgent = [q for q in by_cost if q not in latest or failed(latest[q])]
+    urgent = [q for q in by_cost if needs_first_check(q)]
     # Steady re-checks drain STALEST-first (oldest verifying round, then
     # cheapest) so no passing id's latest check ages more than a couple of
     # rounds under the ~50-row gate cap.
     steady = sorted(
-        (q for q in by_cost if q in latest and not failed(latest[q])),
+        (q for q in by_cost if not needs_first_check(q)),
         key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
     )
     # Put failed-last-time ids at the very front of the urgent group.

@@ -336,12 +336,12 @@ def build_ivfpq_index(
     (vec_id, cell, codes, unit)."""
     assigned, centers = build_ivf_index(emb, n_cells, seed)
     encoded, codebook = build_pq_index(emb, n_sub, n_codes, dim, seed)
-    # keep the RAW embedding: the coarse quantizer was trained and
-    # assigned in raw space, so query probe distances must be computed
-    # there too — probing with the unit vector would use a different
-    # metric than the assignment and silently cost recall on corpora
-    # with non-uniform norms.
-    corpus = assigned.select("vec_id", "cell", "embedding", "unit").join(
+    # Lean serving layout: (vec_id, cell, codes, unit). The raw embedding
+    # is NOT stored per corpus row — only queries need it (for probe-cell
+    # selection in the quantizer's raw training space), and they fetch it
+    # from the source table; duplicating it here would double the
+    # persisted index's vector memory, the exact cost PQ exists to avoid.
+    corpus = assigned.select("vec_id", "cell", "unit").join(
         encoded.select("vec_id", "codes"), "vec_id"
     )
     return corpus, centers, codebook
@@ -351,6 +351,7 @@ def topk_cosine_ivfpq(
     corpus: DataFrame,
     centers: list[list[float]],
     codebook: list[list[float]],
+    emb: DataFrame,
     n_queries: int = 5,
     k: int = 10,
     n_probe: int = 6,
@@ -358,35 +359,38 @@ def topk_cosine_ivfpq(
     n_sub: int = 8,
 ) -> DataFrame:
     """IVFPQ serving: per query, (1) nearest n_probe cells chosen on the
-    DRIVER against the tiny centroid table, (2) the probe list and the
-    per-query ADC lookup table broadcast as one small frame, (3) a cell
-    equi-join bounds candidates, ADC lookups score them, and the top
-    n_rerank get the exact-cosine re-rank. Per-query work: |probed
-    cells|·O(n_sub) lookups — both axes of the brute-force cost
-    (candidates × per-pair arithmetic) cut independently."""
+    DRIVER against the tiny centroid table — in RAW embedding space, the
+    space the coarse quantizer was trained and assigned in (``emb`` is
+    the source table the query vectors are fetched from), (2) the probe
+    list and the per-query ADC lookup table broadcast as one small
+    frame, (3) a cell equi-join bounds candidates, ADC lookups score
+    them, and the top n_rerank get the exact-cosine re-rank. Per-query
+    work: |probed cells|·O(n_sub) lookups — both axes of the brute-force
+    cost (candidates × per-pair arithmetic) cut independently."""
     spark = corpus.sparkSession
     sub_dim = len(codebook[0])
     q_rows = (
-        corpus.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding", "unit")
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
         .collect()
     )
     cb = np.array(codebook)
     C = np.array(centers)
     rows = []
     for r in q_rows:
-        q = np.array(r.unit)
+        q_raw = np.array(r.embedding, dtype=np.float64)
+        # unit copy for the ADC LUT (approximate scoring only — the
+        # exact re-rank uses the corpus's Spark-computed unit vectors)
+        q = q_raw / np.linalg.norm(q_raw)
         lut = [
             (cb @ q[j * sub_dim : (j + 1) * sub_dim]).round(9).tolist()
             for j in range(n_sub)
         ]
-        # probe in RAW space — the space the coarse quantizer assigned in
-        q_raw = np.array(r.embedding, dtype=np.float64)
         probe_cells = np.argsort(
             ((C - q_raw) ** 2).sum(axis=1), kind="stable"
         )[:n_probe]
         for cell in probe_cells:
-            rows.append((r.vec_id, r.unit, lut, int(cell)))
+            rows.append((r.vec_id, q.tolist(), lut, int(cell)))
     qdf = spark.createDataFrame(
         rows,
         "q_id bigint, q_unit array<double>, lut array<array<double>>, "

@@ -279,7 +279,12 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVFPQ_CACHE[key] = (corpus.persist(), centers, codebook)
     corpus, centers, codebook = _IVFPQ_CACHE[key]
     return similarity.topk_cosine_ivfpq(
-        corpus, centers, codebook, n_queries=5, k=10
+        corpus,
+        centers,
+        codebook,
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=5,
+        k=10,
     )
 
 

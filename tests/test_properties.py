@@ -30,13 +30,29 @@ GOLDEN = os.path.join(
 _BASELINE_CACHE: dict[int, list[str]] = {}
 
 
-def _records_at_chunk_size(spark, max_bytes: int) -> list[str]:
+def _records_at_chunk_size(
+    spark, max_bytes: int, assembler=None
+) -> list[str]:
+    """Collect GOLDEN's records under a forced split size, normalized for
+    multiset comparison. ``assembler`` defaults to the window-path
+    sessionize over read_log_lines; pass a (lines_raw -> records)
+    callable (e.g. sessionize_split_parallel) to exercise another path
+    through the SAME normalization."""
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
-        rows = sessionize(read_log_lines(spark, GOLDEN)).drop("enctypes").collect()
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        if assembler is None:
+            df = sessionize(read_log_lines(spark, GOLDEN))
+        else:
+            df = assembler(read_log_lines_raw(spark, GOLDEN))
+        rows = df.drop("enctypes").collect()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
     return sorted(str(sorted(r.asDict().items(), key=str)) for r in rows)
 
 
@@ -93,38 +109,22 @@ def test_stratified_sample_semantics(spark, sf_dir):
     assert abs(got.get("en", 0) - n * p) < 5 * sigma
 
 
-def _split_parallel_records_at_chunk_size(spark, max_bytes: int) -> list[str]:
-    from kdcloganalyzer_spark.operators.sessionize import (
-        sessionize_split_parallel,
-    )
-    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
-
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
-    try:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_bytes))
-        spark.conf.set("spark.sql.files.openCostInBytes", "0")
-        rows = (
-            sessionize_split_parallel(read_log_lines_raw(spark, GOLDEN))
-            .drop("enctypes")
-            .collect()
-        )
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
-        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
-    return sorted(str(sorted(r.asDict().items(), key=str)) for r in rows)
-
-
 @settings(max_examples=6, deadline=None)
 @given(st.integers(min_value=64, max_value=4096))
 def test_split_parallel_chunking_invariant(spark, chunk_bytes):
     """The split-parallel assembler must be byte-identical to the window
     path for ANY byte-range chunking — hypothesis drives split sizes down
     to a few records per split, forcing boundary-straddling records."""
+    from kdcloganalyzer_spark.operators.sessionize import (
+        sessionize_split_parallel,
+    )
+
     if 0 not in _BASELINE_CACHE:
         _BASELINE_CACHE[0] = _records_at_chunk_size(spark, 128 * 1024 * 1024)
     assert (
-        _split_parallel_records_at_chunk_size(spark, chunk_bytes)
+        _records_at_chunk_size(
+            spark, chunk_bytes, assembler=sessionize_split_parallel
+        )
         == _BASELINE_CACHE[0]
     )
 
