@@ -117,7 +117,13 @@ def _accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sessionize_multiline")
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-line record assembly (KDCLogRecordReader.java:208-324)."""
+    """Multi-line record assembly (KDCLogRecordReader.java:208-324).
+    Rows-only BY CHOICE: the materialized oracle parquet is written from
+    this very query's output, so a same-session hash match would be
+    circular — the records' content is instead hash-verified through
+    ``sessionize_split_parallel`` (an independent assembly strategy
+    compared against this one's materialization) and pinned record-level
+    by the golden parser tests."""
     return kdc_records(spark, sf_dir).drop("enctypes")  # stable flat schema
 
 
@@ -284,7 +290,9 @@ def q_filter_realm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("project_narrow")
 def q_project_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow projection pre-shuffle (UserTimeMapper.java:51-56); Catalyst
-    ColumnPruning pushes this into the scan."""
+    ColumnPruning pushes this into the scan. Rows-only: limit(1000)
+    selects an arbitrary subset, so no deterministic oracle exists —
+    the projection's content is covered by filter_predicates' oracle."""
     return _accepted(spark, sf_dir).select("client", "ts_raw").limit(1000)
 
 
@@ -481,10 +489,23 @@ def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(reason.alias("reason")).agg(F.count("*").alias("n"))
 
 
-@query("sink_tsv_text")
+@query(
+    "sink_tsv_text",
+    oracle=f"""
+    SELECT client,
+           CAST(min(ts) AS VARCHAR) AS first_ts,
+           CAST(max(ts) AS VARCHAR) AS last_ts,
+           count(*) AS n
+    FROM {_R}
+    WHERE valid AND success AND req_type = 'AUTH' AND NOT referral
+    GROUP BY client
+    """,
+)
 def q_sink_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TSV text sink (UserTimeRunner.java:42-46, UserTimeRec.tsv()):
-    user \\t first \\t last \\t n — written then read back for inspection."""
+    user \\t first \\t last \\t n — written then read back, so the hash
+    match verifies the full write→parse round trip (timestamps rendered
+    as 'YYYY-MM-DD HH:MM:SS' strings by both engines' casts)."""
     import tempfile
 
     out = tempfile.mkdtemp(prefix="user_time_tsv_")
