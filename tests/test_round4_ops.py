@@ -84,3 +84,60 @@ def test_users_few_services_approx_agrees_with_exact(spark, sf_dir):
     )
     for c in set(exact) & set(approx):
         assert abs(exact[c] - approx[c]) <= 1, (c, exact[c], approx[c])
+
+
+def _toy_docs(spark):
+    """Tiny corpus with exact clones, a near-clone, and distinct docs."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "web"),
+        (3, "completely different words entirely here now", "en", "web"),
+        (4, "unrelated tokens again nothing shared at all", "en", "web"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_minhash_identical_docs_pair_with_estimate_one(spark):
+    from kdcloganalyzer_spark.operators import dedup
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in dedup.minhash_lsh_pairs(_toy_docs(spark), 0.9).collect()
+    }
+    # exact clones MUST collide in every band and estimate J=1.0
+    assert pairs.get((0, 1)) == 1.0
+    # disjoint-vocabulary docs must not pair at a 0.9 threshold
+    assert (3, 4) not in pairs
+
+
+def test_minhash_dedup_assigns_clone_to_representative(spark):
+    from kdcloganalyzer_spark.operators import dedup
+
+    out = {
+        r["doc_id"]: (r["dup_of"], r["jaccard_est"])
+        for r in dedup.minhash_dedup(_toy_docs(spark), 0.9).collect()
+    }
+    assert out.get(1) == (0, 1.0)  # clone collapses onto min-id rep
+    assert 0 not in out  # the representative itself is not a duplicate
+
+
+def test_simhash_identical_docs_have_hamming_zero(spark):
+    from kdcloganalyzer_spark.operators import dedup
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(_toy_docs(spark), 3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # a one-word edit on a 9-word doc flips several counter signs (5 bits
+    # here) — outside the strict radius, visible at a looser one:
+    loose = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(_toy_docs(spark), 8).collect()
+    }
+    assert 0 < loose[(0, 2)] <= 8
+    # disjoint-vocabulary docs stay far apart even at the loose radius
+    assert (3, 4) not in loose
