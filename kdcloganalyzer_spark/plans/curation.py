@@ -800,3 +800,118 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (CCNet/KenLM-style perplexity filter)
+# ---------------------------------------------------------------------------
+@query(
+    "quality_bigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, count(*) AS m FROM b GROUP BY ALL),
+    c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c2
+           FROM dbg GROUP BY ALL),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM c1)
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * round(ln((c2 + 1.0) / (c1 + v)), 6)), 3)
+             AS sum_logp
+    FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scored over its own documents — the perplexity
+    quality signal (CCNet-style: filter docs whose add-one-smoothed
+    log-likelihood under a corpus n-gram LM is poor). Emits per-doc
+    bigram count and summed log-prob ln((c(w1,w2)+1)/(c(w1·)+V)), V =
+    #distinct left-contexts; docs with <2 tokens have no bigrams and
+    drop out (both engines agree).
+
+    Scale: the corpus-sized explode collapses immediately into the
+    per-(doc, bigram) partial count (map-side combine), the LM tables
+    c2/c1/V derive from ALREADY-aggregated frames (vocab-sized, never a
+    second pass over the corpus), and the per-term round(·,6) before the
+    round(sum,3) keeps the hash insensitive to engine summation order.
+    Wide ops: groupBy(doc,w1,w2) → groupBy(w1,w2) → join-back on (w1,w2)
+    → groupBy(doc) — each key is either bigram- or doc-hashed, no skew
+    hotter than the corpus's top bigram, which AQE splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c2 = dbg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
+    enr = c2.join(c1, "w1").crossJoin(F.broadcast(v))
+    logp = F.round(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+    )
+    return (
+        dbg.join(enr, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * logp), 3).alias("sum_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash per-group sampling (deterministic reservoir)
+# ---------------------------------------------------------------------------
+@query(
+    "sample_consistent_topk",
+    oracle="""
+    SELECT source, doc_id, pri, CAST(rn AS INT) AS rn FROM (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_consistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: keep the k=5 docs with the
+    smallest md5 priority — a consistent-hash reservoir. Unlike RNG
+    sampling this is stable under reruns, retries, and backfills (the
+    same doc always wins), composable across partitions (min-k of a
+    union = min-k of min-ks, the mergeable-bottom-k property), and
+    engine-neutral, so DuckDB reproduces the exact kept set.
+
+    Scale: one shuffle on the group key; rank-then-filter top-k. For
+    heavily skewed groups the same priority column feeds a two-stage
+    min-k (per-partition bottom-k, then merge) — the priority, not the
+    mechanism, is the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "pri", "rn")
+    )

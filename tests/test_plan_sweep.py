@@ -18,6 +18,7 @@ BNLJ_OK = {
     "sim_search_cosine",  # broadcast 5-query set x corpus (the exact baseline)
     "sim_search_pq",      # broadcast per-query ADC LUTs
     "text_tfidf",         # broadcast 1-row corpus-size aggregate
+    "quality_bigram_lm",  # broadcast 1-row vocabulary-size aggregate
     "sample_temperature_mixture",  # broadcast 1-row totals
     "join_range_theta",   # non-equi range join — BNLJ is its honest plan
 }
