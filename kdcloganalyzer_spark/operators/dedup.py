@@ -257,6 +257,80 @@ def ngram_jaccard_pairs_prefix_dford(
     return _verify_jaccard(_prefix_candidates(idx, threshold), d, threshold)
 
 
+def jaccard_join_delta_base(
+    delta: DataFrame, base: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """INCREMENTAL near-dup join: which DELTA docs duplicate a BASE doc
+    (exact word-set Jaccard ≥ t) — the ingestion-time shape, where a
+    day's new data dedups against the standing corpus without the
+    corpus×corpus self-join ever being re-run.
+
+    Same prefix-filter theorem as ``ngram_jaccard_pairs_prefix`` (a
+    qualifying pair shares a token in BOTH prefixes under any fixed
+    global order — the R⋈S SSJoin of Chaudhuri/Ganti/Kaushik ICDE'06 §4),
+    so the candidate generator is lossless; only the join is asymmetric:
+    prefix-indexed delta ⋈ prefix-indexed base on (lang, source, token)
+    with the size-ratio prefilter. At 100 TB the base-side index is the
+    PERSISTED artifact (built once, appended per ingest); the per-batch
+    cost is |delta| prefix explode + posting-list join, independent of
+    |base| beyond the matched lists."""
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                "words",
+                lambda w: F.struct(F.xxhash64(w).alias("h"), w.alias("w")),
+            )
+        ),
+        lambda s: s["w"],
+    )
+    plen = _prefix_len(threshold)
+
+    def prep(docs: DataFrame) -> DataFrame:
+        return (
+            spread(docs)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                word_set(F.col("text")).alias("words"),
+            )
+            .withColumn("nw", F.size("words"))
+            .filter(F.col("nw") > 0)
+            .localCheckpoint(eager=False)
+        )
+
+    def index(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "nw",
+            F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
+        )
+
+    d_delta, d_base = prep(delta), prep(base)
+    a, b = index(d_delta).alias("a"), index(d_base).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (
+                F.least(F.col("a.nw"), F.col("b.nw"))
+                >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # ids are disjoint across delta/base, so one unioned word-set table
+    # serves both verification joins.
+    return _verify_jaccard(cand, d_delta.unionByName(d_base), threshold)
+
+
 def embedding_cosine_pairs_pivot(
     emb: DataFrame, threshold: float = 0.35, n_cells: int = 16
 ) -> DataFrame:

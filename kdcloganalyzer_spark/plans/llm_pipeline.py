@@ -102,6 +102,39 @@ def dedup_ngram_jaccard_dford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS ws
+      FROM documents
+    ),
+    d AS (SELECT * FROM w WHERE doc_id % 7 = 0),
+    b AS (SELECT * FROM w WHERE doc_id % 7 <> 0)
+    SELECT d.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(d.ws, b.ws))::DOUBLE /
+                 (len(d.ws) + len(b.ws) - len(list_intersect(d.ws, b.ws))),
+                 6) AS jaccard
+    FROM d JOIN b ON d.lang = b.lang AND d.source = b.source
+    WHERE round(len(list_intersect(d.ws, b.ws))::DOUBLE /
+                (len(d.ws) + len(b.ws) - len(list_intersect(d.ws, b.ws))),
+                6) >= 0.8
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-time dedup: the 'delta' slice (doc_id % 7 = 0,
+    standing in for a day's new data) near-dup-joined against the 'base'
+    corpus at J≥0.8 via the asymmetric prefix-filtered SSJoin
+    (operators/dedup.py:jaccard_join_delta_base) — per-batch cost scales
+    with the delta, never re-running the corpus self-join. Lossless, so
+    the direct delta×base quadratic oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup.jaccard_join_delta_base(delta, base, 0.8)
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH dedup at J≥0.9: per-doc representative
