@@ -445,6 +445,63 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DPP_CACHE: dict = {}
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    -- not IN (DATE..., ...): DuckDB 1.0 re-coerces CAST(ts AS DATE) in
+    -- an IN list back to TIMESTAMP and matches nothing; BETWEEN is safe
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-28' AND DATE '2024-01-30'
+    GROUP BY 1, 2
+    """,
+)
+def join_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning: the fact table is staged once per
+    (session, sf) as day-partitioned parquet (repartitioned by the
+    partition column first — one file per partition, the small-files
+    discipline), then joined to a FILTERED dim whose surviving days are
+    only known at run time. Catalyst turns the broadcast side into a
+    DynamicPruningExpression on the partitioned scan, so only 3 of 30
+    day directories are read — the star-schema scan-avoidance that at
+    100 TB is the difference between reading a month and reading a
+    weekend (plan shape pinned in tests/test_plans.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DPP_CACHE:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="events_daypart_")
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.to_date("ts"))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+        _DPP_CACHE[key] = out
+    fact = spark.read.parquet(_DPP_CACHE[key])
+    dim = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", "keep" if d >= 28 else "drop") for d in
+         range(26, 31)],
+        "day_s string, tag string",
+    ).select(F.col("day_s").cast("date").alias("day"), "tag")
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("tag") == "keep")), "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @query(
     "analytics_shipping_priority",
     oracle="""

@@ -161,3 +161,13 @@ def test_pq_recall_vs_exact(spark, sf_dir):
         pq.setdefault(r.q_id, set()).add(r.vec_id)
     recalls = [len(ex[q] & pq.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The day-partitioned fact scan must carry a DynamicPruningExpression
+    (DPP subquery from the broadcast dim) so only the dim's surviving 3 of
+    30 day directories are read."""
+    plan = _plan(
+        registry.QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
+    )
+    assert "dynamicpruning" in plan.lower(), plan
