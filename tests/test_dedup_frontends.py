@@ -73,3 +73,34 @@ def test_pivot_pruned_matches_label_blocked_all_pairs(
     assert pivot == naive
     if threshold <= 0.35:
         assert naive, "degenerate corpus: no qualifying pairs to compare"
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_incremental_join_matches_filtered_all_pairs(
+    spark, sf_dir, threshold
+):
+    """The asymmetric delta⋈base SSJoin must equal the self-join's
+    result restricted to (delta, base) pairs — same prefix-filter
+    theorem, R-vs-S form. Pairs are orientation-normalized: the
+    self-join emits id_a < id_b while the incremental join emits
+    (delta_id, base_id)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    inc = {
+        (min(a, b), max(a, b), j)
+        for (a, b, j) in _pairs(
+            dedup.jaccard_join_delta_base(delta, base, threshold), "jaccard"
+        )
+    }
+    naive = {
+        (a, b, j)
+        for (a, b, j) in _pairs(
+            dedup.ngram_jaccard_pairs(docs, threshold), "jaccard"
+        )
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert inc == naive
+    assert inc, "degenerate split: no cross-split pairs to compare"

@@ -141,3 +141,97 @@ def test_simhash_identical_docs_have_hamming_zero(spark):
     assert 0 < loose[(0, 2)] <= 8
     # disjoint-vocabulary docs stay far apart even at the loose radius
     assert (3, 4) not in loose
+
+
+def test_cms_overcount_is_one_sided_and_tight_for_sparse_keys(
+    spark, sf_dir
+):
+    """CMS guarantees est >= exact always; with 5 keys hashed into 4x256
+    cells, collisions are essentially impossible, so the estimate should
+    also be EXACT here — the interesting content is the invariant, the
+    tightness just documents the regime."""
+    rows = registry.QUERIES["agg_count_min_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_est"] >= r["n_exact"], r
+
+
+def test_consistent_topk_is_mergeable_bottom_k(spark, sf_dir):
+    """min-k by hash priority must commute with partitioning: the min-k
+    of per-half min-ks equals the global min-k — the property that lets
+    a 1000-executor cluster sample without a global sort."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    halves = []
+    for cond in (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1):
+        halves.append(
+            docs.filter(cond)
+            .select("source", "doc_id", pri.alias("pri"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("source")
+                    .orderBy(F.asc("pri"), F.asc("doc_id"))
+                ),
+            )
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+    merged = halves[0].unionByName(halves[1])
+    re_ranked = (
+        merged.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("source")
+                .orderBy(F.asc("pri"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "pri", "rn")
+    )
+    direct = registry.QUERIES["sample_consistent_topk"](spark, sf_dir)
+    assert {tuple(r) for r in re_ranked.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_bigram_lm_scores_repetitive_doc_above_rare_doc(spark):
+    """A doc made of the corpus's dominant bigram must out-score (higher
+    avg log-prob) a doc of corpus-unique bigrams — the signal the
+    perplexity filter exists to extract."""
+    from kdcloganalyzer_spark.operators import dedup  # noqa: F401  (style)
+    import kdcloganalyzer_spark.plans.curation as cur
+
+    rows = [
+        (0, "the cat " * 20, "en", "src"),     # dominant bigrams
+        (1, "the cat sat here", "en", "src"),
+        (2, "zyx qwv plk mnb", "en", "src"),   # all-unique bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    # run the registered plan body against the toy frame via its
+    # internals: rebuild with load_table monkey-patched
+    import kdcloganalyzer_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda *_a, **_k: docs
+        cur.load_table = tables.load_table
+        out = {
+            r["doc_id"]: r["sum_logp"] / r["n_bigrams"]
+            for r in cur.quality_bigram_lm(spark, "ignored").collect()
+        }
+    finally:
+        tables.load_table = orig
+        cur.load_table = orig
+    # doc 1 is NOT asserted above doc 2: after doc 0 floods the corpus
+    # with cat→the transitions, doc 1's "cat sat" is a genuinely
+    # surprising bigram and the LM correctly penalizes it.
+    assert out[0] > out[2]
