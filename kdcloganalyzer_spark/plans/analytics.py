@@ -291,6 +291,70 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection on daily event volumes
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS w_n
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n, round((n - mu) / sd, 3) AS z
+    FROM r WHERE w_n = 7 AND sd > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scoring: each (event_type, day)'s count z-scored
+    against its own trailing 7-day window — the detection rollup that
+    turns a raw event stream into an alerting signal. Days without a
+    full 7-day history are withheld (w_n = 7), so the score is never
+    computed against a padded window.
+
+    Scale: the corpus collapses to event_type x day counts in ONE
+    partially-aggregated shuffle; the rolling stats run over that tiny
+    rollup (days x types rows), so the window stage costs nothing at any
+    corpus size. The same shape extends to hourly buckets + per-client
+    partitions without changing the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    r = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    return (
+        r.filter((F.col("w_n") == 7) & (F.col("sd") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 3).alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (heavy-hitter counts, mergeable, engine-neutral hashes)
 # ---------------------------------------------------------------------------

@@ -700,3 +700,52 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("req_type", "valid", "success")
     )
+
+
+@query(
+    "kdc_failed_auth_burst",
+    oracle=f"""
+    WITH f AS (
+      SELECT client, ts,
+             count(*) OVER (
+               PARTITION BY client ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+             ) AS burst
+      FROM {_R}
+      WHERE valid AND NOT success AND req_type = 'AUTH'
+    )
+    SELECT client,
+           CAST(max(burst) AS BIGINT) AS peak_burst,
+           count(*) AS n_failures
+    FROM f GROUP BY client HAVING max(burst) >= 3
+    """,
+)
+def q_failed_auth_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force / password-spray detection: clients whose failed-AUTH
+    count inside any sliding 1-hour window reaches 3 — the security
+    query a KDC log analyzer exists to answer (reference surfaces the
+    raw error taxonomy, reader:55-78; this composes it into detection).
+
+    Scale: failures filter first (small fraction of records), ONE shuffle
+    on client for the range window, and the per-client window is a
+    running count over an ordered frame — no self-join, no explode. The
+    range frame is in whole seconds (unix epoch), identical in both
+    engines on the second-resolution log timestamps."""
+    r = kdc_records(spark, sf_dir)
+    fails = r.filter(
+        F.col("valid") & ~F.col("success") & (F.col("req_type") == "AUTH")
+    )
+    w = (
+        Window.partitionBy("client")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        fails.withColumn("burst", F.count("*").over(w))
+        .groupBy("client")
+        .agg(
+            F.max("burst").alias("peak_burst"),
+            F.count("*").alias("n_failures"),
+        )
+        .filter(F.col("peak_burst") >= 3)
+    )
