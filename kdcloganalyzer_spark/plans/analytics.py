@@ -358,91 +358,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Count-min sketch (heavy-hitter counts, mergeable, engine-neutral hashes)
 # ---------------------------------------------------------------------------
-_CMS_D, _CMS_W = 4, 256
+from kdcloganalyzer_spark.operators import cms  # noqa: E402
 
-
-def _cms_bucket_sql(key_expr: str, r_expr: str) -> str:
-    """DuckDB: first md5 byte of '<r>:<key>' (w=256 → byte 0 IS the
-    bucket), via the hex-char strpos trick (no direct byte getter)."""
-    m = f"md5(CAST({r_expr} AS VARCHAR) || ':' || {key_expr})"
-    return (
-        f"((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 16"
-        f" + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1))"
-    )
-
-
-@query(
-    "agg_count_min_sketch",
-    oracle=f"""
+# One oracle serves the batch query AND the streaming twin
+# (stream_count_min_sketch): the bounded stream's final cell table equals
+# the batch cell table, so estimates are identical by construction.
+CMS_ORACLE = f"""
     WITH h AS (
       SELECT event_type, CAST(r AS INT) AS r,
-             {_cms_bucket_sql('event_type', 'r')} AS bucket
-      FROM events, UNNEST(range(0, {_CMS_D})) AS t(r)
+             {cms.cms_bucket_sql('event_type', 'r')} AS bucket
+      FROM events, UNNEST(range(0, {cms.CMS_D})) AS t(r)
     ),
     sk AS (SELECT r, bucket, count(*) AS c FROM h GROUP BY ALL),
     kb AS (
       SELECT event_type, CAST(r AS INT) AS r,
-             {_cms_bucket_sql('event_type', 'r')} AS bucket
+             {cms.cms_bucket_sql('event_type', 'r')} AS bucket
       FROM (SELECT DISTINCT event_type FROM events),
-           UNNEST(range(0, {_CMS_D})) AS t(r)
+           UNNEST(range(0, {cms.CMS_D})) AS t(r)
     ),
     est AS (SELECT event_type, min(c) AS cms_est
             FROM kb JOIN sk USING (r, bucket) GROUP BY 1),
     ex AS (SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1)
     SELECT event_type, n_exact, cms_est, cms_est - n_exact AS overcount
     FROM ex JOIN est USING (event_type)
-    """,
-)
-def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch (4 rows x 256 buckets) over the
-    event stream, then point-queried for every distinct event_type
-    against the exact counts (overcount >= 0 is the CMS one-sided
-    guarantee, visible in the output). Hashes are md5-derived and
-    engine-neutral, so unlike the opaque-binary built-in sketches this
-    one is fully DuckDB-hash-verified.
+    """
 
-    Scale: ONE pass builds all d rows (posexplode of the d bucket ids
-    per record — no d-fold re-scan), partial aggregation collapses to
-    the d*w = 1024-cell table map-side, and the cell table
-    is a sum-shaped mergeable partial: sketches from different days /
-    partitions union by adding cells, the same re-aggregation contract
-    as the HLL rollup above. Point queries broadcast the tiny sketch."""
-    ev = load_table(spark, sf_dir, "events").select("event_type")
 
-    def buckets(key):
-        return F.array(
-            *[
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 2
-                    ),
-                    16,
-                    10,
-                )
-                .cast("int")
-                .alias(f"b{r}")
-                for r in range(_CMS_D)
-            ]
-        )
-
-    h = ev.select(
-        "event_type", F.posexplode(buckets(F.col("event_type")))
-    ).select(
-        "event_type",
-        F.col("pos").cast("int").alias("r"),
-        F.col("col").alias("bucket"),
-    )
-    sk = h.groupBy("r", "bucket").agg(F.count("*").alias("c"))
-    keys = ev.distinct()
+def cms_estimate_vs_exact(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """Point-query every distinct key against the (tiny, broadcast) cell
+    table and set the exact count alongside — shared by the batch and
+    streaming CMS queries."""
+    keys = ev.select("event_type").distinct()
     kb = keys.select(
-        "event_type", F.posexplode(buckets(F.col("event_type")))
+        "event_type", F.posexplode(cms.cms_buckets(F.col("event_type")))
     ).select(
         "event_type",
         F.col("pos").cast("int").alias("r"),
         F.col("col").alias("bucket"),
     )
     est = (
-        kb.join(F.broadcast(sk), ["r", "bucket"])
+        kb.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("event_type")
         .agg(F.min("c").alias("cms_est"))
     )
@@ -453,6 +408,26 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
     )
+
+
+@query("agg_count_min_sketch", oracle=CMS_ORACLE)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 rows x 256 buckets) over the
+    event stream, then point-queried for every distinct event_type
+    against the exact counts (overcount >= 0 is the CMS one-sided
+    guarantee, visible in the output). Hashes are md5-derived and
+    engine-neutral, so unlike the opaque-binary built-in sketches this
+    one is fully DuckDB-hash-verified.
+
+    Scale: ONE pass builds all d rows (posexplode of the d bucket ids
+    per record — no d-fold re-scan, operators/cms.py), partial
+    aggregation collapses to the d*w = 1024-cell table map-side, and the
+    cell table is a sum-shaped mergeable partial: sketches from
+    different days / partitions union by adding cells, the same
+    re-aggregation contract as the HLL rollup above. Point queries
+    broadcast the tiny sketch."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    return cms_estimate_vs_exact(cms.cms_cells(ev), ev)
 
 
 # ---------------------------------------------------------------------------

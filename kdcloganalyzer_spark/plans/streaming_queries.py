@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kdcloganalyzer_spark.plans.analytics import CMS_ORACLE
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
 from kdcloganalyzer_spark.streaming import stream_queries as SQ
@@ -164,3 +165,19 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates under a watermark collapses the replay to one copy;
     the oracle aggregates the single original."""
     return SQ.stream_dedup_events(spark, sf_dir)
+
+
+@query("stream_count_min_sketch", oracle=CMS_ORACLE)
+def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS: cell counts maintained as a stateful streaming
+    aggregation (d×w = 1024 state rows total, regardless of stream
+    volume), point-queried after the bounded run through the same helper
+    as the batch query. Hash-verified by the SAME oracle as
+    agg_count_min_sketch — the final streamed cell table must equal the
+    batch-built one."""
+    from kdcloganalyzer_spark.plans.analytics import cms_estimate_vs_exact
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    cells = SQ.cms_stream_cells(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    return cms_estimate_vs_exact(cells, ev)

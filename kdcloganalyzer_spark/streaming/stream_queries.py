@@ -440,3 +440,17 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def cms_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance: the (r, bucket) cell
+    counts are a streaming-supported aggregation in complete mode, so
+    the sketch stays current across micro-batches with d×w rows of
+    state TOTAL — the canonical 'sketch the firehose' shape. The bounded
+    availableNow run's final cell table is defined to equal the batch
+    cell table, which is what lets the batch CMS oracle hash-verify this
+    streaming query."""
+    from kdcloganalyzer_spark.operators.cms import cms_cells
+
+    ev = read_events_stream(spark, sf_dir).select("event_type")
+    return _run_to_memory(cms_cells(ev), "complete")

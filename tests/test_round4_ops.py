@@ -161,6 +161,8 @@ def test_consistent_topk_is_mergeable_bottom_k(spark, sf_dir):
     """min-k by hash priority must commute with partitioning: the min-k
     of per-half min-ks equals the global min-k — the property that lets
     a 1000-executor cluster sample without a global sort."""
+    from pyspark.sql import Window
+
     from kdcloganalyzer_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -173,9 +175,9 @@ def test_consistent_topk_is_mergeable_bottom_k(spark, sf_dir):
             .withColumn(
                 "rn",
                 F.row_number().over(
-                    __import__("pyspark.sql.window", fromlist=["Window"])
-                    .Window.partitionBy("source")
-                    .orderBy(F.asc("pri"), F.asc("doc_id"))
+                    Window.partitionBy("source").orderBy(
+                        F.asc("pri"), F.asc("doc_id")
+                    )
                 ),
             )
             .filter(F.col("rn") <= 5)
@@ -186,9 +188,9 @@ def test_consistent_topk_is_mergeable_bottom_k(spark, sf_dir):
         merged.withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("source")
-                .orderBy(F.asc("pri"), F.asc("doc_id"))
+                Window.partitionBy("source").orderBy(
+                    F.asc("pri"), F.asc("doc_id")
+                )
             ),
         )
         .filter(F.col("rn") <= 5)
@@ -204,7 +206,6 @@ def test_bigram_lm_scores_repetitive_doc_above_rare_doc(spark):
     """A doc made of the corpus's dominant bigram must out-score (higher
     avg log-prob) a doc of corpus-unique bigrams — the signal the
     perplexity filter exists to extract."""
-    from kdcloganalyzer_spark.operators import dedup  # noqa: F401  (style)
     import kdcloganalyzer_spark.plans.curation as cur
 
     rows = [
