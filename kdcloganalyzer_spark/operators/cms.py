@@ -10,7 +10,7 @@ built-in sketches). w = 256 means the bucket IS the first md5 byte of
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CMS_D, CMS_W = 4, 256
@@ -43,15 +43,23 @@ def cms_buckets(key: Column) -> Column:
     )
 
 
-def cms_cells(keyed) -> "DataFrame":  # noqa: F821 — avoids circular typing
-    """(key column named event_type) → (r, bucket, c) cell counts.
-    Works identically on batch and streaming DataFrames (the groupBy is
-    a streaming-supported stateful aggregation in complete mode)."""
-    h = keyed.select(
+def cms_pairs(keyed: DataFrame) -> DataFrame:
+    """(key column named event_type) → one (event_type, r, bucket) row
+    per sketch row per record — the single projection both the cell
+    build and the point-query side derive from."""
+    return keyed.select(
         "event_type", F.posexplode(cms_buckets(F.col("event_type")))
     ).select(
         "event_type",
         F.col("pos").cast("int").alias("r"),
         F.col("col").alias("bucket"),
     )
-    return h.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_cells(keyed: DataFrame) -> DataFrame:
+    """(key column named event_type) → (r, bucket, c) cell counts.
+    Works identically on batch and streaming DataFrames (the groupBy is
+    a streaming-supported stateful aggregation in complete mode)."""
+    return cms_pairs(keyed).groupBy("r", "bucket").agg(
+        F.count("*").alias("c")
+    )

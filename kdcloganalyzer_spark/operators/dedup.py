@@ -124,7 +124,18 @@ def ngram_jaccard_pairs_prefix(
     for exact verification. Hot tokens are AQE-split like any skewed join
     key. The size-ratio prefilter (min ≥ t·max) prunes before candidates
     materialize."""
-    d = (
+    d = _prep_word_sets(docs)
+    return _verify_jaccard(
+        _prefix_candidates(_hash_prefix_index(d, threshold), threshold),
+        d,
+        threshold,
+    )
+
+
+def _prep_word_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, words, nw) with empty docs dropped, spread
+    for fan-out, and checkpointed so self-/pair-joins don't re-tokenize."""
+    return (
         spread(docs)
         .select(
             "doc_id", "lang", "source", word_set(F.col("text")).alias("words")
@@ -133,7 +144,12 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("nw") > 0)
         .localCheckpoint(eager=False)
     )
-    ordered = F.transform(
+
+
+def _hash_ordered_tokens():
+    """words reordered by the (xxhash64(token), token) global total order —
+    the deterministic, df-pass-free order the prefix filter indexes on."""
+    return F.transform(
         F.array_sort(
             F.transform(
                 "words",
@@ -142,15 +158,19 @@ def ngram_jaccard_pairs_prefix(
         ),
         lambda s: s["w"],
     )
-    plen = _prefix_len(threshold)
-    idx = d.select(
+
+
+def _hash_prefix_index(d: DataFrame, threshold: float) -> DataFrame:
+    """Explode each doc's hash-ordered prefix tokens → inverted index."""
+    return d.select(
         "doc_id",
         "lang",
         "source",
         "nw",
-        F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
+        F.explode(
+            F.slice(_hash_ordered_tokens(), F.lit(1), _prefix_len(threshold))
+        ).alias("tok"),
     )
-    return _verify_jaccard(_prefix_candidates(idx, threshold), d, threshold)
 
 
 def _prefix_len(threshold: float):
@@ -165,22 +185,30 @@ def _prefix_len(threshold: float):
     ).cast("int")
 
 
-def _prefix_candidates(idx: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    idx: DataFrame, threshold: float, probe: DataFrame | None = None
+) -> DataFrame:
     """Equi-join on exploded prefix tokens within (lang, source) blocks,
-    with the size-ratio prefilter; distinct surviving id pairs."""
-    a, b = idx.alias("a"), idx.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.nw"), F.col("b.nw"))
-                >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
-            ),
+    with the size-ratio prefilter; distinct surviving id pairs.
+
+    Symmetric form (probe=None): self-join with id_a < id_b to emit each
+    unordered pair once. Asymmetric form (R⋈S SSJoin): ``idx`` is the
+    delta side, ``probe`` the base side, ids assumed disjoint."""
+    a = idx.alias("a")
+    b = (idx if probe is None else probe).alias("b")
+    cond = (
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.tok") == F.col("b.tok"))
+        & (
+            F.least(F.col("a.nw"), F.col("b.nw"))
+            >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
         )
+    )
+    if probe is None:
+        cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
@@ -233,15 +261,7 @@ def ngram_jaccard_pairs_prefix_dford(
     (tests/test_dedup_frontends.py)."""
     from pyspark.sql import Window
 
-    d = (
-        spread(docs)
-        .select(
-            "doc_id", "lang", "source", word_set(F.col("text")).alias("words")
-        )
-        .withColumn("nw", F.size("words"))
-        .filter(F.col("nw") > 0)
-        .localCheckpoint(eager=False)
-    )
+    d = _prep_word_sets(docs)
     toks = d.select(
         "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
     )
@@ -273,58 +293,13 @@ def jaccard_join_delta_base(
     with the size-ratio prefilter. At 100 TB the base-side index is the
     PERSISTED artifact (built once, appended per ingest); the per-batch
     cost is |delta| prefix explode + posting-list join, independent of
-    |base| beyond the matched lists."""
-    ordered = F.transform(
-        F.array_sort(
-            F.transform(
-                "words",
-                lambda w: F.struct(F.xxhash64(w).alias("h"), w.alias("w")),
-            )
-        ),
-        lambda s: s["w"],
-    )
-    plen = _prefix_len(threshold)
-
-    def prep(docs: DataFrame) -> DataFrame:
-        return (
-            spread(docs)
-            .select(
-                "doc_id",
-                "lang",
-                "source",
-                word_set(F.col("text")).alias("words"),
-            )
-            .withColumn("nw", F.size("words"))
-            .filter(F.col("nw") > 0)
-            .localCheckpoint(eager=False)
-        )
-
-    def index(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id",
-            "lang",
-            "source",
-            "nw",
-            F.explode(F.slice(ordered, F.lit(1), plen)).alias("tok"),
-        )
-
-    d_delta, d_base = prep(delta), prep(base)
-    a, b = index(d_delta).alias("a"), index(d_base).alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (
-                F.least(F.col("a.nw"), F.col("b.nw"))
-                >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    |base| beyond the matched lists. Shares prep/index/candidate helpers
+    with the symmetric form — one construction to keep correct."""
+    d_delta, d_base = _prep_word_sets(delta), _prep_word_sets(base)
+    cand = _prefix_candidates(
+        _hash_prefix_index(d_delta, threshold),
+        threshold,
+        probe=_hash_prefix_index(d_base, threshold),
     )
     # ids are disjoint across delta/base, so one unioned word-set table
     # serves both verification joins.

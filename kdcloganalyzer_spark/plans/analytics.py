@@ -299,59 +299,75 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     oracle="""
     WITH d AS (
-      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-      FROM events GROUP BY 1, 2
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dayno
+      FROM events GROUP BY 1, 2, 4
     ),
     r AS (
       SELECT event_type, day, n,
-             avg(n) OVER w AS mu,
-             stddev_samp(n) OVER w AS sd,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2,
              count(*) OVER w AS w_n
       FROM d
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      WINDOW w AS (PARTITION BY event_type ORDER BY dayno
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_type, day, n, round((n - mu) / sd, 3) AS z
-    FROM r WHERE w_n = 7 AND sd > 0
+    SELECT event_type, day, n,
+           round((n - s1 / 7.0)
+                 / sqrt((7 * s2 - s1 * s1) / 42.0), 3) AS z
+    FROM r WHERE w_n = 7 AND 7 * s2 > s1 * s1
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly scoring: each (event_type, day)'s count z-scored
-    against its own trailing 7-day window — the detection rollup that
-    turns a raw event stream into an alerting signal. Days without a
-    full 7-day history are withheld (w_n = 7), so the score is never
-    computed against a padded window.
+    against its own trailing 7-CALENDAR-day window (RANGE frame over the
+    day number, not a row frame — a quiet day shrinks w_n and the row is
+    withheld rather than silently stretching the baseline over weeks).
 
-    Scale: the corpus collapses to event_type x day counts in ONE
+    Cross-engine determinism: mean/stddev are NEVER taken as float
+    aggregates (engines disagree in the last ulp on accumulation order);
+    the window carries exact BIGINT sums s1=Σn, s2=Σn², and
+    z = (n − s1/7) / sqrt((7·s2 − s1²)/42) is then a chain of
+    IEEE-correctly-rounded ops on identical integers — bit-identical in
+    Spark and DuckDB, so round(·, 3) is hash-safe.
+
+    Scale: the corpus collapses to event_type × day counts in ONE
     partially-aggregated shuffle; the rolling stats run over that tiny
-    rollup (days x types rows), so the window stage costs nothing at any
+    rollup (days × types rows), so the window stage costs nothing at any
     corpus size. The same shape extends to hourly buckets + per-client
     partitions without changing the plan."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "dayno"
+        ),
     ).agg(F.count("*").alias("n"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-6, 0)
+        .orderBy("dayno")
+        .rangeBetween(-6, 0)
     )
     r = d.select(
         "event_type",
         "day",
         "n",
-        F.avg("n").over(w).alias("mu"),
-        F.stddev_samp("n").over(w).alias("sd"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
         F.count("*").over(w).alias("w_n"),
     )
+    z = F.round(
+        (F.col("n") - F.col("s1") / F.lit(7.0))
+        / F.sqrt((7 * F.col("s2") - F.col("s1") * F.col("s1")) / F.lit(42.0)),
+        3,
+    )
     return (
-        r.filter((F.col("w_n") == 7) & (F.col("sd") > 0))
-        .select(
-            "event_type",
-            "day",
-            "n",
-            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 3).alias("z"),
+        r.filter(
+            (F.col("w_n") == 7)
+            & (7 * F.col("s2") > F.col("s1") * F.col("s1"))
         )
+        .select("event_type", "day", "n", z.alias("z"))
     )
 
 
@@ -388,14 +404,7 @@ def cms_estimate_vs_exact(cells: DataFrame, ev: DataFrame) -> DataFrame:
     """Point-query every distinct key against the (tiny, broadcast) cell
     table and set the exact count alongside — shared by the batch and
     streaming CMS queries."""
-    keys = ev.select("event_type").distinct()
-    kb = keys.select(
-        "event_type", F.posexplode(cms.cms_buckets(F.col("event_type")))
-    ).select(
-        "event_type",
-        F.col("pos").cast("int").alias("r"),
-        F.col("col").alias("bucket"),
-    )
+    kb = cms.cms_pairs(ev.select("event_type").distinct())
     est = (
         kb.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("event_type")

@@ -846,20 +846,18 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     hotter than the corpus's top bigram, which AQE splits."""
     docs = load_table(spark, sf_dir, "documents")
     ws = _words(F.col("text"))
+    # struct-valued zip: the pair comes out as fields directly — no
+    # concat-then-resplit string round-trip on the corpus-wide explode
     bg = docs.select(
         "doc_id",
         F.explode(
             F.zip_with(
                 F.slice(ws, 1, F.size(ws) - 1),
                 F.slice(ws, 2, F.size(ws) - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bg"),
-    ).select(
-        "doc_id",
-        F.substring_index("bg", " ", 1).alias("w1"),
-        F.substring_index("bg", " ", -1).alias("w2"),
-    )
+    ).select("doc_id", "bg.w1", "bg.w2")
     dbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
     c2 = dbg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))

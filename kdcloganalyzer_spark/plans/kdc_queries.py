@@ -708,7 +708,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (
       SELECT client, ts,
              count(*) OVER (
-               PARTITION BY client ORDER BY CAST(epoch(ts) AS BIGINT)
+               PARTITION BY client ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
              ) AS burst
       FROM {_R}

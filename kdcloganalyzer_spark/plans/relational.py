@@ -1471,9 +1471,13 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The read-back applies the 2-D range and aggregates; min/max zkey in
     the output exposes the interleave arithmetic itself to the oracle
-    (DuckDB reproduces the bit-twiddling exactly). The write sorts by
-    zkey ONCE per (session, sf) — at scale this is the periodic
-    compaction job, not a per-query cost."""
+    (DuckDB reproduces the bit-twiddling exactly). Only the low 10 bits
+    of each dim interleave — values ≥1024 alias in the z-key (both
+    engines identically), which degrades skipping for the tail but never
+    correctness; a production layout widens the bit budget or quantile-
+    buckets the dim first. The write sorts by zkey ONCE per
+    (session, sf) — at scale this is the periodic compaction job, not a
+    per-query cost."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ZORDER_CACHE:
         import tempfile
