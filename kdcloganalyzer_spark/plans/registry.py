@@ -47,6 +47,7 @@ def load_all() -> None:
         curation,
         kdc_queries,
         llm_pipeline,
+        pipeline_ext,
         relational,
         streaming_queries,
     )

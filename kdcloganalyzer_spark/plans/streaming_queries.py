@@ -167,6 +167,29 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.stream_dedup_events(spark, sf_dir)
 
 
+@query(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, n
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-upsert sink: foreachBatch merges each micro-batch's
+    per-user aggregate (latest event, additive count) into a keyed
+    parquet table across two disjoint micro-batches; the converged table
+    equals the batch latest-per-user query the oracle computes."""
+    return SQ.foreach_batch_upsert(spark, sf_dir)
+
+
 @query("stream_count_min_sketch", oracle=CMS_ORACLE)
 def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS: cell counts maintained as a stateful streaming
