@@ -510,3 +510,121 @@ def rollup_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer–supplier co-order graph
+# ---------------------------------------------------------------------------
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One chained-CTE PageRank round (the oracle's loop unrolling)."""
+    return f"""
+    {cur} AS (
+      SELECT n.node,
+             (1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * coalesce(sum(r.rank / d.deg), 0) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN {prev} r ON r.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n.node
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+    ),{",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(5))}
+    SELECT node, round(rank, 7) AS rank_r FROM r5
+    """
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-round PageRank over the undirected customer–supplier
+    co-order graph (an edge per distinct (customer, supplier) pair that
+    shares an order; both directions materialized, so no dangling mass).
+    The general iterative-algorithm surface beyond connected components
+    (operators/graph.py:pagerank; loop discipline shared with
+    operators/dedup.py:connected_components). The oracle unrolls the
+    same five rounds as chained CTEs — fixed-round semantics make the
+    result an exact function of the input, so the driver hash-verifies
+    an ITERATIVE algorithm end-to-end. rank is rounded at 1e-7: per-node
+    in-neighbor sum order differs across engines (~1e-15 noise,
+    amplified ≤ 0.85^-5 over rounds — still ≪ the rounding grain)."""
+    from kdcloganalyzer_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    ed = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = ed.unionAll(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(sym, damping=0.85, iters=5, symmetric=True)
+    return ranks.select("node", F.round("rank", 7).alias("rank_r"))
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-path mining (top event-type trigrams)
+# ---------------------------------------------------------------------------
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step per-user event-type paths — the "what do users
+    do next" navigation-mining query (the sequence-level sibling of
+    events_funnel's fixed funnel).
+
+    Scale: ONE shuffle on user_id for the ordered window (two leads
+    share a single Sort), then a partial-agg'd path count whose key
+    cardinality is |event_type|³ — tiny — so the final top-10 is a
+    TakeOrdered, not a global sort. Ordering ties broken by event_id on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
