@@ -13,7 +13,8 @@ invocation, README.md:14). One binary, every registered query:
 ``run`` prints the result (or writes it with ``--out``); ``--explain``
 prints the formatted physical plan instead of executing — the tool for
 checking pushdown/broadcast/exchange shapes before paying for a 100 TB
-run.
+run. ``verify <id>`` (or ``verify --all``) runs the DuckDB oracle
+compare locally — the same check the driver's correctness gate applies.
 """
 
 from __future__ import annotations
@@ -52,6 +53,18 @@ def _build_parser() -> argparse.ArgumentParser:
         choices=["parquet", "csv", "json", "orc"],
         help="output format for --out",
     )
+
+    v = sub.add_parser(
+        "verify",
+        help="run the DuckDB oracle compare for one id (or --all)",
+    )
+    v.add_argument("query_id", nargs="?", help="query id (omit with --all)")
+    v.add_argument("--all", action="store_true", help="verify every oracle id")
+    v.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="scale-factor directory with the parquet tables",
+    )
     return p
 
 
@@ -66,6 +79,39 @@ def main(argv: list[str] | None = None) -> int:
             oracle = "oracle" if qid in registry.ORACLES else "rows-only"
             print(f"{qid}\t{oracle}")
         return 0
+
+    if args.cmd == "verify":
+        from kdcloganalyzer_spark.oracle import compare, duckdb_con
+        from kdcloganalyzer_spark.session import get_spark
+
+        ids = (
+            sorted(registry.ORACLES)
+            if args.all
+            else [args.query_id] if args.query_id else []
+        )
+        if not ids:
+            print("give a query id or --all", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="cli:verify")
+        con = duckdb_con(args.sf_dir)
+        rc = 0
+        for qid in ids:
+            if qid not in registry.QUERIES:
+                print(f"{qid}\tUNKNOWN")
+                rc = 2
+                continue
+            if qid not in registry.ORACLES:
+                n = registry.QUERIES[qid](spark, args.sf_dir).count()
+                print(f"{qid}\tROWS-ONLY ({n} rows)")
+                continue
+            ok, why = compare(
+                registry.QUERIES[qid](spark, args.sf_dir),
+                con,
+                registry.ORACLES[qid],
+            )
+            print(f"{qid}\t{'PASS' if ok else 'FAIL: ' + why}")
+            rc = rc or (0 if ok else 1)
+        return rc
 
     if args.query_id not in registry.QUERIES:
         print(f"unknown query id: {args.query_id!r} (see `list`)", file=sys.stderr)

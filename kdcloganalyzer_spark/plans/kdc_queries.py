@@ -120,10 +120,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-line record assembly (KDCLogRecordReader.java:208-324).
     Rows-only BY CHOICE: the materialized oracle parquet is written from
     this very query's output, so a same-session hash match would be
-    circular — the records' content is instead hash-verified through
-    ``sessionize_split_parallel`` (an independent assembly strategy
-    compared against this one's materialization) and pinned record-level
-    by the golden parser tests."""
+    circular — the records' content is instead verified three
+    independent ways: ``sessionize_split_parallel`` (an independent
+    assembly strategy hash-compared against this one's materialization),
+    the golden parser tests, and a from-scratch imperative
+    state-machine reimplementation of the reference reader compared as
+    full-corpus record multisets
+    (tests/test_sessionize_reference_parity.py)."""
     return kdc_records(spark, sf_dir).drop("enctypes")  # stable flat schema
 
 

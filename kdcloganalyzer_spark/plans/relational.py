@@ -1511,3 +1511,101 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("max_zkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 pricing summary (the canonical scan-bound aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "analytics_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           count(*) AS count_order,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical scan-bound
+    aggregate — 6 aggregates over one filtered lineitem pass, grouped by
+    a 4-ish-value key.
+
+    Scale: THE partial-aggregation showcase — the map side collapses
+    ~every row into ≤ |flag×status| partial rows per task, so the
+    exchange moves a few dozen rows regardless of input size; the date
+    filter is pushed to the parquet scan. Averages derive from the
+    PRE-ROUNDED sums and the exact count (round(sum)/count), keeping
+    them bit-identical across engines — per the round(sum)-never-
+    round(avg) oracle rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "*",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias(
+                "avg_qty"
+            ),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
+                "avg_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+_CORRELATED_SQL = """
+    SELECT c_custkey, c_acctbal,
+           (SELECT count(*) FROM {orders} o3
+             WHERE o3.o_custkey = c.c_custkey) AS n_orders
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM {orders} o2
+                       WHERE o2.o_custkey = c.c_custkey
+                         AND o2.o_orderstatus = 'F')
+    """
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle=_CORRELATED_SQL.format(customer="customer", orders="orders"),
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries — EXISTS, NOT EXISTS, and a correlated
+    scalar COUNT — run through `spark.sql` from the IDENTICAL SQL text
+    the oracle executes (only the view names differ).
+
+    Scale: Catalyst DECORRELATES all three: EXISTS → left-semi join,
+    NOT EXISTS → left-anti join, the scalar count → a pre-aggregated
+    left outer join — so the plan is three hash joins against one
+    orders scan family, not a per-customer-row subquery execution (the
+    O(N·M) nested-loop a naive evaluator would run). This is the query
+    surface where a declarative engine's optimizer earns its keep at
+    100 TB."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        _CORRELATED_SQL.format(customer="v_customer", orders="v_orders")
+    )
