@@ -171,3 +171,34 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         registry.QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, correlated scalar COUNT
+    → pre-aggregated LeftOuter; no per-row subquery execution shape."""
+    plan = _plan(registry.QUERIES["sql_correlated_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "LeftOuter" in plan, plan
+
+
+def test_pricing_summary_partial_aggregates(spark, sf_dir):
+    """TPC-H Q1: map-side partial_sum before the exchange; shipdate
+    filter pushed to the parquet scan."""
+    plan = _plan(
+        registry.QUERIES["analytics_pricing_summary"](spark, sf_dir)
+    )
+    assert "partial_sum" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_top_paths_takes_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(registry.QUERIES["events_top_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunks_zero_exchange(spark, sf_dir):
+    """Chunking is a pure map + bounded explode: the only exchange
+    allowed is the spread() round-robin, never a hash exchange."""
+    plan = _plan(registry.QUERIES["pipeline_doc_chunks"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
