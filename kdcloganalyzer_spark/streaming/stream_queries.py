@@ -360,14 +360,18 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     """Streaming port of the multi-line KDC sessionizer
     (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).
 
-    readStream.text discovers log files incrementally (16 files per
-    micro-batch here, to prove multi-batch operation); foreachBatch runs
-    the batch sessionizer over exactly the files of that batch — correct
-    because records never span files, so file-granular batches cannot
-    split a record. The batch's file list comes from
-    ``input_file_name()`` (the micro-batch frame exposes neither
+    A ``binaryFile`` stream discovers log files incrementally (16 files
+    per micro-batch here, to prove multi-batch operation) and delivers
+    ONE ROW PER FILE — selecting only ``path`` prunes the content
+    column, so per-batch file discovery costs a directory listing, not
+    a full text scan (the earlier ``readStream.text`` shape paid one
+    whole-corpus line scan per batch just to learn the file names via
+    ``input_file_name()``; the micro-batch frame exposes neither
     ``inputFiles()`` nor ``_metadata`` — both probed empty/unresolved).
-    Output accumulates in an append parquet sink.
+    foreachBatch then runs the batch sessionizer over exactly that
+    batch's files — correct because records never span files, so
+    file-granular batches cannot split a record. Output accumulates in
+    an append parquet sink.
     """
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
@@ -375,12 +379,7 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="stream_kdc_records_")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        files = [
-            r["f"]
-            for r in batch_df.select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        ]
+        files = [r["path"] for r in batch_df.select("path").collect()]
         if not files:
             return
         recs = sessionize(read_log_lines_raw(spark, files)).drop("enctypes")
@@ -388,8 +387,13 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
 
     with _state_sized_shuffle(spark, 16):
         q = (
-            spark.readStream.option("maxFilesPerTrigger", 16)
-            .text(log_dir)
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", 16)
+            .load(log_dir)
             .writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", f"{out_dir}_ckpt")
             .trigger(availableNow=True)
