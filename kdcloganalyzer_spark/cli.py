@@ -81,11 +81,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "verify":
-        from kdcloganalyzer_spark.oracle import compare, duckdb_con
+        from kdcloganalyzer_spark.oracle import (
+            compare,
+            duckdb_con,
+            oracle_sql_for,
+        )
         from kdcloganalyzer_spark.session import get_spark
 
+        if args.all and args.query_id:
+            print("give a query id OR --all, not both", file=sys.stderr)
+            return 2
         ids = (
-            sorted(registry.ORACLES)
+            sorted(registry.QUERIES)
             if args.all
             else [args.query_id] if args.query_id else []
         )
@@ -100,15 +107,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{qid}\tUNKNOWN")
                 rc = 2
                 continue
-            if qid not in registry.ORACLES:
-                n = registry.QUERIES[qid](spark, args.sf_dir).count()
-                print(f"{qid}\tROWS-ONLY ({n} rows)")
+            try:
+                if qid not in registry.ORACLES:
+                    # rows-only ids still get the driver's smoke check
+                    n = registry.QUERIES[qid](spark, args.sf_dir).count()
+                    print(f"{qid}\tROWS-ONLY ({n} rows)")
+                    continue
+                ok, why = compare(
+                    registry.QUERIES[qid](spark, args.sf_dir),
+                    con,
+                    oracle_sql_for(qid, args.sf_dir),
+                )
+            except Exception as e:  # noqa: BLE001 — report, keep going
+                print(f"{qid}\tERROR: {type(e).__name__}: {e}"[:300])
+                rc = rc or 1
                 continue
-            ok, why = compare(
-                registry.QUERIES[qid](spark, args.sf_dir),
-                con,
-                registry.ORACLES[qid],
-            )
             print(f"{qid}\t{'PASS' if ok else 'FAIL: ' + why}")
             rc = rc or (0 if ok else 1)
         return rc

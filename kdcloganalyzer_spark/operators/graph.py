@@ -1,9 +1,9 @@
 """Iterative graph algorithms over DataFrame edge lists.
 
 Companion to ``operators/dedup.py:connected_components`` (min-label
-propagation): same loop discipline — frontier-sized shuffle partitions,
-lineage control, all data-path work as joins/aggregations (no
-driver-side collects of graph data).
+propagation): same loop discipline — frontier-sized shuffle partitions
+where rounds materialize eagerly, lineage control, all data-path work as
+joins/aggregations (no driver-side collects of graph data).
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 5,
     symmetric: bool = False,
+    materialized: bool = False,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list ``(src, dst)`` with the
     standard per-iteration update
@@ -29,70 +30,94 @@ def pagerank(
     must have out-edges, and pass ``symmetric=True`` so the loop can
     skip the all-nodes outer join: on a symmetric graph every node has
     in-edges, so the contribution aggregate already covers every node).
+    Pass ``materialized=True`` when ``edges`` is already checkpointed/
+    cached (e.g. a per-session edge cache) to skip re-materializing it.
 
     Scale shape, by rank-table size:
 
     - **rank table fits an executor** (≤ 5M nodes here): each round
       broadcasts the rank table against the (edge ⋈ outdeg) ``walk``
       table — built ONCE and localCheckpointed — so a round is
-      broadcast-join → partial-agg'd groupBy(dst), and no checkpoint is
-      needed between rounds: every broadcast materializes its child, and
-      leaving the ``iters`` rounds in ONE fused plan replaces per-round
-      driver synchronization (job launch + checkpoint write) with
-      pipelined stages — measured 6.3 s → ~3 s at sf0.1. (AQE can never
-      make this choice itself: checkpointed tables carry no size stats.)
-    - **rank table exceeds broadcast**: rounds fall back to a
-      co-partitioned shuffle join, shuffles sized to the edge count
-      (same rule as connected components — per-round scheduling cost is
-      proportional to partition count), with an eager per-round
-      ``localCheckpoint`` to keep lineage O(1); on a real cluster the
-      same loop writes the rank table to storage every few rounds."""
+      broadcast-join → partial-agg'd groupBy(dst), and the whole
+      ``iters``-round computation stays ONE fused plan: no per-round
+      checkpoint or driver synchronization (every broadcast
+      materializes its child), and AQE right-sizes the per-round
+      groupBy exchanges at runtime — which it could never do for the
+      join choice itself, since checkpointed tables carry no size
+      stats; measured 6.3 s → ~3 s at sf0.1.
+    - **rank table exceeds broadcast**: rounds fall back to
+      co-partitioned shuffle joins with an eager per-round
+      ``localCheckpoint`` to keep lineage O(1); those eagerly-executed
+      shuffles are sized to the edge count (same rule as connected
+      components — per-round scheduling cost is proportional to
+      partition count, and AQE cannot coalesce checkpointed-RDD
+      joins); on a real cluster the same loop writes the rank table to
+      storage every few rounds."""
     sess = edges.sparkSession
-    e = edges.select("src", "dst").localCheckpoint()
-    n_edges = e.count()  # free: materialized by the checkpoint
+    e = edges.select("src", "dst")
+    if not materialized:
+        e = e.localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # src carries every node when the caller symmetrized; union with
+    # dst endpoints covers genuinely directed graphs' sinks too.
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    walk = e.join(out_deg, "src").localCheckpoint()  # src,dst,deg
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    bcast_ranks = n <= 5_000_000
+    if bcast_ranks:
+        # One fused lazy plan: nothing in the loop executes now, so a
+        # session-conf override here would expire before execution —
+        # AQE handles the per-round exchange sizing instead.
+        for _ in range(iters):
+            ranks = _pagerank_round(
+                walk, F.broadcast(ranks), nodes, damping, n, symmetric
+            )
+        return ranks
+    # Shuffle-join path: each round EXECUTES eagerly (localCheckpoint),
+    # so the frontier-sized shuffle override is in force for the work.
+    n_edges = e.count()  # cheap: e is materialized either way
     parallelism = sess.sparkContext.defaultParallelism
     loop_parts = max(2, min(parallelism, n_edges // 500_000 + 1))
     old_parts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        # src carries every node when the caller symmetrized; union with
-        # dst endpoints covers genuinely directed graphs' sinks too.
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .unionAll(e.select(F.col("dst").alias("node")))
-            .distinct()
-            .localCheckpoint()
-        )
-        n = nodes.count()
-        walk = e.join(out_deg, "src").localCheckpoint()  # src,dst,deg
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-        bcast_ranks = n <= 5_000_000
         for _ in range(iters):
-            r = F.broadcast(ranks) if bcast_ranks else ranks
-            contrib = (
-                walk.join(r, walk["src"] == r["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("deg")).alias("c"),
-                )
-                .groupBy("node")
-                .agg(F.sum("c").alias("s"))
-            )
-            base = (
-                contrib
-                if symmetric
-                else nodes.join(contrib, "node", "left")
-            )
-            ranks = base.select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            if not bcast_ranks:
-                ranks = ranks.localCheckpoint()
+            ranks = _pagerank_round(
+                walk, ranks, nodes, damping, n, symmetric
+            ).localCheckpoint()
         return ranks
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _pagerank_round(
+    walk: DataFrame,
+    ranks: DataFrame,
+    nodes: DataFrame,
+    damping: float,
+    n: int,
+    symmetric: bool,
+) -> DataFrame:
+    contrib = (
+        walk.join(ranks, walk["src"] == ranks["node"])
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+    )
+    base = contrib if symmetric else nodes.join(contrib, "node", "left")
+    return base.select(
+        "node",
+        (
+            F.lit((1.0 - damping) / n)
+            + damping * F.coalesce(F.col("s"), F.lit(0.0))
+        ).alias("rank"),
+    )

@@ -42,6 +42,31 @@ def _norm(v):
     return str(v) if v is not None else None
 
 
+def oracle_sql_for(qid: str, sf_dir: str) -> str:
+    """Registered oracle SQL adapted to ``sf_dir``: the KDC / synth /
+    schema-evolution oracles embed the DRIVER's sf0.01 staging paths as
+    static strings (the driver gate always runs there); for any other
+    sf, swap in that sf's deterministic paths. Shared by the CLI
+    ``verify`` subcommand and tests/test_queries_oracle.py — without
+    the rewrite, a verify at sf0.001 would compare Spark@sf0.001
+    against DuckDB@sf0.01 and spuriously fail."""
+    from kdcloganalyzer_spark.plans import kdc_queries, registry, relational
+    from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
+
+    return (
+        registry.ORACLES[qid]
+        .replace(
+            kdc_queries.DRIVER_RECORDS_GLOB,
+            kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",
+        )
+        .replace(kdc_queries.DRIVER_SYNTH_DIR, synth_path_for_sf(sf_dir))
+        .replace(
+            relational.DRIVER_EVO_GLOB,
+            relational.evolution_path_for_sf(sf_dir) + "/*/*.parquet",
+        )
+    )
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     cols = sorted(spark_df.columns)
     spark_rows = [tuple(_norm(r[c]) for c in cols) for r in spark_df.collect()]

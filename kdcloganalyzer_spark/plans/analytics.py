@@ -597,7 +597,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kdcloganalyzer_spark.operators.graph import pagerank
 
     sym = _coorder_edges(spark, sf_dir)
-    ranks = pagerank(sym, damping=0.85, iters=5, symmetric=True)
+    ranks = pagerank(
+        sym, damping=0.85, iters=5, symmetric=True, materialized=True
+    )
     return ranks.select("node", F.round("rank", 7).alias("rank_r"))
 
 

@@ -77,7 +77,7 @@ END
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring coverage: the fraction of a
-    document's {_SPAN_K}-token window positions whose window text also
+    document's 5-token (_SPAN_K) window positions whose window text also
     occurs in ANOTHER document — the per-token-granularity form of
     exact-substring train-set dedup (suffix-array dedup's decision
     signal), where documents above a coverage threshold are dropped or
@@ -163,8 +163,8 @@ _CHUNK_STRIDE = 48
     """,
 )
 def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping retrieval chunks ({_CHUNK_SIZE}-token windows, stride
-    {_CHUNK_STRIDE} → 16-token overlap): the standard RAG-index /
+    """Overlapping retrieval chunks (64-token windows, stride 48 →
+    16-token overlap; _CHUNK_SIZE/_CHUNK_STRIDE): the standard RAG-index /
     long-context-eval preprocessing step. Emits (doc_id, chunk_id,
     tok_start, n_tok, md5(chunk text)) — the md5 makes the hash check
     verify chunk CONTENT, not just chunk arithmetic.

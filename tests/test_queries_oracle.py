@@ -21,24 +21,11 @@ def con(sf_dir):
 
 
 def _oracle_sql_for(qid: str, sf_dir: str) -> str:
-    """Oracle SQL adapted to the test's sf: the registered KDC oracles
-    embed the driver's sf0.01 materialized-records / synth-corpus paths
-    (static strings); swap in this sf's paths."""
-    from kdcloganalyzer_spark.plans import kdc_queries, relational
-    from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
+    """Per-sf oracle path rewrite; implementation shared with the CLI
+    ``verify`` subcommand (kdcloganalyzer_spark/oracle.py)."""
+    from kdcloganalyzer_spark.oracle import oracle_sql_for
 
-    return (
-        registry.ORACLES[qid]
-        .replace(
-            kdc_queries.DRIVER_RECORDS_GLOB,
-            kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",
-        )
-        .replace(kdc_queries.DRIVER_SYNTH_DIR, synth_path_for_sf(sf_dir))
-        .replace(
-            relational.DRIVER_EVO_GLOB,
-            relational.evolution_path_for_sf(sf_dir) + "/*/*.parquet",
-        )
-    )
+    return oracle_sql_for(qid, sf_dir)
 
 
 @pytest.mark.parametrize("qid", sorted(registry.ORACLES))

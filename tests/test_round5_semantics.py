@@ -62,15 +62,12 @@ def test_pagerank_mass_conserved(spark, sf_dir):
 def test_substring_spans_planted_clone_fully_covered(spark):
     """A document duplicated verbatim has dup_frac == 1.0; a document
     sharing no 5-gram with any other has dup_frac == 0.0."""
-    from kdcloganalyzer_spark.operators.dedup import spread  # noqa: F401
-
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),
         (2, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 1
         (3, "one two three four five six seven eight nine"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    docs.createOrReplaceTempView("_spans_probe")
     # run the same construction as the registered query, inline
     from kdcloganalyzer_spark.plans.pipeline_ext import _SPAN_GRAMS
 
