@@ -1609,3 +1609,51 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _CORRELATED_SQL.format(customer="v_customer", orders="v_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): data-driven date spine
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+      FROM {events}
+    ),
+    spine(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n
+      FROM {events} WHERE event_type = 'purchase' AND value > 180
+      GROUP BY 1
+    )
+    SELECT s.d AS day, coalesce(daily.n, 0) AS n_events,
+           daily.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    """
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(events="events"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): a data-driven day spine — anchor at the
+    corpus's first day, recurse one day at a time to the last, LEFT
+    JOIN daily high-value-purchase counts to expose gap days. Identical
+    SQL text runs on both engines (only the view name differs).
+
+    Scale: the recursion materializes one row per DAY (bounded by the
+    calendar, not the data — 30 levels here, well under Spark's
+    100-level default), and each level is a constant-width union step;
+    the corpus-sized work is the ordinary daily aggregate the spine
+    joins against. This is the declarative replacement for
+    rollup_gap_fill's explode(sequence(...)) grid when the spine bounds
+    are themselves query-derived."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_events_rcte"
+    )
+    return spark.sql(_RECURSIVE_SQL.format(events="v_events_rcte"))
