@@ -437,6 +437,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     n_bands: int = 4,
     rows_per_band: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, entirely JVM-side.
 
@@ -459,15 +460,17 @@ def minhash_lsh_pairs(
     standard web-dedup construction.)
     """
     k = n_bands * rows_per_band
-    d = spread(docs).select(
-        "doc_id", word_set(F.col("text")).alias("words")
-    ).filter(F.size("words") > 0)
-    # The self-join's sides are structurally different (one becomes a
-    # broadcast/build, the other the probe), so Spark cannot reuse the
-    # exchange and would evaluate the k-fold signature scan TWICE.
-    # localCheckpoint materializes it once; at real scale the same role is
-    # played by writing the signature table before the join stage.
-    sig = _minhash_signature(d, k).localCheckpoint(eager=False)
+    if sig is None:
+        d = spread(docs).select(
+            "doc_id", word_set(F.col("text")).alias("words")
+        ).filter(F.size("words") > 0)
+        # The self-join's sides are structurally different (one becomes a
+        # broadcast/build, the other the probe), so Spark cannot reuse the
+        # exchange and would evaluate the k-fold signature scan TWICE.
+        # localCheckpoint materializes it once; at real scale the same
+        # role is played by writing the signature table before the join
+        # stage — callers that HAVE such a table pass it via ``sig``.
+        sig = _minhash_signature(d, k).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "sig",
@@ -528,6 +531,7 @@ def minhash_dedup(
     threshold: float = 0.9,
     n_bands: int = 4,
     rows_per_band: int = 8,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Scalable MinHash dedup: per-doc duplicate-representative assignment.
 
@@ -545,10 +549,11 @@ def minhash_dedup(
     from pyspark.sql import Window
 
     k = n_bands * rows_per_band
-    d = spread(docs).select(
-        "doc_id", word_set(F.col("text")).alias("words")
-    ).filter(F.size("words") > 0)
-    sig = _minhash_signature(d, k)
+    if sig is None:
+        d = spread(docs).select(
+            "doc_id", word_set(F.col("text")).alias("words")
+        ).filter(F.size("words") > 0)
+        sig = _minhash_signature(d, k)
     bands = sig.select(
         "doc_id",
         "sig",

