@@ -480,3 +480,77 @@ def topk_cosine_pq(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+_DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+
+
+def lsh_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``topk_cosine_lsh``, generated from the SAME seeded
+    plane literals. Unlike the MinHash/SimHash family (engine-internal
+    xxhash64), signed-projection LSH is a pure function of the data and
+    a literal matrix, so the approximate index is exactly reproducible:
+    unit-normalize (sequential float fold, matching Spark's aggregate
+    order), sign-bit per plane, pack 8 bits per table, bucket-equi-join
+    the 5 query vectors, exact cosine re-rank. Every float reduction is
+    element-order-identical across engines, so the bits — and therefore
+    the candidate sets — match exactly, not just approximately."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
+    ]
+    rows = []
+    for t, tb in enumerate(tables):
+        for j, p in enumerate(tb):
+            lst = "[" + ",".join(f"{float(x):.6e}" for x in p) + "]"
+            rows.append(f"({t}, {j}, {lst}::DOUBLE[])")
+    planes_values = ",\n".join(rows)
+    return f"""
+    WITH planes(tbl, idx, p) AS (VALUES {planes_values}),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x /
+               sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      FROM e
+    ),
+    bits AS (
+      SELECT vec_id, tbl, idx,
+             CASE WHEN {_DUCK_DOT.format(a="u", b="p")} >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM unit CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, CAST(sum(bit * power(2, idx)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, tbl
+    ),
+    q AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets
+          WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.q_id, b.vec_id
+      FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      WHERE b.vec_id <> q.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             round({_DUCK_DOT.format(a="qu.u", b="bu.u")}, 6) AS cos
+      FROM cand c
+      JOIN unit qu ON qu.vec_id = c.q_id
+      JOIN unit bu ON bu.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -290,13 +290,27 @@ def q_filter_realm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("project_narrow")
+@query(
+    "project_narrow",
+    oracle=f"""
+    SELECT client, ts_raw FROM {_R}
+    WHERE valid AND success AND req_type = 'AUTH' AND NOT referral
+    ORDER BY client, ts_raw LIMIT 1000
+    """,
+)
 def q_project_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow projection pre-shuffle (UserTimeMapper.java:51-56); Catalyst
-    ColumnPruning pushes this into the scan. Rows-only: limit(1000)
-    selects an arbitrary subset, so no deterministic oracle exists —
-    the projection's content is covered by filter_predicates' oracle."""
-    return _accepted(spark, sf_dir).select("client", "ts_raw").limit(1000)
+    ColumnPruning pushes this into the scan, and the bounded preview is
+    a TakeOrderedAndProject (no global sort materialization). The limit
+    is ordered by the FULL projected row, so the selected multiset is
+    deterministic — ties at the cut are identical rows — which is what
+    makes the head hash-verifiable (a bare limit(1000) was rows-only)."""
+    return (
+        _accepted(spark, sf_dir)
+        .select("client", "ts_raw")
+        .orderBy("client", "ts_raw")
+        .limit(1000)
+    )
 
 
 def _user_time(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -294,10 +294,15 @@ def sim_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_search_lsh")
+@query("sim_search_lsh", oracle=similarity.lsh_oracle_sql())
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via seeded signed-random-projection buckets +
-    exact re-rank on candidates (rows-only: recall is probabilistic)."""
+    exact re-rank on candidates. HASH-VERIFIED, unlike the
+    xxhash64-based families: the planes are seeded literals and every
+    float reduction is element-order-identical across engines, so the
+    DuckDB twin (similarity.lsh_oracle_sql) reproduces the exact bucket
+    assignment and candidate sets — the oracle checks the approximate
+    INDEX itself, not just a recall bound."""
     return similarity.topk_cosine_lsh(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
     )
