@@ -57,36 +57,39 @@ def pagerank(
     e = edges.select("src", "dst")
     if not materialized:
         e = e.localCheckpoint()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # src carries every node when the caller symmetrized; union with
-    # dst endpoints covers genuinely directed graphs' sinks too.
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    walk = e.join(out_deg, "src").localCheckpoint()  # src,dst,deg
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    bcast_ranks = n <= 5_000_000
-    if bcast_ranks:
-        # One fused lazy plan: nothing in the loop executes now, so a
-        # session-conf override here would expire before execution —
-        # AQE handles the per-round exchange sizing instead.
-        for _ in range(iters):
-            ranks = _pagerank_round(
-                walk, F.broadcast(ranks), nodes, damping, n, symmetric
-            )
-        return ranks
-    # Shuffle-join path: each round EXECUTES eagerly (localCheckpoint),
-    # so the frontier-sized shuffle override is in force for the work.
-    n_edges = e.count()  # cheap: e is materialized either way
+    n_edges = e.count()  # materializes e on its first use
+    # Edge-sized shuffle override covers EVERYTHING that executes
+    # eagerly during construction — the deg/nodes/walk checkpoints and
+    # (on the big-graph path) every loop round; set it before any of
+    # them are built, restore on exit.
     parallelism = sess.sparkContext.defaultParallelism
     loop_parts = max(2, min(parallelism, n_edges // 500_000 + 1))
     old_parts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        # src carries every node when the caller symmetrized; union
+        # with dst endpoints covers genuinely directed graphs' sinks.
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = nodes.count()
+        walk = e.join(out_deg, "src").localCheckpoint()  # src,dst,deg
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        if n <= 5_000_000:
+            # One fused lazy plan: the rounds execute AFTER the conf
+            # restore (nothing here is eager), which is fine — AQE
+            # right-sizes the per-round exchanges at runtime.
+            for _ in range(iters):
+                ranks = _pagerank_round(
+                    walk, F.broadcast(ranks), nodes, damping, n, symmetric
+                )
+            return ranks
+        # Shuffle-join path: each round EXECUTES eagerly
+        # (localCheckpoint), so the override is in force for the work.
         for _ in range(iters):
             ranks = _pagerank_round(
                 walk, ranks, nodes, damping, n, symmetric

@@ -577,7 +577,9 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = ed.unionAll(
             ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        _EDGE_CACHE[key] = sym.localCheckpoint()
+        # eager=False: plan-only callers (CLI --explain) shouldn't pay
+        # the edge derivation; the first action materializes it once.
+        _EDGE_CACHE[key] = sym.localCheckpoint(eager=False)
     return _EDGE_CACHE[key]
 
 

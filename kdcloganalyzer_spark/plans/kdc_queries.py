@@ -295,7 +295,7 @@ def q_filter_realm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT client, ts_raw FROM {_R}
     WHERE valid AND success AND req_type = 'AUTH' AND NOT referral
-    ORDER BY client, ts_raw LIMIT 1000
+    ORDER BY client NULLS FIRST, ts_raw NULLS FIRST LIMIT 1000
     """,
 )
 def q_project_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,11 +304,14 @@ def q_project_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrderedAndProject (no global sort materialization). The limit
     is ordered by the FULL projected row, so the selected multiset is
     deterministic — ties at the cut are identical rows — which is what
-    makes the head hash-verifiable (a bare limit(1000) was rows-only)."""
+    makes the head hash-verifiable (a bare limit(1000) was rows-only).
+    NULL ordering is explicit on both sides: Spark's ASC default is
+    NULLS FIRST, DuckDB's is NULLS LAST, and ts_raw can be NULL on an
+    accepted record whose ts line had no leading timestamp."""
     return (
         _accepted(spark, sf_dir)
         .select("client", "ts_raw")
-        .orderBy("client", "ts_raw")
+        .orderBy(F.asc_nulls_first("client"), F.asc_nulls_first("ts_raw"))
         .limit(1000)
     )
 

@@ -152,9 +152,12 @@ def _minhash_sig(spark: SparkSession, sf_dir: str, k: int = 32) -> DataFrame:
             .select("doc_id", dedup.word_set(F.col("text")).alias("words"))
             .filter(F.size("words") > 0)
         )
+        # eager=False: constructing the query (e.g. CLI --explain) must
+        # not execute the signature scan; the first ACTION materializes
+        # it and every later query reuses the same checkpointed frame.
         _MINHASH_SIG_CACHE[key] = dedup._minhash_signature(
             d, k
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return _MINHASH_SIG_CACHE[key]
 
 

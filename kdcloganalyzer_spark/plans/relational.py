@@ -1618,8 +1618,11 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # days non-recursively: Spark executes each recursion level as a
 # separate internal job (~170 ms/level, measured — data-size
 # independent), so a day-step spine paid 30 levels ≈ 5 s while this
-# shape pays ⌈span/7⌉ = 5. The day expansion is the only
-# dialect-divergent line: Spark explode(sequence(...)), DuckDB
+# shape pays ⌈span/7⌉ = 5. The recursion carries ``hi`` INSIDE its rows
+# (wk(d, hi)) instead of re-joining the 1-row bounds CTE per step —
+# the cross joins planned as BroadcastNestedLoopJoin, which the plan
+# sweep rightly rejects. The day expansion is the only dialect-
+# divergent line: Spark explode(sequence(...)), DuckDB
 # unnest(generate_series(...)) — semantics identical (both inclusive).
 _RECURSIVE_SQL = """
     WITH RECURSIVE bounds AS (
@@ -1627,14 +1630,14 @@ _RECURSIVE_SQL = """
              CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
       FROM {events}
     ),
-    wk(d) AS (
-      SELECT lo FROM bounds
+    wk(d, hi) AS (
+      SELECT lo, hi FROM bounds
       UNION ALL
-      SELECT d + INTERVAL 7 DAY FROM wk, bounds
+      SELECT d + INTERVAL 7 DAY, hi FROM wk
       WHERE d + INTERVAL 7 DAY <= hi
     ),
     spine AS (
-      SELECT {expand} AS d FROM wk, bounds
+      SELECT {expand} AS d FROM wk
     ),
     daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n
