@@ -306,8 +306,53 @@ def jaccard_join_delta_base(
     return _verify_jaccard(cand, d_delta.unionByName(d_base), threshold)
 
 
+def build_pivot_index(
+    emb: DataFrame, n_cells: int = 16
+) -> tuple[DataFrame, list[list[float]], dict[int, float]]:
+    """Threshold-INDEPENDENT part of the pivot-pruned cosine join:
+    (assigned unit vectors with cell + pivot distance, centroids,
+    per-cell max radius). Build once per corpus snapshot and share
+    across thresholds/queries — only the admissibility matrix (a
+    driver-side k² loop) depends on the threshold."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from kdcloganalyzer_spark.operators.similarity import _cell_dist_exprs
+
+    unit = with_unit_vector(
+        spread(emb).select("vec_id", "label", "embedding"), "embedding"
+    ).drop("embedding")
+    feat = unit.withColumn("features", array_to_vector("unit"))
+    model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    dists, _ranked = _cell_dist_exprs(n_cells, centers)
+    # _cell_dist_exprs folds over the raw `embedding` column; here the
+    # unit vector IS the feature space, so alias it in.
+    assigned = (
+        unit.withColumn("embedding", F.col("unit"))
+        .withColumn("dists", dists)
+        .withColumn("cell", F.expr(
+            "transform(array_sort(transform(sequence(0, "
+            f"{n_cells - 1}), i -> struct(dists[i] AS d, i AS idx))), "
+            "s -> s.idx)[0]"
+        ))
+        .withColumn("pdist", F.sqrt(F.array_min("dists")))
+        .drop("embedding", "dists")
+        .localCheckpoint(eager=False)
+    )
+    radii_rows = (
+        assigned.groupBy("cell").agg(F.max("pdist").alias("r")).collect()
+    )
+    radii = {int(r["cell"]): float(r["r"]) for r in radii_rows}
+    return assigned, centers, radii
+
+
 def embedding_cosine_pairs_pivot(
-    emb: DataFrame, threshold: float = 0.35, n_cells: int = 16
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    index: tuple[DataFrame, list[list[float]], dict[int, float]]
+    | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine pairs via PIVOT-PRUNED candidate join — the
     scale-safe front end whose output is IDENTICAL to the label-blocked
@@ -335,37 +380,11 @@ def embedding_cosine_pairs_pivot(
     everything; a low t on isotropic data degrades gracefully toward
     blocked all-pairs)."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from kdcloganalyzer_spark.operators.similarity import _cell_dist_exprs
 
     radius = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
-    unit = with_unit_vector(
-        spread(emb).select("vec_id", "label", "embedding"), "embedding"
-    ).drop("embedding")
-    feat = unit.withColumn("features", array_to_vector("unit"))
-    model = KMeans(k=n_cells, seed=42, maxIter=8).fit(feat)
-    centers = [c.tolist() for c in model.clusterCenters()]
-    dists, _ranked = _cell_dist_exprs(n_cells, centers)
-    # _cell_dist_exprs folds over the raw `embedding` column; here the
-    # unit vector IS the feature space, so alias it in.
-    assigned = (
-        unit.withColumn("embedding", F.col("unit"))
-        .withColumn("dists", dists)
-        .withColumn("cell", F.expr(
-            "transform(array_sort(transform(sequence(0, "
-            f"{n_cells - 1}), i -> struct(dists[i] AS d, i AS idx))), "
-            "s -> s.idx)[0]"
-        ))
-        .withColumn("pdist", F.sqrt(F.array_min("dists")))
-        .drop("embedding", "dists")
-        .localCheckpoint(eager=False)
-    )
-    radii_rows = (
-        assigned.groupBy("cell").agg(F.max("pdist").alias("r")).collect()
-    )
-    radii = {int(r["cell"]): float(r["r"]) for r in radii_rows}
+    if index is None:
+        index = build_pivot_index(emb, n_cells)
+    assigned, centers, radii = index
     C = np.array(centers)
     admissible = []
     for i in radii:

@@ -218,7 +218,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     still hash-matches bit-for-bit. The label-blocked all-pairs form
     remains as the pytest cross-check (tests/test_dedup_frontends.py)."""
     return dedup.embedding_cosine_pairs_pivot(
-        load_table(spark, sf_dir, "embeddings"), 0.35
+        load_table(spark, sf_dir, "embeddings"),
+        0.35,
+        index=_pivot_index(spark, sf_dir),
     )
 
 
@@ -314,6 +316,21 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _IVFPQ_CACHE: dict = {}
+_PIVOT_CACHE: dict = {}
+
+
+def _pivot_index(spark: SparkSession, sf_dir: str):
+    """Cached (per session+sf) pivot index for the pruned cosine join —
+    the threshold-independent KMeans assignment + radii
+    (operators/dedup.py:build_pivot_index), amortized like the
+    IVF/PQ quantizers. (The radii collect makes the build eager by
+    nature; it runs on first use, not at registration.)"""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIVOT_CACHE:
+        _PIVOT_CACHE[key] = dedup.build_pivot_index(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _PIVOT_CACHE[key]
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
