@@ -650,3 +650,49 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+@query(
+    "events_markov_transition",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT cur, nxt, count(*) AS n,
+           round(count(*)::DOUBLE /
+                 sum(count(*)) OVER (PARTITION BY cur), 6) AS p
+    FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    """,
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the model behind events_top_paths'
+    raw path counts (next-action prediction, anomalous-flow scoring).
+
+    Scale: one shuffle on user_id for the ordered lead, a partial-agg'd
+    count into a |event_type|² keyspace, and the row-normalization
+    window runs over that tiny aggregate, not the corpus. The
+    probability is a ratio of exact counts, so the 1e-6 rounding is
+    engine-safe (same double in, same round out)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = s.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row_tot), 6
+        ).alias("p"),
+    )
