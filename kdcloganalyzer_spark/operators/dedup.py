@@ -838,3 +838,34 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame
         F.col("b.vec_id").alias("id_b"),
         cos.alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def semdedup_dropped(assigned: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    KMeans-cluster-scoped cosine — the ids to DROP, given an IVF-style
+    assignment table ``(vec_id, cell, unit)`` (similarity.build_ivf_index;
+    unit vectors pre-normalized once).
+
+    A vector is dropped when SOME lower-id vector in the SAME cell has
+    cosine ≥ threshold — the deterministic keep-lowest-id form of the
+    paper's keep-one-per-duplicate-group rule. Unlike the lossless
+    pivot-pruned exact join (embedding_cosine_pairs_pivot), cross-cell
+    near-dups are deliberately ignored: bounding the pair work to
+    Σ|cell|² is the method. At 100 TB the paper's construction holds by
+    scaling k with N (they run k=50k on LAION) so cells stay
+    O(N/k) ≈ constant; the pair join here is a cell-keyed equi-join
+    with partial-agg'd distinct, never a global product.
+    """
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("unit_a"), F.col("unit_b")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )

@@ -124,3 +124,54 @@ def _pagerank_round(
             + damping * F.coalesce(F.col("s"), F.lit(0.0))
         ).alias("rank"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list given in
+    canonical form ``(u, v)`` with ``u < v``, one row per edge.
+
+    Standard degree-ordered wedge enumeration (the MapReduce scheme of
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, build wedges by self-joining oriented
+    edges on the shared LOW endpoint, and close each wedge against the
+    canonical edge set. Orientation bounds the wedge count by
+    O(Σ outdeg²) with outdeg ≤ O(√m) — the whole computation is three
+    shuffles (degree agg, wedge self-join, closing join) and never
+    materializes anything bigger than the wedge set; a plain node-keyed
+    self-join would instead square the max degree. All joins are plain
+    equi-joins, so AQE broadcasts the degree table when it is small and
+    falls back to shuffle joins on a real cluster.
+
+    Returns ``(node, tri_n)`` for every node in at least one triangle.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o1 = oriented.select("a", F.col("b").alias("b1"))
+    o2 = oriented.select("a", F.col("b").alias("b2"))
+    wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
+    closing = edges.select(
+        F.col("u").alias("b1"), F.col("v").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"]).select(
+        F.array("a", "b1", "b2").alias("nodes")
+    )
+    return (
+        tri.select(F.explode("nodes").alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_n"))
+    )

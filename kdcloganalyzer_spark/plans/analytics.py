@@ -696,3 +696,64 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(row_tot), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-order graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pern AS (
+      SELECT node, count(*) AS tri_n FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, tri_n FROM pern
+    ORDER BY tri_n DESC, node ASC LIMIT 20
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the part co-order graph
+    (an edge per distinct part pair sharing an order) — the clustering /
+    community-density primitive alongside graph_pagerank's centrality
+    and dedup_clusters' connectivity.
+
+    Scale: operators/graph.py:triangle_counts runs the degree-ordered
+    wedge scheme (Suri & Vassilvitskii WWW'11) — orientation bounds
+    wedges by O(m^{3/2}) regardless of skew, so the hub part that
+    co-occurs with everything never becomes the "last reducer"; the
+    oracle's canonical u<v<w triple self-join is the same triangle set
+    by a different (quadratic-in-degree) route, making the hash compare
+    an algebraic identity check between the two formulations. Edge
+    derivation is one orderkey-bucketed self-join whose per-order fanout
+    is C(lines_per_order, 2) ≤ 21."""
+    from kdcloganalyzer_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(b, li["l_orderkey"] == b["k"])
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("tri_n"), F.asc("node"))
+        .limit(20)
+    )

@@ -409,6 +409,46 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_pq(encoded, codebook, n_queries=5, k=10)
 
 
+@query("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup that
+    bounds all pair work to WITHIN KMeans cells, the embedding sibling
+    of dedup_fuzzy_minhash's representative-per-bucket output: drop any
+    vector whose cell holds a lower-id vector with cosine ≥ 0.35 (the
+    repo's near-dup threshold; keep-lowest-id makes the paper's
+    keep-one-per-group rule deterministic given the clustering). Reuses
+    the CACHED IVF coarse quantizer (_ivf_index) — one KMeans fit
+    serves IVF/IVFPQ search and semantic dedup, exactly how a
+    production pipeline shares its cluster assignment.
+
+    Returns the per-cell curation summary (members / dropped / kept),
+    16 rows. Rows-only: cell boundaries come from the trained KMeans,
+    so pair sets are not SQL-reproducible; the keep-set invariants
+    (kept vectors pairwise < t within a cell, every dropped vector has
+    a kept-or-dropped lower-id witness ≥ t, kept+dropped = members) are
+    pinned by tests/test_round5_ops.py.
+
+    Scale: cell-keyed equi-join (Σ|cell|² pairs, k scaled with N keeps
+    |cell| bounded — the paper runs k=50k on LAION), partial-agg'd
+    distinct on dropped ids, one vec_id-keyed left join for the flag."""
+    assigned, _ = _ivf_index(spark, sf_dir)
+    dropped = dedup.semdedup_dropped(assigned, threshold=0.35)
+    # Plain left join — `dropped` is data-sized (a fraction of ALL
+    # vectors), so the broadcast decision belongs to AQE, not a hint.
+    flagged = assigned.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count("*") - F.count("is_dropped")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,110 @@
+"""Semantic invariants for the round-5 operators: degree-ordered
+triangle counting on a planted graph, and SemDeDup keep-set laws (the
+rows-only contract for dedup_semantic — kept vectors are pairwise below
+threshold within a cell, every dropped vector has a lower-id witness,
+and the per-cell summary partitions the membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.operators import dedup
+from kdcloganalyzer_spark.operators.graph import triangle_counts
+from kdcloganalyzer_spark.plans import registry
+
+registry.load_all()
+
+SEM_T = 0.35
+
+
+def test_triangle_counts_on_planted_graph(spark):
+    """K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    pendant path 4-5-6 (no new triangles, nodes 5/6 absent from the
+    output)."""
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "u int, v int"
+    )
+    got = {
+        r["node"]: r["tri_n"] for r in triangle_counts(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_handles_skew_hub(spark):
+    """A hub wired to n spokes with one spoke-spoke edge: exactly one
+    triangle regardless of the hub's degree — the degree-ordered wedge
+    join must not lose (or double-count) triangles when one endpoint
+    dominates."""
+    n = 50
+    star = [(0, s) for s in range(1, n + 1)]
+    edges = spark.createDataFrame(star + [(1, 2)], "u int, v int")
+    got = {
+        r["node"]: r["tri_n"] for r in triangle_counts(edges).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _semdedup_parts(spark, sf_dir):
+    from kdcloganalyzer_spark.plans.llm_pipeline import _ivf_index
+
+    assigned, _ = _ivf_index(spark, sf_dir)
+    dropped = dedup.semdedup_dropped(assigned, SEM_T)
+    kept = assigned.join(dropped, "vec_id", "left_anti")
+    return assigned, dropped, kept
+
+
+def test_semdedup_kept_pairwise_below_threshold(spark, sf_dir):
+    """No two KEPT vectors in the same cell reach the threshold: if
+    u < v were both kept with cos ≥ t, v would have the lower-id
+    witness u and could not be kept."""
+    _, _, kept = _semdedup_parts(spark, sf_dir)
+    a = kept.select(
+        "cell", F.col("vec_id").alias("ia"), F.col("unit").alias("ua")
+    )
+    b = kept.select(
+        "cell", F.col("vec_id").alias("ib"), F.col("unit").alias("ub")
+    )
+    close = (
+        a.join(b, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .where(dedup._dot(F.col("ua"), F.col("ub")) >= SEM_T)
+    )
+    assert close.count() == 0
+
+
+def test_semdedup_dropped_have_lower_id_witness(spark, sf_dir):
+    """Every dropped vector has SOME lower-id same-cell vector (kept or
+    dropped) with cosine ≥ t — dropping is never spontaneous."""
+    assigned, dropped, _ = _semdedup_parts(spark, sf_dir)
+    d = assigned.join(dropped, "vec_id").select(
+        "cell", F.col("vec_id").alias("ib"), F.col("unit").alias("ub")
+    )
+    w = assigned.select(
+        "cell", F.col("vec_id").alias("ia"), F.col("unit").alias("ua")
+    )
+    witnessed = (
+        d.join(w, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .where(dedup._dot(F.col("ua"), F.col("ub")) >= SEM_T)
+        .select("ib")
+        .distinct()
+    )
+    assert witnessed.count() == dropped.count()
+
+
+def test_semdedup_summary_partitions_membership(spark, sf_dir):
+    """The registered query's per-cell summary: kept + dropped =
+    members per cell, and totals agree with the operator outputs."""
+    out = registry.QUERIES["dedup_semantic"](spark, sf_dir)
+    bad = out.filter(
+        F.col("n_kept") + F.col("n_dropped") != F.col("n_members")
+    )
+    assert bad.count() == 0
+    assigned, dropped, _ = _semdedup_parts(spark, sf_dir)
+    tot = out.agg(
+        F.sum("n_members").alias("m"), F.sum("n_dropped").alias("d")
+    ).collect()[0]
+    assert tot["m"] == assigned.count()
+    assert tot["d"] == dropped.count()
