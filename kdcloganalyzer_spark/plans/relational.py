@@ -1680,3 +1680,140 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RECURSIVE_SQL.format(events="v_events_rcte", expand=_EXPAND_SPARK)
     )
+
+
+@query(
+    "analytics_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    items — fact-fact join (orders ⋈ lineitem) carrying customer and
+    nation dims, grouped at customer grain with a global top-k.
+
+    Scale: the returnflag filter pushes to the lineitem scan (~1/3
+    selectivity) BEFORE the orderkey shuffle; nation is a broadcast dim,
+    but customer SCALES WITH SF, so its join carries no hint — AQE
+    broadcasts it at bench scale and falls back to a custkey shuffle
+    join on a real cluster; the aggregate is partial-combined at
+    customer grain (bounded by |customer|) and the final 20 rows come
+    from a TakeOrderedAndProject, never a global sort. Revenue is
+    rounded on both sides so per-customer summation order can't skew
+    the hash."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN big        ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def analytics_large_volume_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18-shaped (large-volume customers): the HAVING-filtered
+    IN-subquery pattern — orders qualify by an AGGREGATE over their own
+    lineitems, then the qualifying keys drive the detail join.
+
+    Scale: the `big` key set is produced by a partial-combined groupBy
+    on l_orderkey and consumed as a semi-join-shaped equi-join on the
+    SAME key, so under AQE the aggregate output (~0.3% of orders at the
+    200-quantity cut) broadcasts into the probe side and the detail
+    join reuses the l_orderkey shuffle already needed for the final
+    per-order aggregate — the classic "filter by aggregate, then
+    rejoin" two-pass with no extra wide exchange. Customer scales with
+    SF: no broadcast hint (AQE decides)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
