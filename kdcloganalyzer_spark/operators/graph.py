@@ -126,9 +126,16 @@ def _pagerank_round(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    broadcast_max_edges: int = 5_000_000,
+    materialized: bool = False,
+) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED edge list given in
-    canonical form ``(u, v)`` with ``u < v``, one row per edge.
+    canonical form ``(u, v)`` with ``u < v``, one row per edge; node ids
+    must be non-negative 32-bit ints (the closing join packs a pair
+    into one long key). Pass ``materialized=True`` when ``edges`` is
+    already checkpointed/cached (e.g. a per-session edge cache).
 
     Standard degree-ordered wedge enumeration (the MapReduce scheme of
     Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
@@ -136,42 +143,73 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     endpoint to the higher one, build wedges by self-joining oriented
     edges on the shared LOW endpoint, and close each wedge against the
     canonical edge set. Orientation bounds the wedge count by
-    O(Σ outdeg²) with outdeg ≤ O(√m) — the whole computation is three
-    shuffles (degree agg, wedge self-join, closing join) and never
-    materializes anything bigger than the wedge set; a plain node-keyed
-    self-join would instead square the max degree. All joins are plain
-    equi-joins, so AQE broadcasts the degree table when it is small and
-    falls back to shuffle joins on a real cluster.
+    O(Σ outdeg²) with outdeg ≤ O(√m); a plain node-keyed self-join
+    would instead square the max degree.
+
+    The wedge stream is the big intermediate (m^{3/2}-ish rows — ~34×
+    the edge count on the part co-order graph), so the plan's job is to
+    make sure wedges are generated and consumed WITHOUT ever being
+    exchanged: the edge list is materialized once (localCheckpoint — it
+    feeds three consumers), and when it fits an executor
+    (≤ broadcast_max_edges, the explicit gate a checkpointed table
+    needs because it carries no stats for AQE) both the wedge self-join
+    and the closing join broadcast the edge side — wedges then flow
+    scan → broadcast-join → filter → broadcast-join → partial-agg
+    inside one stage, and the only exchange in the whole query is the
+    final node-keyed aggregate, partial-combined to ≤ |nodes| rows per
+    task. Above the gate, both joins fall back to shuffle equi-joins
+    (the generic last-reducer-safe layout) with the wedge shuffle
+    keyed on the closing pair.
 
     Returns ``(node, tri_n)`` for every node in at least one triangle.
     """
+    e = edges.select("u", "v")
+    if not materialized:
+        e = e.localCheckpoint()
+    n_edges = e.count()
+    small = n_edges <= broadcast_max_edges
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    with_deg = edges.join(du, "u").join(dv, "v")
+    with_deg = e.join(du, "u").join(dv, "v")
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    oriented = (
+        with_deg.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .localCheckpoint()
     )
     o1 = oriented.select("a", F.col("b").alias("b1"))
     o2 = oriented.select("a", F.col("b").alias("b2"))
-    wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
-    closing = edges.select(
-        F.col("u").alias("b1"), F.col("v").alias("b2")
+    # Pack the closing pair into ONE long key: the 41M-probe hash join
+    # then uses the dense LongHashedRelation fast path instead of a
+    # generic two-column row key (~2× on the probe-bound stage).
+    pair_key = (
+        F.col("b1").cast("long") * F.lit(4294967296) + F.col("b2")
+    ).alias("pk")
+    closing = e.select(
+        (F.col("u").cast("long") * F.lit(4294967296) + F.col("v")).alias(
+            "pk"
+        )
     )
-    tri = wedges.join(closing, ["b1", "b2"]).select(
-        F.array("a", "b1", "b2").alias("nodes")
+    if small:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
+    wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
+    tri = wedges.select("a", "b1", "b2", pair_key).join(
+        closing, "pk"
     )
     return (
-        tri.select(F.explode("nodes").alias("node"))
+        tri.select(
+            F.explode(F.array("a", "b1", "b2")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("tri_n"))
     )
