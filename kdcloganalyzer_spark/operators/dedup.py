@@ -436,15 +436,31 @@ def _seeded_word_hash(seed: int):
     return lambda w: F.xxhash64(F.concat(w, F.lit(suffix)))
 
 
-def _minhash_signature(d: DataFrame, k: int) -> DataFrame:
+def _md5_word_hash(seed: int):
+    """Cross-engine-reproducible 60-bit seeded word hash: the first 15
+    hex chars of md5(word || '#seed') as a bigint. Slower than xxhash64
+    (a full MD5 per word×seed) but bit-identical in DuckDB
+    (``('0x'||substr(md5(w||'#s'),1,15))::BIGINT``), which lets the
+    oracle reproduce MinHash SIGNATURES — not just bounds. Same factory
+    contract as _seeded_word_hash (see its lambda-arity warning)."""
+    suffix = f"#{seed}"
+    return lambda w: F.conv(
+        F.substring(F.md5(F.concat(w, F.lit(suffix))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _minhash_signature(
+    d: DataFrame, k: int, word_hash=_seeded_word_hash
+) -> DataFrame:
     """(doc_id, sig array<bigint>[k]): sig[s] = min over words of
-    xxhash64(word || '#s') — k independent permutation approximations,
-    all in whole-stage codegen."""
+    hash(word, seed=s) — k independent permutation approximations, all
+    in whole-stage codegen (word_hash picks the family: xxhash64 for
+    speed, _md5_word_hash for cross-engine reproducibility)."""
     return d.select(
         "doc_id",
         F.array(
             *[
-                F.array_min(F.transform("words", _seeded_word_hash(s)))
+                F.array_min(F.transform("words", word_hash(s)))
                 for s in range(k)
             ]
         ).alias("sig"),
@@ -457,6 +473,8 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     rows_per_band: int = 8,
     sig: DataFrame | None = None,
+    word_hash=_seeded_word_hash,
+    string_band_key: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, entirely JVM-side.
 
@@ -489,7 +507,22 @@ def minhash_lsh_pairs(
         # localCheckpoint materializes it once; at real scale the same
         # role is played by writing the signature table before the join
         # stage — callers that HAVE such a table pass it via ``sig``.
-        sig = _minhash_signature(d, k).localCheckpoint(eager=False)
+        sig = _minhash_signature(d, k, word_hash).localCheckpoint(
+            eager=False
+        )
+
+    def band_key(b: int):
+        cols = [
+            F.col("sig")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if string_band_key:
+            # Literal r-tuple as the key — 8·r bytes/band instead of 8,
+            # but reproducible verbatim in the DuckDB twin (xxhash64
+            # exists only Spark-side).
+            return F.concat_ws(",", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     bands = sig.select(
         "doc_id",
         "sig",
@@ -498,12 +531,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("key"),
+                        band_key(b).alias("key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -644,14 +672,45 @@ aggregate(
 """
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+# 60-bit md5 variant of the same single-fold construction: the word hash
+# is the cross-engine-reproducible 60-bit md5 int (_md5_word_hash's
+# expression without a seed), so a DuckDB twin can rebuild the SIGNATURE
+# bit-for-bit with group-bys over (doc, bit) — the verification surface
+# for the SimHash family, like dedup_minhash_pairs_md5 for MinHash.
+_SIMHASH_MD5_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(lower(text), ' '),
+                w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
+      transform(sequence(0, 59), x -> 0),
+      (acc, h) -> zip_with(acc, sequence(0, 59),
+                           (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1))
+    ),
+    sequence(0, 59),
+    (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)
+  ),
+  0L, (s, x) -> s + x
+)
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    sig_sql: str = _SIMHASH_SQL,
+    n_bits: int = 64,
+) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + Hamming verification.
 
-    Signature, candidate generation (explode 4 × 16-bit bands, equi-join)
-    and Hamming distance (xor + bit_count) are all JVM-side — the whole
-    operator is two codegen projections plus one equi-join at scale.
+    Signature, candidate generation (explode 4 × (n_bits/4)-bit bands,
+    equi-join) and Hamming distance (xor + bit_count) are all JVM-side —
+    the whole operator is two codegen projections plus one equi-join at
+    scale. By Pigeonhole, hamming ≤ 3 < 4 bands forces ≥1 identical
+    band, so banding is lossless for the threshold.
     """
-    sigs = spread(docs).select("doc_id", F.expr(_SIMHASH_SQL).alias("simhash"))
+    bw = n_bits // 4
+    sigs = spread(docs).select("doc_id", F.expr(sig_sql).alias("simhash"))
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -660,8 +719,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", bw * i)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
                         .alias("key"),
                     )
                     for i in range(4)

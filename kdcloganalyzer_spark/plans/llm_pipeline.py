@@ -192,10 +192,130 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_pairs_md5",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents WHERE doc_id % 3 = 0
+    ), dd AS (
+      SELECT doc_id, words FROM d WHERE len(words) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tok FROM dd
+    ), sigl AS (
+      SELECT doc_id, s,
+             min(('0x' || substr(md5(tok || '#' || s), 1, 15))::BIGINT) AS h
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+      GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY s) AS sig FROM sigl GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b,
+             array_to_string(list_slice(sig, b * 8 + 1, b * 8 + 8), ',') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             round(len(list_filter(range(1, 17),
+                                   i -> a.sig[i] = c.sig[i])) / 16.0,
+                   6) AS jaccard_est
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, jaccard_est FROM cand WHERE jaccard_est >= 0.9
+    """,
+)
+def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH pair enumeration whose APPROXIMATE INDEX is
+    hash-verified end-to-end — the MinHash sibling of sim_search_lsh's
+    verified plane buckets. Same banding as dedup_minhash_pairs, but the
+    seeded word hash is 60 bits of md5 (operators/dedup.py:_md5_word_hash
+    — bit-identical in DuckDB via ('0x'||substr(md5(..),1,15))::BIGINT)
+    and the band key is the literal 4-tuple, so the oracle reproduces
+    signatures, band collisions, candidate pairs AND the agreement
+    estimator exactly: the driver hash-checks the LSH construction
+    itself, not a recall bound. k=16 (2 bands × 8 rows, S-curve knee at
+    J≈(1/2)^{1/8}≈0.92 — r=8 matches the xxhash64 family's band width;
+    a wider-recall 4×4 banding floods this clone-heavy corpus with
+    sub-threshold candidates), scored at est ≥ 0.9.
+
+    Scale shape is unchanged from the xxhash64 family (band equi-join on
+    candidates, score-before-dedup-shuffle); the md5 hash costs ~3× per
+    word×seed, which is why the production queries keep xxhash64 and
+    this variant exists as the verification surface — over a
+    deterministic third of the corpus (doc_id % 3 = 0, both engines):
+    the clone-heavy synth corpus emits ~1.4M qualifying pairs at sf0.1,
+    and verifying the construction doesn't need the full pair volume
+    the production query already enumerates."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 3 == 0
+        ),
+        0.9,
+        n_bands=2,
+        rows_per_band=8,
+        word_hash=dedup._md5_word_hash,
+        string_band_key=True,
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding + Hamming≤3 pairs (rows-only; md5-based signatures)."""
+    """SimHash banding + Hamming≤3 pairs (rows-only: xxhash64 word
+    hashes; dedup_simhash_md5 is the hash-verified twin)."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             bit_count(xor(a.simhash, c.simhash))::INT AS hamming
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash whose SIGNATURE is hash-verified end-to-end: the
+    word hash is the cross-engine md5 60-bit int, so the DuckDB twin
+    rebuilds the per-bit ±1 counters with a (doc, bit) group-by, packs
+    the same signature long, derives the same 4×15-bit band keys, and
+    reproduces candidate pairs and Hamming distances exactly — the
+    oracle checks Charikar's construction itself (banding lossless for
+    hamming ≤ 3 by pigeonhole), not a similarity bound. The xxhash64
+    sibling (dedup_simhash) stays the production path: one fold per doc
+    beats one md5 per word, and the verification only needs ONE
+    reproducible family.
+
+    Scale: identical to dedup_simhash — two codegen projections and a
+    band equi-join; the oracle's O(docs·words·60) bit table exists only
+    DuckDB-side at gate scale."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        3,
+        sig_sql=dedup._SIMHASH_MD5_SQL,
+        n_bits=60,
+    )
 
 
 @query(
