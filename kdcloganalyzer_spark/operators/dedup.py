@@ -928,3 +928,62 @@ def semdedup_dropped(assigned: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Directional CONTAINMENT pairs: C(A,B) = |A∩B| / |A| ≥ t — doc A's
+    word set (nearly) contained in doc B, the asymmetric sibling of the
+    Jaccard family that catches quotes, boilerplate wrappers, and
+    near-supersets symmetric similarity misses (a page embedding a whole
+    smaller page can sit at Jaccard ≈ |A|/|B| ≪ t while C(A,B) = 1).
+
+    Prefix filter, contained side only (the R⋈S containment join of the
+    SSJoin literature): C(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so A's first
+    |A| − ⌈t·|A|⌉ + 1 hash-ordered tokens must hit B SOMEWHERE — hence
+    A's prefix joins against B's FULL inverted index (no prefix prunes
+    the container side; its posting lists are the standing index an
+    ingest pipeline maintains anyway). Size prefilter: |A∩B| ≤ |B|
+    forces |B| ≥ t·|A| — cheap integer predicate before candidates
+    materialize. Blocked by (lang, source) like the Jaccard family;
+    exact verification divides by |A| only.
+
+    Scale: |delta-side prefix explode| + posting-list equi-join +
+    candidate-bounded verify — same shape as jaccard_join_delta_base,
+    and lossless for any fixed token order (same theorem, one-sided)."""
+    d = _prep_word_sets(docs)
+    a_idx = _hash_prefix_index(d, threshold)
+    b_idx = d.select(
+        "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
+    )
+    a, b = a_idx.alias("a"), b_idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.nw") >= F.lit(threshold) * F.col("a.nw")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("words").alias("words_a"),
+        F.col("nw").alias("nw_a"),
+    )
+    wb = d.select(
+        F.col("doc_id").alias("id_b"), F.col("words").alias("words_b")
+    )
+    cont = F.round(
+        F.size(F.array_intersect("words_a", "words_b")) / F.col("nw_a"), 6
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -103,6 +103,38 @@ def dedup_ngram_jaccard_dford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.words, b.words))::DOUBLE /
+                 len(a.words), 6) AS containment
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id <> b.doc_id
+    WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                len(a.words), 6) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs C(A,B) = |A∩B|/|A| ≥ 0.9 — the
+    quote/boilerplate/near-superset detector symmetric Jaccard misses
+    (a page wholly embedding a smaller page sits at J ≈ |A|/|B| but
+    C = 1). operators/dedup.py:containment_pairs: contained-side prefix
+    filter against the container side's FULL inverted index (the
+    asymmetric R⋈S containment join — one-sided prefix theorem), with
+    the |B| ≥ t·|A| size prefilter. Lossless, so the blocked quadratic
+    oracle hash-matches."""
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), 0.9
+    )
+
+
+@query(
     "dedup_incremental",
     oracle="""
     WITH w AS (
