@@ -108,3 +108,57 @@ def test_semdedup_summary_partitions_membership(spark, sf_dir):
     ).collect()[0]
     assert tot["m"] == assigned.count()
     assert tot["d"] == dropped.count()
+
+
+def test_containment_detects_planted_superset(spark):
+    """A small doc embedded verbatim in a bigger doc: C(small, big) = 1
+    even though Jaccard is far below threshold — and the directional
+    output contains (small ⊂ big) but NOT (big ⊂ small)."""
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(40))
+    other = "unrelated words entirely here nothing shared at all"
+    docs = spark.createDataFrame(
+        [(1, small, "en", "web"), (2, big, "en", "web"),
+         (3, other, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, 0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_matches_blocked_quadratic(spark, sf_dir):
+    """Prefix-filtered containment ≡ the direct blocked all-pairs form
+    on the real corpus (the frontend-equivalence law, one-sided)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = dedup.containment_pairs(docs, 0.9)
+    d = docs.select(
+        "doc_id", "lang", "source",
+        dedup.word_set(F.col("text")).alias("words"),
+    ).withColumn("nw", F.size("words"))
+    a, b = d.alias("a"), d.alias("b")
+    cont = F.round(
+        F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+        / F.col("a.nw"),
+        6,
+    )
+    slow = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
