@@ -1817,3 +1817,40 @@ def analytics_large_volume_orders(
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral join (per-row correlated table subquery)
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, c.c_name, c.acctbal
+    FROM {nation} n, LATERAL (
+      SELECT c_name, round(c_acctbal, 2) AS acctbal
+      FROM {customer}
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) c
+    """
+
+
+@query(
+    "sql_lateral_join",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (top-3 customers by balance per
+    nation) through `spark.sql` — the per-row-subquery surface beyond
+    sql_correlated_subquery's scalar/EXISTS forms, IDENTICAL SQL text on
+    both engines (only view names differ).
+
+    Scale: Catalyst decorrelates the lateral LIMIT into a rank-window
+    over a single customer scan partitioned by the correlation key —
+    one shuffle on c_nationkey, never a per-nation-row subquery
+    execution; the nation probe is a broadcast join against the
+    windowed result. The total (acctbal DESC, c_name) order inside the
+    lateral subquery makes the selected top-3 set deterministic, so the
+    hash compare is exact."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_lat_{t}")
+    return spark.sql(
+        _LATERAL_SQL.format(nation="v_lat_nation", customer="v_lat_customer")
+    )
