@@ -204,3 +204,18 @@ def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = SQ.cms_stream_cells(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("event_type")
     return cms_estimate_vs_exact(cells, ev)
+
+
+@query(
+    "stream_state_reader",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store-as-a-table (Spark 4 state data source): a stateful
+    streaming count runs to a checkpoint, then the ENGINE'S state store
+    is read back as a batch DataFrame and hash-verified against the
+    plain batch GROUP BY — the checkpoint-audit / state-rehydration
+    surface (streaming/stream_queries.py:state_store_counts)."""
+    return SQ.state_store_counts(spark, sf_dir)
