@@ -240,7 +240,9 @@ def _verify_jaccard(
 
 
 def ngram_jaccard_pairs_prefix_dford(
-    docs: DataFrame, threshold: float = 0.5
+    docs: DataFrame,
+    threshold: float = 0.5,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered Jaccard pairs with DOCUMENT-FREQUENCY-ASCENDING
     token order — the Bayardo/Ma/Srikant refinement over the hash order
@@ -265,8 +267,12 @@ def ngram_jaccard_pairs_prefix_dford(
     toks = d.select(
         "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
     )
-    # words are distinct per doc, so count(*) per token IS document freq.
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    if dfreq is None:
+        # words are distinct per doc, so count(*) per token IS document
+        # freq. Callers with a standing vocabulary table (the 100 TB
+        # reality — df stats are maintained per corpus snapshot, not
+        # recomputed per query) pass it via ``dfreq``.
+        dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     idx = (
         toks.join(F.broadcast(dfreq), "tok")

