@@ -1854,3 +1854,126 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(nation="v_lat_nation", customer="v_lat_customer")
     )
+
+
+@query(
+    "analytics_nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, year(o.o_orderdate)
+    """,
+)
+def analytics_nation_trade_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q7-shaped: cross-nation trade volume — revenue between
+    every (supplier nation, customer nation) pair per order year,
+    excluding domestic trade. The two-role dimension pattern: nation
+    joins the fact twice under different keys.
+
+    Scale: the only wide join is lineitem ⋈ orders on orderkey (both
+    fact-sized); supplier scales with SF but is 100× smaller than the
+    fact — un-hinted, so AQE broadcasts it at bench scale and shuffles
+    on a cluster; the two nation probes broadcast (tiny, each aliased
+    independently so both build sides are one-copy); the aggregate
+    keyspace is |nation|²·|years| — partial-agg'd to almost nothing
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "analytics_promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_pct,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p   ON p.p_partkey = l.l_partkey
+    GROUP BY date_trunc('month', o.o_orderdate)
+    """,
+)
+def analytics_promo_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q14-shaped: monthly promo revenue share — the
+    conditional-aggregate-ratio pattern (one pass computes both the
+    CASE-gated numerator and the total denominator; no self-join, no
+    second scan).
+
+    Scale: part scales with SF but is fact/30 — un-hinted join, AQE
+    decides; the single wide shuffle is lineitem ⋈ orders on orderkey;
+    the ratio divides two partial-agg'd sums inside one |months|-row
+    aggregate. The percent is rounded from exact double sums on both
+    engines (ratio of identically-grouped sums — order-insensitive
+    after the pre-round)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
