@@ -162,3 +162,60 @@ def test_prefix_join_equivalence_on_random_corpora(spark, word_lists, threshold)
         for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold).collect()
     }
     assert prefix == naive
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: random-graph equivalence vs brute force, and
+# relabeling invariance (hypothesis drives the edge set)
+# ---------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=997),
+)
+def test_triangle_counts_match_bruteforce_on_random_graphs(
+    spark, raw_edges, relabel_mult
+):
+    """For ANY random edge list: (1) the degree-ordered wedge pipeline
+    equals the O(n³) brute-force per-node triangle count; (2) applying
+    an injective node relabeling (x → x·m for odd m) permutes the
+    output without changing the count multiset — orientation must not
+    depend on label structure beyond the total order."""
+    from itertools import combinations
+
+    from kdcloganalyzer_spark.operators.graph import triangle_counts
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in raw_edges if u != v})
+    if not canon:
+        return
+    eset = set(canon)
+    nodes = sorted({n for e in canon for n in e})
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+
+    edges = spark.createDataFrame(canon, "u int, v int")
+    got = {
+        r["node"]: r["tri_n"] for r in triangle_counts(edges).collect()
+    }
+    assert got == expect
+
+    m = relabel_mult * 2 + 1  # odd ⇒ injective on ints
+    relabeled = spark.createDataFrame(
+        sorted((min(u * m, v * m), max(u * m, v * m)) for u, v in canon),
+        "u int, v int",
+    )
+    got_r = {
+        r["node"]: r["tri_n"]
+        for r in triangle_counts(relabeled).collect()
+    }
+    assert got_r == {n * m: c for n, c in expect.items()}
