@@ -773,3 +773,73 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _COPART_EDGE_CACHE[key] = edges.localCheckpoint(eager=False)
     return _COPART_EDGE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (time-travel compare of two keyed materializations)
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), r1 AS (
+      SELECT user_id, event_id, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events, b WHERE epoch_us(ts) < (b.lo + b.hi) / 2
+    ), v1 AS (
+      SELECT user_id, event_id AS last_id FROM r1 WHERE rn = 1
+    ), r2 AS (
+      SELECT user_id, event_id, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), v2 AS (
+      SELECT user_id, event_id AS last_id FROM r2 WHERE rn = 1
+    )
+    SELECT CASE WHEN v1.user_id IS NULL THEN 'inserted'
+                WHEN v1.last_id <> v2.last_id THEN 'updated'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_keys
+    FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+    GROUP BY 1
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff — the time-travel compare a lakehouse runs
+    between two versions of a keyed materialization: snapshot v1 =
+    latest event per user over the first half of the time range
+    (epoch midpoint, derived from the data so both engines compute the
+    same literal), v2 = latest overall; classify every v2 key as
+    inserted / updated / unchanged. The audit query behind
+    dedup_latest_by_key's compaction and stream_foreach_batch_upsert's
+    MERGE — "what did this batch actually change?".
+
+    Scale: two latest-per-key aggregations (max_by — partial-combined,
+    one user_id shuffle each, and Catalyst reuses the scan) and a
+    co-partitioned left join on the SAME key, so the diff adds no wide
+    exchange beyond the snapshots themselves; output is 3 rows. The
+    (ts, event_id) tie-break makes both snapshots deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    pick = F.max_by("event_id", F.struct("ts", "event_id"))
+    v1 = (
+        ev.join(F.broadcast(lohi))
+        .where(F.unix_micros("ts") < (F.col("lo") + F.col("hi")) / 2)
+        .groupBy("user_id")
+        .agg(pick.alias("last_id_v1"))
+    )
+    v2 = ev.groupBy("user_id").agg(pick.alias("last_id_v2"))
+    change = (
+        F.when(F.col("last_id_v1").isNull(), F.lit("inserted"))
+        .when(F.col("last_id_v1") != F.col("last_id_v2"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v2.join(v1, "user_id", "left")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_keys"))
+    )
