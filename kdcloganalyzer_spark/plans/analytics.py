@@ -820,14 +820,18 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange beyond the snapshots themselves; output is 3 rows. The
     (ts, event_id) tie-break makes both snapshots deterministic."""
     ev = load_table(spark, sf_dir, "events")
-    lohi = ev.agg(
+    # Bounded control fetch (2 longs), same sanction as the late-drop
+    # split point: a 1-row bounds table joined lazily would plan as a
+    # BroadcastNestedLoopJoin (no equi-key), which the plan sweep
+    # rightly rejects on the data path.
+    b = ev.agg(
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
-    )
+    ).collect()[0]
+    mid = (b["lo"] + b["hi"]) / 2
     pick = F.max_by("event_id", F.struct("ts", "event_id"))
     v1 = (
-        ev.join(F.broadcast(lohi))
-        .where(F.unix_micros("ts") < (F.col("lo") + F.col("hi")) / 2)
+        ev.where(F.unix_micros("ts") < F.lit(mid))
         .groupBy("user_id")
         .agg(pick.alias("last_id_v1"))
     )
