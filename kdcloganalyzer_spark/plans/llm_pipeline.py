@@ -1079,6 +1079,75 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_table_arg",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events WHERE user_id < 100
+    )
+    SELECT user_id, count(*) AS n_events,
+           coalesce(max(gap), 0) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4):
+    ``gap_summary(TABLE(v) PARTITION BY user_id ORDER BY (ts, id))`` —
+    the engine partitions and sorts the input, the Python class holds
+    per-partition state across eval() calls and emits one summary row
+    from terminate(). This is the custom per-group stateful-iteration
+    surface BELOW applyInPandas (no pandas materialization of the
+    group) and beside applyInPandasWithState (batch, not streaming).
+
+    Scale: the partition/order spec plans as the same user_id shuffle +
+    sort any window would need; state is O(1) per partition. Python
+    row-at-a-time cost is why the query bounds itself to user_id < 100
+    (the registration surface is the point — the built-in lag/max
+    window IS the production path, and is exactly what the oracle
+    runs). Hash-verified: the stateful traversal must reproduce the
+    window aggregate."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapSummary:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.prev = None
+            self.mx = 0
+
+        def eval(self, row):
+            self.uid = row.user_id
+            self.n += 1
+            if self.prev is not None:
+                g = row.tsu - self.prev
+                if g > self.mx:
+                    self.mx = g
+            self.prev = row.tsu
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.mx
+
+    spark.udtf.register("gap_summary", GapSummary)
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    ).where(F.col("user_id") < 100).createOrReplaceTempView(
+        "_udtf_gap_events"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM gap_summary(
+          TABLE(_udtf_gap_events)
+          PARTITION BY user_id ORDER BY (tsu, event_id))
+        """
+    )
+
+
+@query(
     "udaf_surface",
     oracle="""
     SELECT event_type,

@@ -22,10 +22,10 @@ BNLJ_OK = {
     "sample_temperature_mixture",  # broadcast 1-row totals
     "join_range_theta",   # non-equi range join — BNLJ is its honest plan
 }
-# Row-at-a-time Python is allowed only in the UDTF registration demo
+# Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or
 # Arrow-batched.
-PYEVAL_OK = {"udtf_surface"}
+PYEVAL_OK = {"udtf_surface", "udtf_table_arg"}
 
 BATCH_IDS = sorted(
     q for q in registry.QUERIES if not q.startswith("stream")
