@@ -769,3 +769,43 @@ def q_failed_auth_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("peak_burst") >= 3)
     )
+
+
+@query(
+    "kdc_service_enumeration",
+    oracle=f"""
+    SELECT client, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(count(DISTINCT service) AS BIGINT) AS n_services,
+           count(*) AS n_requests
+    FROM {_R}
+    WHERE valid AND success AND req_type = 'TGS'
+    GROUP BY client, date_trunc('hour', ts)
+    HAVING count(DISTINCT service) >= 3
+    """,
+)
+def q_service_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-enumeration (kerberoasting-recon) detection: clients
+    requesting tickets for unusually many DISTINCT services within one
+    hour — the complement of kdc_failed_auth_burst's volume signal
+    (enumeration is low-volume but wide). Composes the reference's
+    parsed TGS records (reader:55-78 taxonomy) into the second
+    detection the README's "Top N services" roadmap implies.
+
+    Scale: successes filter at the scan, one shuffle on (client, hour)
+    — count(DISTINCT service) inside a groupBy is planned as a
+    two-phase partial-distinct aggregate (expand + partial + final),
+    never a row explosion; threshold HAVING prunes before output."""
+    r = kdc_records(spark, sf_dir)
+    tgs = r.filter(
+        F.col("valid") & F.col("success") & (F.col("req_type") == "TGS")
+    )
+    return (
+        tgs.groupBy(
+            "client", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.countDistinct("service").alias("n_services"),
+            F.count("*").alias("n_requests"),
+        )
+        .filter(F.col("n_services") >= 3)
+    )
