@@ -913,3 +913,57 @@ def sample_consistent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "pri", "rn")
     )
+
+
+@query(
+    "pipeline_corpus_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+    ), langs AS (
+      SELECT lang FROM t GROUP BY lang
+      ORDER BY count(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           round(1.0 - count(DISTINCT text)::DOUBLE / count(*), 6)
+             AS dup_rate,
+           round(avg(n_chars), 2) AS mean_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           (SELECT lang FROM langs) AS top_lang
+    FROM t
+    """,
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report — the snapshot dashboard a curation
+    pipeline publishes per release: volume, exact-dup rate, mean doc
+    length, language spread, dominant language. The monitoring end-cap
+    over the per-doc operators (dedup_exact, lang_id_ngram,
+    text_quality_score).
+
+    Scale: ONE scan feeding a global aggregate; count(DISTINCT text) is
+    the costly term and plans as the standard two-phase partial
+    distinct (at 100 TB swap in approx_count_distinct, the
+    users_few_services_approx pattern — exact here so the oracle
+    hash-matches); the top-language subquery aggregates a |lang|-row
+    frame. Output is a single row, so downstream alerting diffs
+    snapshots for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(1)
+    )
+    report = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.countDistinct("text") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return report.join(
+        F.broadcast(top_lang.select(F.col("lang").alias("top_lang")))
+    )

@@ -1977,3 +1977,48 @@ def analytics_promo_revenue_share(
             F.round(F.sum(rev), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "window_distribution_suite",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(nth_value(event_id, 2) OVER (
+             PARTITION BY event_type ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS second_best
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions — ntile, percent_rank,
+    cume_dist, and an unbounded-frame nth_value — over a (value DESC,
+    event_id) total order per event_type, completing the analytic
+    surface beyond window_rank_analytic's rank/lag family.
+
+    Scale: all four share ONE shuffle+sort on the window spec (Catalyst
+    fuses same-spec window functions into a single Window operator);
+    the total order makes every output deterministic, so the driver
+    hash-verifies ntile bucket boundaries and the distribution ratios
+    exactly (rounded at 1e-6 — they are ratios of small exact ints)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("event_id", 2).over(wf).cast("bigint").alias(
+            "second_best"
+        ),
+    )

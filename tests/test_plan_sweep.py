@@ -21,6 +21,7 @@ BNLJ_OK = {
     "quality_bigram_lm",  # broadcast 1-row vocabulary-size aggregate
     "sample_temperature_mixture",  # broadcast 1-row totals
     "join_range_theta",   # non-equi range join — BNLJ is its honest plan
+    "pipeline_corpus_report",  # broadcast 1-row top-language aggregate
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or
