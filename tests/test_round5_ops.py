@@ -162,3 +162,34 @@ def test_containment_matches_blocked_quadratic(spark, sf_dir):
     )
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0
+
+
+def _plan(spark, sf_dir, qid):
+    df = registry.QUERIES[qid](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_triangle_plan_wedges_never_exchanged(spark, sf_dir):
+    """The 41M-wedge intermediate must flow scan → broadcast-join →
+    broadcast-join → partial agg without a shuffle: exactly ONE hash
+    exchange (the final tiny node aggregate), two BroadcastHashJoins,
+    and a TakeOrderedAndProject top-20 (never a global sort)."""
+    import re
+
+    p = _plan(spark, sf_dir, "graph_triangle_count")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert p.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_window_distribution_single_window_operator(spark, sf_dir):
+    """All four distribution functions share one window spec, so
+    Catalyst must fuse them into a bounded number of Window operators
+    over a single shuffle (the unbounded-frame nth_value may split into
+    its own Window, but never a second exchange)."""
+    import re
+
+    p = _plan(spark, sf_dir, "window_distribution_suite")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert 1 <= p.count("Window") <= 2
