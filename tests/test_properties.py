@@ -219,3 +219,46 @@ def test_triangle_counts_match_bruteforce_on_random_graphs(
         for r in triangle_counts(relabeled).collect()
     }
     assert got_r == {n * m: c for n, c in expect.items()}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+def test_containment_join_equivalence_on_random_corpora(
+    spark, word_lists, threshold
+):
+    """One-sided prefix-filter losslessness for the CONTAINMENT join on
+    hypothesis-generated corpora — the same adversarial regime as the
+    Jaccard property (tiny vocab, heavy overlap, exact-boundary pairs),
+    plus full-containment (C=1) duplicates, against a direct quadratic
+    reference computed in Python."""
+    from kdcloganalyzer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws), "xx", "src") for i, ws in enumerate(word_lists)],
+        "doc_id long, text string, lang string, source string",
+    )
+    sets = {i: set(ws) for i, ws in enumerate(word_lists)}
+    expect = set()
+    for ia, wa in sets.items():
+        for ib, wb in sets.items():
+            if ia == ib:
+                continue
+            c = round(len(wa & wb) / len(wa), 6)
+            if c >= threshold:
+                expect.add((ia, ib, c))
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in dedup.containment_pairs(docs, threshold).collect()
+    }
+    assert got == expect
