@@ -809,3 +809,60 @@ def q_service_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_services") >= 3)
     )
+
+
+@query(
+    "kdc_enctype_downgrade",
+    oracle=f"""
+    WITH e AS (
+      SELECT service, chosen_enctype,
+             (list_contains(enctypes, 'aes256-cts-hmac-sha1-96') OR
+              list_contains(enctypes, 'aes128-cts-hmac-sha1-96')) AS offered_aes
+      FROM {_R}
+      WHERE enctypes IS NOT NULL AND chosen_enctype IS NOT NULL
+    )
+    SELECT service,
+           count(*) AS n_negotiated,
+           CAST(sum(CASE WHEN offered_aes AND chosen_enctype IN
+                              ('arcfour-hmac-md5', 'des3-cbc-sha1')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_downgraded,
+           round(sum(CASE WHEN offered_aes AND chosen_enctype IN
+                               ('arcfour-hmac-md5', 'des3-cbc-sha1')
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS downgrade_rate
+    FROM e GROUP BY service
+    HAVING sum(CASE WHEN offered_aes AND chosen_enctype IN
+                         ('arcfour-hmac-md5', 'des3-cbc-sha1')
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_enctype_downgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enctype-downgrade audit: negotiations that settled on a weak
+    cipher (RC4/3DES) although the client OFFERED AES — the
+    kerberoast-surface / misconfiguration signal hiding in the enctype
+    lists the reference's kdcmapper-with-enctypes.pl:39-57 surfaces as
+    raw dimensions; this composes them into the security posture
+    question ("which services still pin weak ciphers?").
+
+    Scale: the offered/chosen columns filter and project at the scan;
+    array_contains runs in codegen; one partial-agg'd shuffle on
+    service with the CASE sums map-side combined; HAVING prunes the
+    clean services before output."""
+    r = kdc_records(spark, sf_dir)
+    e = r.filter(
+        F.col("enctypes").isNotNull() & F.col("chosen_enctype").isNotNull()
+    )
+    offered_aes = F.array_contains(
+        "enctypes", "aes256-cts-hmac-sha1-96"
+    ) | F.array_contains("enctypes", "aes128-cts-hmac-sha1-96")
+    weak = F.col("chosen_enctype").isin("arcfour-hmac-md5", "des3-cbc-sha1")
+    down = F.when(offered_aes & weak, 1).otherwise(0)
+    return (
+        e.groupBy("service")
+        .agg(
+            F.count("*").alias("n_negotiated"),
+            F.sum(down).alias("n_downgraded"),
+            F.round(F.sum(down) / F.count("*"), 6).alias("downgrade_rate"),
+        )
+        .filter(F.col("n_downgraded") > 0)
+    )
