@@ -2022,3 +2022,45 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_best"
         ),
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: the same fact-fact join as
+    join_inner_hash forced through ``hint("shuffle_hash")`` — Spark
+    builds a per-partition hash map instead of sorting both sides
+    (SortMergeJoin), the right call when one side is modestly sized per
+    partition and sort cost dominates. The optimizer obeys hints it can
+    satisfy, so this pins the API end-to-end (plan asserts
+    ShuffledHashJoin in tests/test_round5_ops.py).
+
+    Scale: identical shuffle volume to the sort-merge plan (both
+    exchange on orderkey) — the hint trades sort CPU for build-map
+    memory; at 100 TB you'd leave the choice to AQE unless profiling
+    shows the sort dominating, which is exactly when this one-line
+    hint pays."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        li.join(
+            orders.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

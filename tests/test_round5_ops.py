@@ -193,3 +193,11 @@ def test_window_distribution_single_window_operator(spark, sf_dir):
     p = _plan(spark, sf_dir, "window_distribution_suite")
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert 1 <= p.count("Window") <= 2
+
+
+def test_join_hint_shuffle_hash_obeyed(spark, sf_dir):
+    """The shuffle_hash hint must materialize as a ShuffledHashJoin
+    (not SortMergeJoin) with the hinted side as the build side."""
+    p = _plan(spark, sf_dir, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
