@@ -2064,3 +2064,43 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "fn_try_error_safe",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.plan') AS BIGINT)
+             AS plan_num,
+           CASE WHEN (event_id % 10) = 0 THEN NULL
+                ELSE round(event_id::DOUBLE / (event_id % 10), 4)
+                END AS per_unit,
+           TRY_CAST(event_type AS BIGINT) AS bad_cast
+    FROM events WHERE user_id < 50
+    """,
+)
+def fn_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface — try_cast / try_divide: malformed
+    input and division-by-zero yield NULL instead of failing the job,
+    the ANSI-mode-compatible posture a 100 TB batch needs (one bad row
+    must not kill a 10-hour job; quarantine via IS NULL, don't crash).
+    DuckDB twin: TRY_CAST plus an explicit zero-guard CASE (same NULL).
+    The division operands are small ints, so the quotient's 4-decimal
+    rounding never sits on a representation-dependent half — the
+    hash-compare checks the NULL semantics, not float luck.
+
+    Scale: pure codegen projections on a pruned scan — zero shuffles."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return ev.select(
+        "event_id",
+        F.expr(
+            "try_cast(get_json_object(props, '$.plan') AS BIGINT)"
+        ).alias("plan_num"),
+        F.round(
+            F.try_divide(
+                F.col("event_id").cast("double"), F.col("event_id") % 10
+            ),
+            4,
+        ).alias("per_unit"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+    )
