@@ -1,19 +1,28 @@
-"""Deduplication operators (SURVEY.md §2.3): exact, MinHash-LSH, SimHash,
-n-gram Jaccard, embedding-cosine.
+"""Deduplication operators (SURVEY.md §2.3): exact, n-gram Jaccard
+(all-pairs / prefix-join / df-ordered), asymmetric containment,
+MinHash-LSH, SimHash, embedding-cosine (blocked / pivot-pruned),
+SemDeDup, connected components.
 
-Design per scale tier:
+Design per scale tier — everything is JVM-side codegen; no Python UDFs:
 - exact: hash groupBy on the dedup key — one shuffle, minimal state.
-- n-gram Jaccard: exact pairwise similarity INSIDE blocks (lang, source) —
-  the classic blocking decomposition; all-pairs never materializes
-  globally. JVM-only (array_intersect higher-order fns).
-- MinHash LSH: pyspark.ml MinHashLSH (seeded) — candidate generation via
-  banded hash join, verification on the sparse vectors; the standard
-  100 TB near-dup path (shuffle ∝ candidates, not pairs).
-- SimHash: 64-bit signature via an Arrow-batched pandas UDF (hashlib md5,
-  deterministic), then JVM-side banding self-join + xor/bit_count Hamming
-  filter — Python touches each doc once; the quadratic part stays JVM.
-- embedding cosine: blocked pairwise cosine in whole-stage codegen
-  (zip_with/aggregate), double math to match the DuckDB oracle.
+- n-gram Jaccard / containment: prefix-filtered inverted-index joins
+  (SSJoin/AllPairs), lossless for any fixed token order; the blocked
+  all-pairs forms stay as small-N cross-checks. Shared tokenized
+  word-set prep (_prep_word_sets), checkpointed so pair joins never
+  re-tokenize.
+- MinHash LSH: banded signatures via seeded xxhash64 higher-order folds
+  (array_min + transform — whole-stage codegen, no ml.linalg); the
+  _md5_word_hash family is the cross-engine twin whose signatures a
+  DuckDB oracle reproduces bit-for-bit.
+- SimHash: one single-fold signature expression (64-bit xxhash64 or
+  60-bit md5 variant) + band equi-join + xor/bit_count verify.
+- embedding cosine: normalized-once unit vectors, pairwise dot in
+  codegen (zip_with/aggregate), double math to match the DuckDB
+  oracle; the pivot-pruned front end bounds the join by
+  triangle-inequality cell admissibility; semdedup_dropped bounds pair
+  work to within KMeans cells.
+- connected components: frontier-only min-label propagation with
+  edge-sized loop shuffles and Observation-based convergence.
 """
 
 from __future__ import annotations

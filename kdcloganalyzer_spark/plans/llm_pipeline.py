@@ -4,8 +4,10 @@ embeddings / events.
 Oracle conventions: every SQL-expressible operator has a DuckDB twin with
 identical tokenization (single-space split), RE2-safe regexes, double-
 precision cosine, and rounding applied on BOTH sides before thresholds and
-ranking, so order-insensitive value hashes match bit-for-bit. LSH/SimHash
-candidate generation depends on engine-internal hashes → rows-only.
+ranking, so order-insensitive value hashes match bit-for-bit. The
+xxhash64 LSH/SimHash fast paths are rows-only (engine-internal hashes),
+but each family has a hash-verified md5 twin (dedup_minhash_pairs_md5,
+dedup_simhash_md5) whose signatures the oracle rebuilds exactly.
 """
 
 from __future__ import annotations
