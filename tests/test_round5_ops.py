@@ -201,3 +201,19 @@ def test_join_hint_shuffle_hash_obeyed(spark, sf_dir):
     p = _plan(spark, sf_dir, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_triangle_counts_shuffle_fallback_equivalent(spark):
+    """Above the broadcast gate the wedge and closing joins fall back to
+    shuffle equi-joins — force that path (broadcast_max_edges=0) and
+    assert it produces the same counts as the broadcast path on the
+    planted K4 + pendant-path graph."""
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "u int, v int"
+    )
+    got = {
+        r["node"]: r["tri_n"]
+        for r in triangle_counts(edges, broadcast_max_edges=0).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
