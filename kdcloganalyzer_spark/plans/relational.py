@@ -2104,3 +2104,82 @@ def fn_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("per_unit"),
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
     )
+
+
+def multiline_json_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged path for the multiline-JSON orders document
+    (ONE pretty-printed JSON array per file — the API-dump shape)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/json_multiline_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_MLJSON = multiline_json_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_json_multiline",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM read_json('{DRIVER_MLJSON}/*.json', format='array')
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline JSON DOCUMENT scan (`multiLine=true`): one
+    pretty-printed JSON array per file — the API-dump / config-export
+    shape, vs sink_json_lines' splittable JSONL. The query stages the
+    document once (idempotent) then aggregates through the JSON reader;
+    the DuckDB twin reads the same staged files with format='array'.
+
+    Scale: a multiline JSON file is NOT splittable (the parser needs
+    the whole document), so parallelism = #files — exactly why the
+    docstring-level guidance is JSONL for anything big; this surface
+    exists because upstream dumps arrive in array form and the engine
+    must ingest them (per-file parallelism, converted to
+    parquet/JSONL at the ingest boundary). Aggregation after the scan
+    is one partial-agg'd shuffle on the 3-value status key."""
+    import os
+
+    base = multiline_json_path_for_sf(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(base, "_STAGED")):
+        # Stage ONCE: executors serialize the rows (ordinary JSONL
+        # write, 2 parts); the driver then wraps each part file into an
+        # array document as an opaque line-level text transform — no
+        # row ever materializes driver-side (same class as the
+        # late-drop parquet staging, file moves only).
+        import glob as _glob
+
+        os.makedirs(base, exist_ok=True)
+        tmp = f"{base}/_jsonl"
+        orders.repartition(2).write.mode("overwrite").json(tmp)
+        for i, part in enumerate(sorted(_glob.glob(f"{tmp}/part-*.json"))):
+            with open(part) as src, open(
+                os.path.join(base, f"doc{i}.json"), "w"
+            ) as dst:
+                dst.write("[\n")
+                first = True
+                for line in src:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if not first:
+                        dst.write(",\n")
+                    dst.write(line)
+                    first = False
+                dst.write("\n]")
+        with open(os.path.join(base, "_STAGED"), "w") as f:
+            f.write("ok")
+    df = (
+        spark.read.option("multiLine", "true")
+        .json(f"{base}/*.json")
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
