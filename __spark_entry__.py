@@ -40,10 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
         from kdcloganalyzer_spark.plans.kdc_queries import kdc_records_parquet
 
         kdc_records_parquet(spark, "/root/testdata/sf0.01")
-        # scan_schema_evolution's oracle reads /tmp parquet that only the
-        # Spark query stages — constructing it here (writes are part of
-        # construction, idempotent) gives the same ordering guarantee.
+        # scan_schema_evolution's and scan_json_multiline's oracles read
+        # /tmp files that only the Spark queries stage — constructing
+        # them here (writes are part of construction, idempotent) gives
+        # the same ordering guarantee.
         registry.QUERIES["scan_schema_evolution"](spark, "/root/testdata/sf0.01")
+        registry.QUERIES["scan_json_multiline"](spark, "/root/testdata/sf0.01")
     except Exception:  # noqa: BLE001 — hedge only; smoke check must pass
         pass
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
