@@ -38,3 +38,24 @@ def test_observed_counters_match_groupby(spark, sf_dir):
         & (F.col("req_type") == "AUTH")
         & ~F.col("referral")
     )
+
+
+def test_oracle_compare_detects_mismatches(spark, sf_dir):
+    """Guard the comparator itself: the gate's PASS means nothing
+    unless compare() FAILS on wrong row counts, wrong values, and
+    wrong column sets."""
+    from oracle_compare import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ok, _ = compare(df, con, "SELECT * FROM (VALUES (1,'a'),(2,'b')) t(k,v)")
+    assert ok
+    bad_count = "SELECT * FROM (VALUES (1,'a')) t(k, v)"
+    ok, why = compare(df, con, bad_count)
+    assert not ok and "row count" in why
+    bad_value = "SELECT * FROM (VALUES (1,'a'),(2,'X')) t(k, v)"
+    ok, why = compare(df, con, bad_value)
+    assert not ok and "values differ" in why
+    bad_cols = "SELECT * FROM (VALUES (1,'a'),(2,'b')) t(k, wrong)"
+    ok, why = compare(df, con, bad_cols)
+    assert not ok and "column mismatch" in why
