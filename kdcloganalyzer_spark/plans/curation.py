@@ -511,9 +511,43 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-scan the corpus five times. MinHash near-dup (engine-hash
     dependent) intentionally sits outside this oracle-checked funnel —
     at scale it slots between stages 2 and 3 as one more boolean."""
+    m = _funnel_flags(spark, sf_dir)
+
+    def stage(i: int, cond):
+        return m.filter(cond).agg(
+            F.lit(i).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+
+    t = F.lit(True)
+    return (
+        stage(0, t)
+        .unionByName(stage(1, F.col("q_keep")))
+        .unionByName(stage(2, F.col("q_keep") & F.col("d_keep")))
+        .unionByName(
+            stage(3, F.col("q_keep") & F.col("d_keep") & F.col("l_keep"))
+        )
+        .unionByName(
+            stage(
+                4,
+                F.col("q_keep")
+                & F.col("d_keep")
+                & F.col("l_keep")
+                & F.col("s_keep"),
+            )
+        )
+    )
+
+
+def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation flags (doc_id, lang, n_tok, q/d/l/s_keep) —
+    the funnel's stage predicates, shared by the stage-count report
+    (pipeline_corpus_funnel) and the release manifest
+    (pipeline_corpus_release)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     ws = _words(F.col("text"))
-    base = docs.select("doc_id", "source", "text", ws.alias("ws"))
+    base = docs.select("doc_id", "lang", "source", "text", ws.alias("ws"))
     n = F.size("ws")
 
     top_frac = F.round(
@@ -536,6 +570,7 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = base.select(
         "doc_id",
+        "lang",
         "source",
         "text",
         "ws",
@@ -572,41 +607,16 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         < (F.substring("source", 4, 10).cast("int") % 4 + 1) * 20
     )
 
-    m = (
+    return (
         staged.join(l_keep, "doc_id")
         .select(
             "doc_id",
+            "lang",
             F.col("n_words").alias("n_tok"),
             "q_keep",
             "d_keep",
             "l_keep",
             s_keep.alias("s_keep"),
-        )
-    )
-
-    def stage(i: int, cond):
-        return m.filter(cond).agg(
-            F.lit(i).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        )
-
-    t = F.lit(True)
-    return (
-        stage(0, t)
-        .unionByName(stage(1, F.col("q_keep")))
-        .unionByName(stage(2, F.col("q_keep") & F.col("d_keep")))
-        .unionByName(
-            stage(3, F.col("q_keep") & F.col("d_keep") & F.col("l_keep"))
-        )
-        .unionByName(
-            stage(
-                4,
-                F.col("q_keep")
-                & F.col("d_keep")
-                & F.col("l_keep")
-                & F.col("s_keep"),
-            )
         )
     )
 
@@ -966,4 +976,124 @@ def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return report.join(
         F.broadcast(top_lang.select(F.col("lang").alias("top_lang")))
+    )
+
+
+@query(
+    "pipeline_corpus_release",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, string_split(lower(text), ' ') AS ws, text
+      FROM documents
+    ), q AS (
+      SELECT *,
+             (len(ws) BETWEEN 5 AND 1000
+              AND round(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w))))::DOUBLE
+                    / len(ws), 4) <= 0.12) AS q_keep
+      FROM w
+    ), d AS (
+      SELECT q.*, (doc_id = min(doc_id) OVER (PARTITION BY text)) AS d_keep
+      FROM q
+    ), l AS (
+      SELECT doc_id, sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) <= 0.3 AS l_keep
+      FROM (
+        SELECT doc_id, line FROM (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS INT) - 1),
+                   i -> array_to_string(list_slice(
+                          ws, CAST(i * {_LINE_WORDS} + 1 AS INT),
+                          CAST(i * {_LINE_WORDS} + {_LINE_WORDS} AS INT)),
+                          ' '))) AS line
+          FROM w)
+      ) x JOIN (
+        SELECT line, count(*) AS freq FROM (
+          SELECT unnest(list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS INT) - 1),
+                   i -> array_to_string(list_slice(
+                          ws, CAST(i * {_LINE_WORDS} + 1 AS INT),
+                          CAST(i * {_LINE_WORDS} + {_LINE_WORDS} AS INT)),
+                          ' '))) AS line
+          FROM w)
+        GROUP BY line
+      ) g USING (line)
+      GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id,
+             ((doc_id % 1000003) * 31 + 7) % 100
+               < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 20 AS s_keep
+      FROM w
+    ), surv AS (
+      SELECT d.doc_id, d.lang, len(d.ws) AS n_tok
+      FROM d JOIN l USING (doc_id) JOIN s USING (doc_id)
+      WHERE d.q_keep AND d.d_keep AND l.l_keep AND s.s_keep
+    ), t AS (
+      SELECT lang, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS e
+      FROM surv
+    ), sp AS (SELECT lang, doc_id, n_tok, e - n_tok AS st, e FROM t),
+    ch AS (
+      SELECT lang, doc_id, c,
+             least(e, (c + 1) * 512) - greatest(st, c * 512) AS tic
+      FROM sp, unnest(generate_series(CAST(st // 512 AS BIGINT),
+                                      CAST((e - 1) // 512 AS BIGINT))) u(c)
+    )
+    SELECT lang, CAST(c AS BIGINT) AS chunk_id, count(*) AS n_docs,
+           CAST(sum(tic) AS BIGINT) AS n_tokens
+    FROM ch GROUP BY lang, c
+    """,
+)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELIVERABLE behind pipeline_corpus_funnel's report: survivors
+    of all four curation stages (quality ∧ exact-dedup ∧ line-dedup ∧
+    mixture), concat-and-chunked per language into 512-token training
+    sequences — the packed-manifest a release publishes
+    ((lang, chunk_id) → docs, tokens; every chunk full at 512 except
+    each stream's last).
+
+    One DAG end-to-end: the shared _funnel_flags frame (three shuffles)
+    feeds a per-language running-sum window and a bounded explode, then
+    one chunk-keyed aggregate — curation THROUGH packing without
+    re-scanning the corpus per stage. At 100 TB the stream key becomes
+    (lang, hash-shard) with per-shard chunk-id offsets, exactly the
+    split-parallel sessionizer's id discipline (PLANS.md finding 11)."""
+    B = 512
+    m = _funnel_flags(spark, sf_dir)
+    surv = m.filter(
+        F.col("q_keep") & F.col("d_keep") & F.col("l_keep") & F.col("s_keep")
+    ).select("doc_id", "lang", "n_tok")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sp = (
+        surv.withColumn("e", F.sum("n_tok").over(w))
+        .withColumn("st", F.col("e") - F.col("n_tok"))
+    )
+    ch = sp.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / B), F.floor((F.col("e") - 1) / B)
+            )
+        ).alias("chunk_id"),
+        "st",
+        "e",
+    ).select(
+        "lang",
+        "chunk_id",
+        (
+            F.least(F.col("e"), (F.col("chunk_id") + 1) * B)
+            - F.greatest(F.col("st"), F.col("chunk_id") * B)
+        ).alias("tic"),
+    )
+    return ch.groupBy("lang", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tic").cast("bigint").alias("n_tokens"),
     )
