@@ -1097,3 +1097,60 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("tic").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             pow((('0x' || substr(md5('wrs:' || doc_id), 1, 15))::BIGINT
+                   % 1048576) / 1048576.0 + 1e-9,
+                 1.0 / n_chars) AS pr
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT source, doc_id, pr,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY pr DESC, doc_id ASC) AS rn
+      FROM p
+    )
+    SELECT source, doc_id, round(pr, 6) AS pr_r FROM r WHERE rn <= 5
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-ES priority (u^(1/w), u uniform, w = n_chars): the top-5
+    priorities per source are a weight-proportional sample — the
+    length-weighted document picker a curation pipeline uses when long
+    documents should be over-represented, and the weighted complement
+    of sample_consistent_topk's unweighted min-k. The uniform comes
+    from the cross-engine 60-bit md5 hash (20 low bits / 2²⁰, +1e-9 so
+    u>0), so the sample is DETERMINISTIC and the oracle reproduces the
+    exact selection — a seeded rand() could never hash-verify.
+
+    Scale: A-ES priorities are mergeable (global top-k of per-partition
+    top-k), so the plan is one codegen projection + a per-source rank
+    window — at 100 TB swap the window for the two-level top-k
+    aggregate, same as any distributed reservoir. Priorities differ
+    across docs by ≫ float-ulp (distinct 20-bit uniforms, smooth pow),
+    so cross-engine libm rounding cannot flip the selection; pr is
+    rounded at 1e-6 for the value hash."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 1048576
+    ) / F.lit(1048576.0) + F.lit(1e-9)
+    pr = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("pr"), F.asc("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", pr.alias("pr"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", F.round("pr", 6).alias("pr_r"))
+    )
