@@ -64,6 +64,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             relational.DRIVER_EVO_GLOB,
             relational.evolution_path_for_sf(sf_dir) + "/*/*.parquet",
         )
+        .replace(
+            relational.DRIVER_MLJSON,
+            relational.multiline_json_path_for_sf(sf_dir),
+        )
     )
 
 
