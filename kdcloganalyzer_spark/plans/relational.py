@@ -2183,3 +2183,54 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH f AS (
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             value
+      FROM events
+    ), d AS (
+      SELECT DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS k
+      FROM events WHERE user_id < 5
+    )
+    SELECT f.k, count(*) AS n, round(sum(f.value), 2) AS sum_value
+    FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+    GROUP BY f.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): the fact
+    side's NULL keys (events without a props.k) MATCH the dim side's
+    NULL row instead of silently dropping — the semantic a plain
+    equi-join gets wrong when the join key is derived from optional
+    fields (every real log join). Spark plans `<=>` as an ordinary
+    hash join (null-safe keys hash like values — no nested loop), so
+    the null bucket is just another key.
+
+    Scale: dim is a distinct over a user slice (broadcastable; AQE
+    decides), fact side aggregates partial-combined per key; the NULL
+    key is one bucket — if NULLs dominate (most rows lack the field),
+    that bucket is the classic skew key and the salting/AQE-skew story
+    applies to it exactly as to any hot value."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr(
+        "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    )
+    fact = ev.select(k.alias("k"), "value")
+    dim = (
+        ev.where(F.col("user_id") < 5)
+        .select(k.alias("dk"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact["k"].eqNullSafe(dim["dk"]))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
