@@ -2234,3 +2234,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY event_type, least(floor(value / 25.0), 19)
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per event type (20 × width-25 buckets, last
+    bucket open-ended) — the distribution profile behind every
+    dashboard latency/value chart, computed as plain arithmetic binning
+    so it is exact and engine-portable (Spark's histogram_numeric and
+    DuckDB's histogram() are both engine-specific estimators; floor
+    binning is the deterministic common core, and at 100 TB the
+    arithmetic-bin GROUP BY is also the FASTER path — partial aggs
+    collapse to ≤ |types|·20 rows per task map-side).
+
+    Scale: one scan, one partial-combined shuffle into a tiny keyspace;
+    bucket bounds are data-independent so histograms from different
+    days/partitions merge by key — the mergeability sketches promise,
+    for free, because the bins are fixed."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
