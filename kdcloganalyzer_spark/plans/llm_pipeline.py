@@ -1262,3 +1262,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
     )
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents WHERE doc_id % 3 = 0
+    ), dd AS (
+      SELECT doc_id, words FROM d WHERE len(words) > 0
+    ), exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                  (len(a.words) + len(b.words)
+                   - len(list_intersect(a.words, b.words))), 6) >= 0.9
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tok FROM dd
+    ), sigl AS (
+      SELECT doc_id, s,
+             min(('0x' || substr(md5(tok || '#' || s), 1, 15))::BIGINT) AS h
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+      GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY s) AS sig FROM sigl GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b,
+             array_to_string(list_slice(sig, b * 8 + 1, b * 8 + 8), ',') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)
+    ), est AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+      WHERE round(len(list_filter(range(1, 17),
+                                  i -> a.sig[i] = c.sig[i])) / 16.0,
+                  6) >= 0.9
+    ), j AS (
+      SELECT coalesce(e.id_a, m.id_a) AS id_a,
+             (e.id_a IS NOT NULL) AS in_exact,
+             (m.id_a IS NOT NULL) AS in_est
+      FROM exact e FULL JOIN est m
+        ON e.id_a = m.id_a AND e.id_b = m.id_b
+    )
+    SELECT count(*) FILTER (in_exact) AS n_exact,
+           count(*) FILTER (in_est) AS n_est,
+           count(*) FILTER (in_exact AND in_est) AS n_both,
+           round(count(*) FILTER (in_exact AND in_est)::DOUBLE /
+                 nullif(count(*) FILTER (in_est), 0), 6) AS precision_r,
+           round(count(*) FILTER (in_exact AND in_est)::DOUBLE /
+                 nullif(count(*) FILTER (in_exact), 0), 6) AS recall_r
+    FROM j
+    """,
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality EVALUATION: precision/recall of the banded-MinHash
+    near-dup pairs (the md5 cross-engine family, est ≥ 0.9) against
+    exact UNBLOCKED word-set Jaccard ≥ 0.9 on the same deterministic
+    corpus third — the measure-your-ANN loop every production dedup
+    deployment runs before trusting an approximate index, itself
+    hash-verified end-to-end (both pair sets and the resulting
+    precision/recall are exact functions of the input).
+
+    Spark side: the exact pair set reuses the prefix-join machinery
+    with blocking DISABLED (constant block keys — MinHash candidates
+    are global, so the reference set must be too); the estimated set is
+    minhash_lsh_pairs with the md5 hash family; one full outer join on
+    the pair key + a single aggregate. Scale: both sides are the
+    standard linear-ish constructions; the outer join is pair-keyed."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    unblocked = docs.withColumn("lang", F.lit("_")).withColumn(
+        "source", F.lit("_")
+    )
+    exact = dedup.ngram_jaccard_pairs_prefix(unblocked, 0.9).select(
+        "id_a", "id_b"
+    )
+    est = dedup.minhash_lsh_pairs(
+        docs,
+        0.9,
+        n_bands=2,
+        rows_per_band=8,
+        word_hash=dedup._md5_word_hash,
+        string_band_key=True,
+    ).select("id_a", "id_b")
+    j = exact.withColumn("in_exact", F.lit(True)).join(
+        est.withColumn("in_est", F.lit(True)), ["id_a", "id_b"], "full"
+    )
+    in_e = F.col("in_exact").isNotNull()
+    in_m = F.col("in_est").isNotNull()
+    both = F.sum((in_e & in_m).cast("long"))
+    ne = F.sum(in_e.cast("long"))
+    nm = F.sum(in_m.cast("long"))
+    return j.agg(
+        ne.alias("n_exact"),
+        nm.alias("n_est"),
+        both.alias("n_both"),
+        F.round(both / F.nullif(nm, F.lit(0)), 6).alias("precision_r"),
+        F.round(both / F.nullif(ne, F.lit(0)), 6).alias("recall_r"),
+    )
