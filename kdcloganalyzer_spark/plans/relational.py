@@ -2274,3 +2274,41 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 1000
+    GROUP BY c.c_mktsegment
+    ORDER BY sum_price DESC, segment ASC LIMIT 5
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL `|>`): the same
+    filter → join → aggregate → order/limit pipeline expressed as
+    sequential pipe operators — the linear-reading SQL dialect for
+    pipeline-shaped queries. DuckDB has no pipe syntax, so the oracle
+    is the standard-SQL equivalent; Catalyst compiles both to the SAME
+    logical plan (pipe operators are pure surface syntax), which is
+    exactly what the hash compare certifies.
+
+    Scale: identical to the standard form — pushed filter, AQE-decided
+    customer join, partial-agg'd segment keyspace, TakeOrdered."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_pipe_{t}")
+    return spark.sql(
+        """
+        FROM v_pipe_orders AS o
+        |> WHERE o.o_totalprice > 1000
+        |> JOIN v_pipe_customer AS c ON c.c_custkey = o.o_custkey
+        |> AGGREGATE count(*) AS n,
+                     round(sum(o.o_totalprice), 2) AS sum_price
+           GROUP BY c.c_mktsegment AS segment
+        |> ORDER BY sum_price DESC, segment ASC
+        |> LIMIT 5
+        """
+    )
