@@ -2312,3 +2312,75 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 5
         """
     )
+
+
+@query(
+    "fn_array_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS ws,
+             string_split(lower(source), '_') AS ss
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_words,
+           CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(ss)), ',') AS src_sorted,
+           array_to_string(
+             list_sort(list_distinct(list_concat(ss, ['doc']))), ','
+           ) AS src_union,
+           coalesce(array_to_string(
+             list_sort(list_filter(list_distinct(ws), w -> len(w) > 6)), ','
+           ), '') AS long_words,
+           CAST(coalesce(list_position(ws, 'the'), 0) AS INT) AS pos_the,
+           CAST(len(list_intersect(list_distinct(ws), list_distinct(ss)))
+                AS INT) AS n_shared
+    FROM t
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface — size, array_distinct, array_sort,
+    array_union, filter (higher-order), array_position,
+    array_intersect — the collection-manipulation family the dedup and
+    packing operators use internally, exposed as a verified suite with
+    DuckDB list_* twins (outputs canonicalized: sorted + joined, so the
+    hash is order-law-insensitive where the engines' preserve-order
+    semantics differ, e.g. array_union's first-occurrence order).
+
+    Scale: every function is a codegen expression over the row's own
+    array — zero shuffles, embarrassment of parallelism; the doc_id
+    filter is pushed to the scan."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    ws = F.split(F.lower("text"), " ")
+    ss = F.split(F.lower("source"), "_")
+    t = docs.select("doc_id", ws.alias("ws"), ss.alias("ss"))
+    return t.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.array_join(
+            F.array_sort(F.array_distinct("ss")), ","
+        ).alias("src_sorted"),
+        F.array_join(
+            F.array_sort(F.array_union("ss", F.array(F.lit("doc")))), ","
+        ).alias("src_union"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.array_distinct("ws"), lambda w: F.length(w) > 6
+                )
+            ),
+            ",",
+        ).alias("long_words"),
+        F.coalesce(
+            F.array_position("ws", "the").cast("int"), F.lit(0)
+        ).alias("pos_the"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("ws"), F.array_distinct("ss")
+            )
+        ).alias("n_shared"),
+    )
