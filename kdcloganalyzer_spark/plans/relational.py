@@ -2384,3 +2384,68 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_shared"),
     )
+
+
+@query(
+    "fn_map_suite",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events WHERE user_id < 100 GROUP BY user_id, event_type
+    ), m AS (
+      SELECT user_id,
+             map(list(event_type ORDER BY event_type),
+                 list(n ORDER BY event_type)) AS mp
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(cardinality(mp) AS INT) AS n_types,
+           coalesce(mp['click'][1], 0) AS n_click,
+           array_to_string(
+             list_sort(list_transform(map_entries(mp),
+                                      e -> e.key || '=' || e.value)), ','
+           ) AS entries,
+           CAST(len(list_filter(map_values(mp), v -> v >= 5)) AS INT)
+             AS n_hot
+    FROM m
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface — map_from_entries over grouped structs,
+    size, element_at, map_entries, map_filter (higher-order) — the
+    per-key-dictionary family (feature maps, per-type counters) with
+    DuckDB map twins. Entries canonicalize to a sorted k=v string, so
+    the hash ignores both engines' internal map order; the absent-key
+    probe coalesces to 0 on both sides.
+
+    Scale: one partial-agg'd (user, type) count, one user-keyed
+    collect into a bounded (|event_type|-entry) map — maps stay small
+    by construction; everything after the two shuffles is per-row
+    codegen."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    g = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = g.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("mp")
+    )
+    entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("mp"),
+                lambda e: F.concat(
+                    e["key"], F.lit("="), e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
+    )
+    return m.select(
+        "user_id",
+        F.size("mp").alias("n_types"),
+        F.coalesce(F.element_at("mp", "click"), F.lit(0)).alias("n_click"),
+        entries.alias("entries"),
+        F.size(
+            F.map_filter("mp", lambda k, v: v >= 5)
+        ).alias("n_hot"),
+    )
