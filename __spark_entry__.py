@@ -122,10 +122,25 @@ def _gate_order(ids: list[str]) -> list[str]:
     )
     # Put failed-last-time ids at the very front of the urgent group.
     urgent.sort(key=lambda q: (not (q in latest and failed(latest[q]))))
+    # Adaptive interleave (VERDICT r5 item 7): while a large first-check
+    # backlog exists, spend nearly every capped slot draining it (one
+    # steady re-check per 16 slots keeps regression coverage nonzero);
+    # once the backlog is small, flip to one re-check every 2nd slot so a
+    # prior pass's latest green row is never more than ~3 rounds stale
+    # across the 164-id registry under the ~50-row gate cap.
+    n_urgent = len(urgent)
+    if n_urgent >= 40:
+        period = 16
+    elif n_urgent >= 20:
+        period = 6
+    elif n_urgent >= 8:
+        period = 3
+    else:
+        period = 2
     out: list[str] = []
     ui, si = iter(urgent), iter(steady)
     for q in by_cost:
-        take_steady = len(out) % 5 == 4
+        take_steady = len(out) % period == period - 1
         nxt = next(si if take_steady else ui, None) or next(
             ui if take_steady else si, None
         )

@@ -23,6 +23,17 @@ from kdcloganalyzer_spark.plans import registry
 from kdcloganalyzer_spark.session import get_spark
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — recorded so round-over-round comparisons
+    can separate code changes from ambient machine load (the same suite
+    measured 91.7→114 s across one day at identical code)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -35,26 +46,31 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 isn't charged for startup.
     spark.range(100000).selectExpr("sum(id)").collect()
 
+    load_start = _loadavg()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qid in sorted(registry.QUERIES):
         fn = registry.QUERIES[qid]
-        # One warm-up execution (JVM codegen/JIT), then the timed run —
-        # steady-state throughput, which is what a long-lived cluster pays.
-        # Both executions are timed and the MIN is recorded: the warm-up
-        # is already steady-state for all but the first query of each
-        # plan shape (where JIT makes it slower and min picks the timed
-        # run), so this halves scheduler/load noise at zero extra cost —
-        # the box shows ±30% run-to-run spread under ambient load.
-        # A failing query is RECORDED, never fatal: the suite total and
-        # the JSON line must exist even when one operator regresses.
+        # Three timed executions per query. The first doubles as JVM
+        # codegen/JIT warm-up; `queries` records the MIN (compatible with
+        # the r1–r5 numbers, which were min-of-2) and `medians` records
+        # the median-of-3 — the load-robust statistic BASELINE.md now
+        # cites, since the box shows ±30% run-to-run spread under ambient
+        # load and min-of-2 still let one co-scheduled burst distort a
+        # query's number. A failing query is RECORDED, never fatal: the
+        # suite total and the JSON line must exist even when one operator
+        # regresses.
         try:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[qid] = round(min(warm, time.perf_counter() - t0), 3)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            timings[qid] = round(min(runs), 3)
+            medians[qid] = round(sorted(runs)[1], 3)
         except Exception as e:  # noqa: BLE001 — bench must survive any query
             errors[qid] = f"{type(e).__name__}: {e}"[:300]
 
@@ -71,6 +87,10 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
         timings["kdc_parse_uncached"] = round(time.perf_counter() - t0, 3)
+        # Single-shot by design (a warm cache would understate the raw
+        # parse cost); reuse the one sample so median_total covers the
+        # same query set as value.
+        medians["kdc_parse_uncached"] = timings["kdc_parse_uncached"]
     except Exception as e:  # noqa: BLE001
         errors["kdc_parse_uncached"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -90,6 +110,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "medians": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "errors": errors,
         "sf": sf,
     }
@@ -110,6 +134,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "median_total": round(sum(medians.values()), 3),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "queries": {},
         "queries_file": "BENCH_LOCAL.json",
     }

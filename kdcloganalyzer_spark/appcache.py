@@ -1,0 +1,43 @@
+"""Hygiene for app-scoped module-level caches and staged temp dirs.
+
+The plan modules amortize expensive index builds (minhash signatures,
+IVF/PQ quantizers, symmetric edge lists, the KDC records table) in
+module-level dicts keyed on ``(applicationId, sf_dir, ...)``. That is the
+right contract for a long-lived session, but a process that creates and
+stops several SparkSessions (pytest does exactly that) would otherwise
+accumulate dead-app entries forever, pinning lazy localCheckpoint blocks
+for the process lifetime — ADVICE r5. ``evict_stale`` drops every entry
+whose applicationId is not the live one; each cache getter calls it
+before its own lookup, so the caches are bounded by one app's working
+set.
+
+``tempdir`` is ``tempfile.mkdtemp`` plus an atexit ``shutil.rmtree`` so
+staged inputs / streaming checkpoints don't outlive the process.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+
+def evict_stale(cache: dict, spark) -> None:
+    """Drop cache entries from stopped SparkSessions.
+
+    Keys must be tuples whose first element is the owning applicationId
+    (the convention every app-scoped cache here follows). Entries of the
+    LIVE app are untouched; dead-app DataFrames can't be unpersisted
+    through their stopped session, so dropping the reference is all the
+    cleanup there is (the JVM-side blocks died with the app).
+    """
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if isinstance(k, tuple) and k and k[0] != app]:
+        cache.pop(k, None)
+
+
+def tempdir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

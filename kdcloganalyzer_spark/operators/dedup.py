@@ -923,28 +923,49 @@ def semdedup_dropped(assigned: DataFrame, threshold: float = 0.8) -> DataFrame:
     assignment table ``(vec_id, cell, unit)`` (similarity.build_ivf_index;
     unit vectors pre-normalized once).
 
-    A vector is dropped when SOME lower-id vector in the SAME cell has
-    cosine ≥ threshold — the deterministic keep-lowest-id form of the
-    paper's keep-one-per-duplicate-group rule. Unlike the lossless
-    pivot-pruned exact join (embedding_cosine_pairs_pivot), cross-cell
-    near-dups are deliberately ignored: bounding the pair work to
-    Σ|cell|² is the method. At 100 TB the paper's construction holds by
-    scaling k with N (they run k=50k on LAION) so cells stay
-    O(N/k) ≈ constant; the pair join here is a cell-keyed equi-join
-    with partial-agg'd distinct, never a global product.
+    A vector is dropped when some lower-id KEPT vector in the SAME cell
+    has cosine ≥ threshold — the greedy keep-lowest-id form of the
+    paper's keep-one-per-duplicate-group rule. The witness must itself
+    be kept: under the looser any-lower-id rule drops would chain
+    through non-transitive similarity (a vector below threshold to
+    every kept vector could still be dropped via an already-dropped
+    witness — ADVICE r5), over-pruning relative to the paper. The
+    greedy pass is inherently sequential WITHIN a cell, so it runs as a
+    cell-grouped ``applyInPandas``: one Arrow batch per cell, an
+    incremental numpy matvec against the growing kept matrix (O(|cell|
+    · |kept| · dim) BLAS flops, |cell|·dim working set).
+
+    Unlike the lossless pivot-pruned exact join
+    (embedding_cosine_pairs_pivot), cross-cell near-dups are
+    deliberately ignored: bounding the pair work to Σ|cell|² is the
+    method. At 100 TB the paper's construction holds by scaling k with
+    N (they run k=50k on LAION) so cells stay O(N/k) ≈ constant —
+    which is also exactly the bound that keeps each applyInPandas
+    group an executor-sized batch; the shuffle is one exchange on the
+    cell key.
     """
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b")
-    )
+    t = float(threshold)
+
+    def dropped_per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        u = np.vstack(pdf["unit"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        kept_rows: list[int] = []
+        out = []
+        for i in range(len(ids)):
+            if kept_rows and (u[kept_rows] @ u[i]).max() >= t:
+                out.append(ids[i])
+            else:
+                kept_rows.append(i)
+        return pd.DataFrame({"vec_id": pd.Series(out, dtype="int64")})
+
     return (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(_dot(F.col("unit_a"), F.col("unit_b")) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+        assigned.select("cell", "vec_id", "unit")
+        .groupBy("cell")
+        .applyInPandas(dropped_per_cell, "vec_id long")
     )
 
 

@@ -166,7 +166,21 @@ def triangle_counts(
     e = edges.select("u", "v")
     if not materialized:
         e = e.localCheckpoint()
-    n_edges = e.count()
+    # One pass over the (checkpointed) edges gets the size gate AND the
+    # id range: the packed-long closing key silently fabricates/drops
+    # triangles outside [0, 2^32), so out-of-range ids flip the closing
+    # join to the generic two-column key instead of relying on a
+    # docstring precondition.
+    stats = e.agg(
+        F.count("*").alias("n"),
+        F.least(F.min("u"), F.min("v")).alias("lo"),
+        F.greatest(F.max("u"), F.max("v")).alias("hi"),
+    ).first()
+    n_edges = stats["n"]
+    packable = (
+        n_edges == 0
+        or (stats["lo"] >= 0 and stats["hi"] < 4294967296)
+    )
     small = n_edges <= broadcast_max_edges
     deg = (
         e.select(F.col("u").alias("node"))
@@ -189,23 +203,32 @@ def triangle_counts(
     )
     o1 = oriented.select("a", F.col("b").alias("b1"))
     o2 = oriented.select("a", F.col("b").alias("b2"))
-    # Pack the closing pair into ONE long key: the 41M-probe hash join
-    # then uses the dense LongHashedRelation fast path instead of a
-    # generic two-column row key (~2× on the probe-bound stage).
-    pair_key = (
-        F.col("b1").cast("long") * F.lit(4294967296) + F.col("b2")
-    ).alias("pk")
-    closing = e.select(
-        (F.col("u").cast("long") * F.lit(4294967296) + F.col("v")).alias(
-            "pk"
-        )
-    )
     if small:
-        o2, closing = F.broadcast(o2), F.broadcast(closing)
+        o2 = F.broadcast(o2)
     wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
-    tri = wedges.select("a", "b1", "b2", pair_key).join(
-        closing, "pk"
-    )
+    if packable:
+        # Pack the closing pair into ONE long key: the 41M-probe hash
+        # join then uses the dense LongHashedRelation fast path instead
+        # of a generic two-column row key (~2× on the probe-bound
+        # stage). Only valid for ids in [0, 2^32) — guarded above.
+        pair_key = (
+            F.col("b1").cast("long") * F.lit(4294967296) + F.col("b2")
+        ).alias("pk")
+        closing = e.select(
+            (
+                F.col("u").cast("long") * F.lit(4294967296) + F.col("v")
+            ).alias("pk")
+        )
+        if small:
+            closing = F.broadcast(closing)
+        tri = wedges.select("a", "b1", "b2", pair_key).join(closing, "pk")
+    else:
+        closing = e.select(
+            F.col("u").alias("b1"), F.col("v").alias("b2")
+        )
+        if small:
+            closing = F.broadcast(closing)
+        tri = wedges.select("a", "b1", "b2").join(closing, ["b1", "b2"])
     return (
         tri.select(
             F.explode(F.array("a", "b1", "b2")).alias("node")

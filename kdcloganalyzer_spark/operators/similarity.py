@@ -554,3 +554,45 @@ def lsh_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def lsh_eval_oracle_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB twin of the LSH recall@k evaluation: exact brute-force
+    top-k (the sim_search_cosine construction) FULL-joined against the
+    LSH top-k (lsh_oracle_sql) on (q_id, vec_id), aggregated to per-query
+    hit counts and recall@k. Both inputs are deterministic exact
+    functions of the data, so the index-quality measurement itself is
+    hash-verifiable — the ANN sibling of dedup_minhash_eval."""
+    exact = f"""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+                 FROM embeddings WHERE vec_id < {n_queries}),
+           scored AS (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                     6) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+      )
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    """
+    return f"""
+    WITH x AS ({exact}),
+         l AS (SELECT q_id, vec_id FROM ({lsh_oracle_sql(n_queries, k)})),
+         j AS (
+           SELECT coalesce(x.q_id, l.q_id) AS q_id,
+                  (x.vec_id IS NOT NULL) AS in_exact,
+                  (l.vec_id IS NOT NULL) AS in_lsh
+           FROM x FULL JOIN l ON x.q_id = l.q_id AND x.vec_id = l.vec_id
+         )
+    SELECT q_id,
+           count(*) FILTER (in_exact) AS n_exact,
+           count(*) FILTER (in_lsh) AS n_lsh,
+           count(*) FILTER (in_exact AND in_lsh) AS n_both,
+           round(count(*) FILTER (in_exact AND in_lsh)::DOUBLE / {k}, 6)
+             AS recall_at_k
+    FROM j GROUP BY q_id
+    """

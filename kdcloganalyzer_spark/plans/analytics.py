@@ -17,6 +17,8 @@ it natively as TIMESTAMP_NS. Microsecond-exact comparisons therefore use
 
 from __future__ import annotations
 
+from kdcloganalyzer_spark import appcache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -559,6 +561,7 @@ _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_EDGE_CACHE, spark)
     if key not in _EDGE_CACHE:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
@@ -758,6 +761,7 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _coorder_edges: one orderkey-keyed self-join whose per-order fanout
     is C(lines_per_order, 2) ≤ 21, then a distinct."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_COPART_EDGE_CACHE, spark)
     if key not in _COPART_EDGE_CACHE:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"

@@ -15,6 +15,8 @@ records table before fanning out queries.
 
 from __future__ import annotations
 
+from kdcloganalyzer_spark import appcache
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -89,6 +91,7 @@ def kdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed on applicationId, not id(spark): CPython can reuse a stopped
     # session's id, which would hand back DataFrames bound to a dead session
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_CACHE, spark)
     if key not in _CACHE:
         log_dir = synth_dir_for_sf(sf_dir)
         df = sessionize(read_log_lines_raw(spark, log_dir)).persist()

@@ -12,6 +12,8 @@ dedup_simhash_md5) whose signatures the oracle rebuilds exactly.
 
 from __future__ import annotations
 
+from kdcloganalyzer_spark import appcache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -121,6 +123,7 @@ def _wordsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE per corpus snapshot, exactly what a 100 TB deployment persists
     next to the raw text. eager=False: plan-only callers don't pay it."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_WORDSET_CACHE, spark)
     if key not in _WORDSET_CACHE:
         _WORDSET_CACHE[key] = dedup._prep_word_sets(
             load_table(spark, sf_dir, "documents")
@@ -136,6 +139,7 @@ def _dfreq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the distinct word sets — the corpus statistic the df-ordered
     prefix index sorts by."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_DFREQ_CACHE, spark)
     if key not in _DFREQ_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         d = (
@@ -229,6 +233,7 @@ _MINHASH_SIG_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 def _minhash_sig(spark: SparkSession, sf_dir: str, k: int = 32) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, k)
+    appcache.evict_stale(_MINHASH_SIG_CACHE, spark)
     if key not in _MINHASH_SIG_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         d = (
@@ -519,6 +524,47 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_search_lsh_eval", oracle=similarity.lsh_eval_oracle_sql())
+def sim_search_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality EVALUATION, hash-verified end-to-end: recall@10
+    of the signed-random-projection LSH index (sim_search_lsh) against
+    exact brute-force cosine top-10 (sim_search_cosine) per query — the
+    measure-your-ANN loop a production similarity deployment runs
+    before trusting the approximate index, certified by the driver the
+    same way dedup_minhash_eval certifies the MinHash index. Both pair
+    sets are deterministic exact functions of the data (seeded literal
+    hyperplanes, element-order-identical float folds), so precision of
+    the measurement is exact, not statistical.
+
+    Scale: the exact side is the O(|Q|·N) broadcast baseline (|Q|=5 —
+    an eval probe set, not production traffic); the LSH side is the
+    bucket-join index path; the comparison is a (q_id, vec_id)-keyed
+    full outer join on two ≤|Q|·k-row frames plus one 5-group
+    aggregate — eval cost is dominated by the two searches, which at
+    100 TB run over a sampled probe set exactly like this."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.topk_cosine_exact(emb, n_queries=5, k=10).select(
+        "q_id", "vec_id"
+    )
+    approx = similarity.topk_cosine_lsh(emb, n_queries=5, k=10).select(
+        "q_id", "vec_id"
+    )
+    j = exact.withColumn("in_exact", F.lit(True)).join(
+        approx.withColumn("in_lsh", F.lit(True)),
+        ["q_id", "vec_id"],
+        "full",
+    )
+    in_e = F.col("in_exact").isNotNull()
+    in_l = F.col("in_lsh").isNotNull()
+    both = F.sum((in_e & in_l).cast("long"))
+    return j.groupBy("q_id").agg(
+        F.sum(in_e.cast("long")).alias("n_exact"),
+        F.sum(in_l.cast("long")).alias("n_lsh"),
+        both.alias("n_both"),
+        F.round(both / F.lit(10), 6).alias("recall_at_k"),
+    )
+
+
 _IVF_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _IVFPQ_CACHE: dict = {}
@@ -532,6 +578,7 @@ def _pivot_index(spark: SparkSession, sf_dir: str):
     IVF/PQ quantizers. (The radii collect makes the build eager by
     nature; it runs on first use, not at registration.)"""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_PIVOT_CACHE, spark)
     if key not in _PIVOT_CACHE:
         _PIVOT_CACHE[key] = dedup.build_pivot_index(
             load_table(spark, sf_dir, "embeddings")
@@ -544,6 +591,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     Shared by sim_search_ivf AND sim_search_ivfpq — the composed index
     reuses the coarse quantizer instead of re-fitting KMeans."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_IVF_CACHE, spark)
     if key not in _IVF_CACHE:
         assigned, centers = similarity.build_ivf_index(
             load_table(spark, sf_dir, "embeddings")
@@ -556,6 +604,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     """Cached (per session+sf) PQ build: (persisted codes, codebook).
     Shared by sim_search_pq AND sim_search_ivfpq."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_PQ_CACHE, spark)
     if key not in _PQ_CACHE:
         encoded, codebook = similarity.build_pq_index(
             load_table(spark, sf_dir, "embeddings")
@@ -585,6 +634,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf) across all three ANN queries, not per query
     (rows-only: recall is probabilistic; floor pinned by pytest)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_IVFPQ_CACHE, spark)
     if key not in _IVFPQ_CACHE:
         assigned, centers = _ivf_index(spark, sf_dir)
         encoded, codebook = _pq_index(spark, sf_dir)
@@ -620,9 +670,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup that
     bounds all pair work to WITHIN KMeans cells, the embedding sibling
     of dedup_fuzzy_minhash's representative-per-bucket output: drop any
-    vector whose cell holds a lower-id vector with cosine ≥ 0.35 (the
-    repo's near-dup threshold; keep-lowest-id makes the paper's
-    keep-one-per-group rule deterministic given the clustering). Reuses
+    vector whose cell holds a lower-id KEPT vector with cosine ≥ 0.35
+    (the repo's near-dup threshold; the greedy keep-lowest-id pass
+    makes the paper's keep-one-per-group rule deterministic given the
+    clustering, and requiring a KEPT witness stops drops chaining
+    through non-transitive similarity). Reuses
     the CACHED IVF coarse quantizer (_ivf_index) — one KMeans fit
     serves IVF/IVFPQ search and semantic dedup, exactly how a
     production pipeline shares its cluster assignment.
@@ -631,8 +683,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 rows. Rows-only: cell boundaries come from the trained KMeans,
     so pair sets are not SQL-reproducible; the keep-set invariants
     (kept vectors pairwise < t within a cell, every dropped vector has
-    a kept-or-dropped lower-id witness ≥ t, kept+dropped = members) are
-    pinned by tests/test_round5_ops.py.
+    a KEPT lower-id witness ≥ t, kept+dropped = members) are pinned by
+    tests/test_round5_ops.py.
 
     Scale: cell-keyed equi-join (Σ|cell|² pairs, k scaled with N keeps
     |cell| bounded — the paper runs k=50k on LAION), partial-agg'd

@@ -12,6 +12,8 @@ to Catalyst + AQE.
 
 from __future__ import annotations
 
+from kdcloganalyzer_spark import appcache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -473,6 +475,7 @@ def join_dynamic_partition_pruning(
     100 TB is the difference between reading a month and reading a
     weekend (plan shape pinned in tests/test_plans.py)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_DPP_CACHE, spark)
     if key not in _DPP_CACHE:
         import tempfile
 
@@ -892,6 +895,73 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = docs.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+@query(
+    "sample_stratified_md5",
+    oracle="""
+    WITH k AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket,
+             CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 80
+                       WHEN 'es' THEN 60 WHEN 'fr' THEN 90
+                       WHEN 'zh' THEN 50 ELSE 100 END AS rate_pct
+      FROM documents
+    )
+    SELECT lang, rate_pct, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM k WHERE bucket < rate_pct GROUP BY lang, rate_pct
+    """,
+)
+def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with an ENGINE-NEUTRAL keep decision — the
+    deterministic twin of ``sample_stratified`` (whose ``sampleBy`` is
+    seeded but engine-RNG-specific, hence rows-only). Each stratum
+    (lang) gets a target rate; a row is kept iff its 60-bit md5 bucket
+    (``conv(substring(md5(doc_id),1,15),16,10) % 100`` ≡ DuckDB
+    ``('0x'||substr(md5(..),1,15))::BIGINT % 100``) lands under the
+    rate — bit-for-bit reproducible across runs, engines, and
+    partitionings, which is what makes the driver hash-verify a
+    SAMPLING operator end-to-end.
+
+    Scale: the keep predicate is a pure per-row map evaluated at the
+    scan (no shuffle, no RNG state); rejected rows never leave the
+    input stage, and the summary is one partial-agg'd groupBy on the
+    5-value stratum key. At 100 TB this is the production shape for
+    reproducible rebalancing — md5 costs ~3× xxhash64 but buys exact
+    replay across engines; swap hashes once provenance tooling speaks
+    xxhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10)"
+            " as bigint)"
+        )
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 35)
+        .when(F.col("lang") == "de", 80)
+        .when(F.col("lang") == "es", 60)
+        .when(F.col("lang") == "fr", 90)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(100)
+    )
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            bucket.alias("bucket"),
+            rate.alias("rate_pct"),
+        )
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("lang", "rate_pct")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
     )
 
 
@@ -2112,7 +2182,7 @@ def multiline_json_path_for_sf(sf_dir: str) -> str:
     import re
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    return f"/tmp/json_multiline_v1_{(m.group(1) if m else '0.001')}"
+    return f"/tmp/json_multiline_v2_{(m.group(1) if m else '0.001')}"
 
 
 DRIVER_MLJSON = multiline_json_path_for_sf("/root/testdata/sf0.01")
@@ -2147,20 +2217,27 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    if not os.path.exists(os.path.join(base, "_STAGED")):
-        # Stage ONCE: executors serialize the rows (ordinary JSONL
-        # write, 2 parts); the driver then wraps each part file into an
-        # array document as an opaque line-level text transform — no
-        # row ever materializes driver-side (same class as the
-        # late-drop parquet staging, file moves only).
+    if not os.path.isdir(base):
+        # Stage ONCE, atomically: executors serialize the rows (ordinary
+        # JSONL write, 2 parts); the driver then wraps each part file
+        # into an array document as an opaque line-level text transform —
+        # no row ever materializes driver-side. Everything is built in a
+        # PROCESS-UNIQUE temp dir and os.rename()d into place, so two
+        # concurrent processes (entry() prestage + bench/pytest) can race
+        # here and a reader still never sees a truncated document: the
+        # published dir appears whole or not at all, and the loser of the
+        # rename race just discards its copy.
         import glob as _glob
+        import shutil
 
-        os.makedirs(base, exist_ok=True)
-        tmp = f"{base}/_jsonl"
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        tmp = f"{build}/_jsonl"
         orders.repartition(2).write.mode("overwrite").json(tmp)
         for i, part in enumerate(sorted(_glob.glob(f"{tmp}/part-*.json"))):
             with open(part) as src, open(
-                os.path.join(base, f"doc{i}.json"), "w"
+                os.path.join(build, f"doc{i}.json"), "w"
             ) as dst:
                 dst.write("[\n")
                 first = True
@@ -2173,8 +2250,13 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dst.write(line)
                     first = False
                 dst.write("\n]")
-        with open(os.path.join(base, "_STAGED"), "w") as f:
-            f.write("ok")
+        shutil.rmtree(tmp)
+        try:
+            os.rename(build, base)
+        except OSError:
+            # Another process published first — its copy is identical
+            # (deterministic content); keep theirs, drop ours.
+            shutil.rmtree(build, ignore_errors=True)
     df = (
         spark.read.option("multiLine", "true")
         .json(f"{base}/*.json")

@@ -27,7 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
-import tempfile
+from kdcloganalyzer_spark import appcache
+
 from contextlib import contextmanager
 from itertools import count
 
@@ -87,7 +88,7 @@ def _staged_events_dir(sf_dir: str) -> str:
     if sf_dir not in _STAGE_CACHE:
         import os
 
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = appcache.tempdir(prefix="events_stream_")
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet"
         )
@@ -184,7 +185,7 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_ts = ev_batch.selectExpr(
             "percentile_approx(ts, 0.5, 10000) AS m"
         ).collect()[0]["m"]
-        half_dir = tempfile.mkdtemp(prefix="late_drop_halves_")
+        half_dir = appcache.tempdir(prefix="late_drop_halves_")
         for name, half in (
             ("00_recent.parquet", ev_batch.filter(F.col("ts") >= F.lit(split_ts))),
             ("01_late.parquet", ev_batch.filter(F.col("ts") < F.lit(split_ts))),
@@ -197,7 +198,7 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LATE_SPLIT_CACHE[sf_dir] = half_dir
     half_dir = _LATE_SPLIT_CACHE[sf_dir]
 
-    stage = tempfile.mkdtemp(prefix="late_drop_")
+    stage = appcache.tempdir(prefix="late_drop_")
     data_dir = f"{stage}/data"
     out_dir = f"{stage}/out"
     ckpt = f"{stage}/ckpt"
@@ -379,7 +380,7 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
 
-    out_dir = tempfile.mkdtemp(prefix="stream_kdc_records_")
+    out_dir = appcache.tempdir(prefix="stream_kdc_records_")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = [r["path"] for r in batch_df.select("path").collect()]
@@ -422,7 +423,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = f"{sf_dir}::dup2"
     if key not in _STAGE_CACHE:
-        d = tempfile.mkdtemp(prefix="events_dup_")
+        d = appcache.tempdir(prefix="events_dup_")
         src = os.path.abspath(f"{sf_dir}/events.parquet")
         os.symlink(src, f"{d}/copy_a.parquet")
         os.symlink(src, f"{d}/copy_b.parquet")
@@ -463,7 +464,7 @@ def _staged_event_halves(sf_dir: str) -> str:
 
         import duckdb
 
-        d = tempfile.mkdtemp(prefix="events_halves_")
+        d = appcache.tempdir(prefix="events_halves_")
         src = os.path.abspath(f"{sf_dir}/events.parquet")
         con = duckdb.connect()
         for name, pred in (("half_a", "= 0"), ("half_b", "<> 0")):
@@ -508,7 +509,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d),
         "ts",
     )
-    target = tempfile.mkdtemp(prefix="upsert_target_")
+    target = appcache.tempdir(prefix="upsert_target_")
     state: dict[str, str] = {}
 
     def latest_shape(df: DataFrame) -> DataFrame:
@@ -558,7 +559,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="upsert_ckpt_"),
+                appcache.tempdir(prefix="upsert_ckpt_"),
             )
             .trigger(availableNow=True)
             .start()
@@ -609,8 +610,9 @@ def state_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_type| rows per partition. The checkpoint is built once per
     (session, sf) and re-read thereafter."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_STATE_CKPT_CACHE, spark)
     if key not in _STATE_CKPT_CACHE:
-        stage = tempfile.mkdtemp(prefix="state_inspect_")
+        stage = appcache.tempdir(prefix="state_inspect_")
         ckpt = f"{stage}/ckpt"
         ev = read_events_stream(spark, sf_dir).select("event_type")
         agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))

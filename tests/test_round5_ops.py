@@ -74,14 +74,17 @@ def test_semdedup_kept_pairwise_below_threshold(spark, sf_dir):
     assert close.count() == 0
 
 
-def test_semdedup_dropped_have_lower_id_witness(spark, sf_dir):
-    """Every dropped vector has SOME lower-id same-cell vector (kept or
-    dropped) with cosine ≥ t — dropping is never spontaneous."""
-    assigned, dropped, _ = _semdedup_parts(spark, sf_dir)
+def test_semdedup_dropped_have_lower_id_kept_witness(spark, sf_dir):
+    """Every dropped vector has a lower-id same-cell KEPT vector with
+    cosine ≥ t — the paper's keep-one-per-duplicate-group rule. A
+    merely kept-or-dropped witness would let drops chain through
+    non-transitive similarity (ADVICE r5): a vector below threshold to
+    every kept vector must itself be kept."""
+    assigned, dropped, kept = _semdedup_parts(spark, sf_dir)
     d = assigned.join(dropped, "vec_id").select(
         "cell", F.col("vec_id").alias("ib"), F.col("unit").alias("ub")
     )
-    w = assigned.select(
+    w = kept.select(
         "cell", F.col("vec_id").alias("ia"), F.col("unit").alias("ua")
     )
     witnessed = (
