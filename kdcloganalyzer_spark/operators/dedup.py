@@ -133,8 +133,11 @@ def ngram_jaccard_pairs_prefix(
     inverted-index join from the literature, NOT an N² block self-join;
     a distinct on surviving id pairs; two narrow joins to fetch word sets
     for exact verification. Hot tokens are AQE-split like any skewed join
-    key. The size-ratio prefilter (min ≥ t·max) prunes before candidates
-    materialize."""
+    key — demonstrated, not assumed: tests/test_prefix_join_skew.py plants
+    a 30%-of-corpus boilerplate block and pins ``SortMergeJoin(skew=true)``
+    + ``AQEShuffleRead skewed`` in the executed plan with unchanged pair
+    output. The size-ratio prefilter (min ≥ t·max) prunes before
+    candidates materialize."""
     d = _prep_word_sets(docs) if prepped is None else prepped
     return _verify_jaccard(
         _prefix_candidates(_hash_prefix_index(d, threshold), threshold),

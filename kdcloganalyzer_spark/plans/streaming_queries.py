@@ -153,6 +153,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.stream_sessionize_kdc(spark, synth_dir_for_sf(sf_dir))
 
 
+@query("stream_sessionize_tail")
+def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionizer for a GROWING single file (`tail -f`):
+    applyInPandasWithState carries the partial-record tail across
+    micro-batches, so records straddling batch boundaries assemble
+    exactly as in batch (rows-only — watermark-free arbitrary state;
+    batch-equivalence on a 3-chunk split is pinned in
+    tests/test_streaming_tail.py)."""
+    return SQ.stream_sessionize_tail_kdc(spark, synth_dir_for_sf(sf_dir))
+
+
 @query(
     "stream_dedup_exact",
     oracle="""

@@ -407,6 +407,181 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _staged_tail_chunks(log_dir: str, n_chunks: int) -> tuple[str, str]:
+    """Stage ONE log file as ``n_chunks`` JSONL chunk files — the test
+    harness's stand-in for a tail-follower on a GROWING file. Each row
+    is ``{"seq": global_line_no, "line": ...}``: a real tail source
+    (Kafka topic, fluentd, a byte-offset follower) delivers exactly this
+    (payload + its position), and the seq is what lets the stateful
+    assembler re-establish in-file order after the group-key shuffle.
+    Chunk boundaries land wherever the line count falls — deliberately
+    MID-RECORD, the layout the file-granular foreachBatch sessionizer
+    (stream_sessionize_kdc) never faces. Chunk mtimes increase so the
+    file source's oldest-first ordering delivers them in append order.
+
+    Returns (monitored_dir, logical file name). Staging reads the one
+    file driver-side — it IS the simulated producer, not the engine's
+    data path (the engine sees only the staged stream)."""
+    import json
+    import os
+
+    key = f"{log_dir}::tail{n_chunks}"
+    if key not in _STAGE_CACHE:
+        src = sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".log")
+        )[0]
+        with open(os.path.join(log_dir, src)) as f:
+            lines = f.read().splitlines()
+        d = appcache.tempdir(prefix="kdc_tail_")
+        per = max(1, (len(lines) + n_chunks - 1) // n_chunks)
+        now = int(os.path.getmtime(os.path.join(log_dir, src)))
+        for c in range(n_chunks):
+            chunk = lines[c * per : (c + 1) * per]
+            p = os.path.join(d, f"chunk{c:02d}.json")
+            with open(p, "w") as out:
+                for i, line in enumerate(chunk):
+                    out.write(
+                        json.dumps({"seq": c * per + i, "line": line})
+                        + "\n"
+                    )
+            os.utime(p, (now + c, now + c))
+        _STAGE_CACHE[key] = f"{d}\t{src}"
+    d, src = _STAGE_CACHE[key].split("\t")
+    return d, src
+
+
+def stream_sessionize_tail_kdc(
+    spark: SparkSession, log_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Streaming multi-line sessionizer for a GROWING SINGLE FILE — the
+    ``tail -f`` shape: one log file arrives in ``n_chunks`` appended
+    segments across micro-batches, and records STRADDLE the segment
+    boundaries (the reference's record-assembly core,
+    KDCLogRecordReader.java:208-324, under the one layout the
+    file-granular foreachBatch design of ``stream_sessionize_kdc``
+    dodges — that one is correct because records never span FILES; this
+    one is correct when they span BATCHES).
+
+    Shape: the line-feature pass (terminator detection) runs JVM-side on
+    the stream exactly as in batch; ``applyInPandasWithState`` keyed by
+    file then carries the PARTIAL-RECORD TAIL (unterminated trailing
+    lines + their flags + running record/line offsets) across
+    micro-batches, emitting only COMPLETED records' lines with globally
+    consistent (rec_id, line_no) — the same ids the batch sessionizer
+    assigns, so the downstream per-record assembly (``_assemble``) is
+    the identical code path and the whole thing is batch-equivalent by
+    construction (pinned in tests/test_streaming_tail.py). The trailing
+    unterminated record is never emitted, matching the reference's
+    drop-the-tail rule (reader:317-320).
+
+    Scale: state is ONE row per live file (the tail of its current
+    record — bounded by record length, not file length), shuffled on
+    the file key; a fleet of growing files = one state key each,
+    partitioned across executors. Per batch the work is the line-feature
+    projection (codegen) + one Arrow exchange for the stateful group —
+    no per-batch rescan of earlier data; at 100 TB/day of appending logs
+    this is the standing-ingest shape, with ``GroupStateTimeout`` set to
+    a processing-time horizon to reap files that stopped growing (the
+    bounded bench keeps NoTimeout for determinism)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kdcloganalyzer_spark.functions.kdc_parse import line_features
+    from kdcloganalyzer_spark.operators.sessionize import _assemble
+
+    d, fname = _staged_tail_chunks(log_dir, n_chunks)
+    sdf = (
+        spark.readStream.schema("seq long, line string")
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    feats = line_features(F.col("line"))
+    annotated = sdf.select(
+        F.lit(fname).alias("file"),
+        "seq",
+        "line",
+        feats["is_sending"].alias("is_sending"),
+    )
+
+    def assemble_tail(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            next_seq, rec_base, line_base, tail, tail_flags = state.get
+            tail_lines = tail.split("\n") if tail else []
+            flags = [c == "1" for c in tail_flags]
+        else:
+            next_seq, rec_base, line_base = 0, 0, 0
+            tail_lines, flags = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("seq")
+            # The group-key shuffle destroys arrival order; seq restores
+            # it. A gap means the harness delivered chunks out of order
+            # — fail loud, never assemble wrong records.
+            seqs = batch["seq"].to_numpy()
+            if seqs[0] != next_seq or (
+                seqs[1:] != seqs[:-1] + 1
+            ).any():
+                raise ValueError(
+                    f"non-contiguous tail stream at {key}: "
+                    f"expected {next_seq}, got {seqs[:3]}"
+                )
+            next_seq = int(seqs[-1]) + 1
+            tail_lines = tail_lines + batch["line"].tolist()
+            flags = flags + batch["is_sending"].tolist()
+        last = -1
+        for i, fl in enumerate(flags):
+            if fl:
+                last = i
+        k = last + 1
+        out_lines, out_flags = tail_lines[:k], flags[:k]
+        rec_ids, line_nos = [], []
+        rc = rec_base
+        for i, fl in enumerate(out_flags):
+            rec_ids.append(rc)
+            line_nos.append(line_base + i + 1)
+            if fl:
+                rc += 1
+        state.update(
+            (
+                int(next_seq),
+                int(rc),
+                int(line_base + k),
+                "\n".join(tail_lines[k:]),
+                "".join("1" if fl else "0" for fl in flags[k:]),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "file": [key[0]] * k,
+                "rec_id": pd.Series(rec_ids, dtype="int64"),
+                "line_no": pd.Series(line_nos, dtype="int64"),
+                "line": out_lines,
+            }
+        )
+
+    stateful = annotated.groupBy("file").applyInPandasWithState(
+        assemble_tail,
+        "file string, rec_id long, line_no long, line string",
+        "next_seq long, rec_base long, line_base long, "
+        "tail string, tail_flags string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    lines_df = _run_to_memory(stateful, "append")
+    feats2 = line_features(F.col("line"))
+    return _assemble(
+        lines_df.select(
+            "file",
+            "rec_id",
+            "line_no",
+            "line",
+            *[v.alias(n) for n, v in feats2.items()],
+        ),
+        "line_no",
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the events file is staged TWICE into the
     monitored directory (a replayed/at-least-once upstream), and
