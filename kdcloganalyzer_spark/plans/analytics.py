@@ -851,3 +851,89 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS cts,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS campaign
+      FROM events WHERE event_type = 'click'
+    ), m AS (
+      SELECT p.event_id, p.value, c.campaign
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts <= p.ts AND c.cts > p.ts - INTERVAL 1 DAY
+    ), sh AS (
+      SELECT event_id, value, campaign,
+             count(*) OVER (PARTITION BY event_id) AS n_touch
+      FROM m
+    )
+    SELECT campaign, count(*) AS n_touches,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 1000000 / n_touch) AS BIGINT))
+                AS BIGINT) AS attr_value_us
+    FROM sh GROUP BY campaign
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value is split
+    equally across every click of the same user in the trailing 1-day
+    window, and the shares roll up per campaign (the click's ``props.k``)
+    — the marketing-analytics sibling of ``join_asof``'s last-touch
+    single-winner shape, and a different join geometry: as-of keeps ONE
+    carry-forward row per conversion, attribution needs ALL window
+    touches.
+
+    Scale: one user-keyed equi-join (clicks ⋈ purchases) with the time
+    band as a post-join predicate — candidates per user are bounded by
+    that user's own activity, so the join never goes cross-user; a
+    per-purchase window (count over event_id) sizes the split without a
+    second join; one partial-agg'd groupBy on the ~100-value campaign
+    key finishes. Hot users are ordinary join skew → AQE skew-split
+    (demonstrated for this engine in tests/test_prefix_join_skew.py).
+    At 100 TB the trailing-window predicate also admits day-bucketed
+    co-partitioning (join on (user, day) ∪ (user, day−1)) if user
+    histories ever outgrow a task — same decomposition as
+    join_range_theta's band buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias(
+            "campaign"
+        ),
+    )
+    m = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 1 DAY")),
+    ).select("event_id", "value", "campaign")
+    sh = m.withColumn(
+        "n_touch", F.count("*").over(Window.partitionBy("event_id"))
+    )
+    # Shares in exact integer MICRO-UNITS: value/n_touch is an identical
+    # IEEE division in both engines, but summing the resulting doubles is
+    # order-dependent and a cent-boundary sum (x.xx5) then rounds
+    # differently per engine — rounding each share to an integer first
+    # makes the aggregate exact and order-free (verify-skill gotcha:
+    # round inputs, not just the sum).
+    share_us = F.round(
+        F.col("value") * F.lit(1000000) / F.col("n_touch")
+    ).cast("bigint")
+    return sh.groupBy("campaign").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("event_id").alias("n_conversions"),
+        F.sum(share_us).cast("bigint").alias("attr_value_us"),
+    )

@@ -1154,3 +1154,102 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("source", "doc_id", F.round("pr", 6).alias("pr_r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (the pre-training "how much would each method cut")
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_dedup_report",
+    oracle=r"""
+    WITH nrm AS (
+      SELECT doc_id, n_chars,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), ex AS (
+      SELECT count(*) AS n, count(DISTINCT text) AS kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents
+    ), nx AS (
+      SELECT count(*) AS n, count(DISTINCT norm) AS kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM nrm
+    ), d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents
+    ), jd AS (
+      SELECT DISTINCT b.doc_id
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                  (len(a.words) + len(b.words)
+                   - len(list_intersect(a.words, b.words))), 6) >= 0.9
+    )
+    SELECT 'exact' AS method, n AS n_docs, kept AS n_kept,
+           n - kept AS n_dropped FROM ex
+    UNION ALL
+    SELECT 'norm_exact', n, kept, n - kept FROM nx
+    UNION ALL
+    SELECT 'jaccard90', ex.n, ex.n - (SELECT count(*) FROM jd),
+           (SELECT count(*) FROM jd)
+    FROM ex
+    """,
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report: for each dedup method — byte-exact,
+    normalized-exact (lowercase + whitespace collapse), and word-set
+    Jaccard ≥ 0.9 — how many documents the corpus would keep vs drop.
+    This is the audit every pre-training data team runs BEFORE choosing
+    a dedup tier (exact is free, normalization catches trivial
+    variants, near-dup costs a pair join): one table, method per row,
+    directly comparable counts. Hash-verified end-to-end because all
+    three membership rules are exact functions of the corpus.
+
+    Scale: the two exact tiers are single groupBy-style distinct
+    aggregates (partial-agg'd count-distinct — at 100 TB swap for
+    approx_count_distinct or a two-stage md5 groupBy); the near-dup
+    tier reuses the SAME prefix-filtered lossless pair join as
+    dedup_ngram_jaccard (shared per-(session,sf) word-set table, AQE
+    skew-split on hot tokens per tests/test_prefix_join_skew.py). The
+    three 1-row aggregates union into a 3-row report — no joins
+    between them, so no BNLJ."""
+    from kdcloganalyzer_spark.operators import dedup
+    from kdcloganalyzer_spark.plans.llm_pipeline import _wordsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    ex = docs.agg(
+        F.lit("exact").alias("method"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_kept"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dropped"),
+    )
+    nx = docs.select(norm.alias("norm")).agg(
+        F.lit("norm_exact").alias("method"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm").alias("n_kept"),
+        (F.count("*") - F.countDistinct("norm")).alias("n_dropped"),
+    )
+    dropped = (
+        dedup.ngram_jaccard_pairs_prefix(
+            docs, 0.9, prepped=_wordsets(spark, sf_dir)
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    # doc_id-keyed left join (never a 1-row cross join → no BNLJ): flag
+    # each doc, then one aggregate produces the jaccard row.
+    jd = (
+        docs.select("doc_id")
+        .join(dropped, "doc_id", "left")
+        .agg(
+            F.lit("jaccard90").alias("method"),
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.count("is_dropped")).alias("n_kept"),
+            F.count("is_dropped").alias("n_dropped"),
+        )
+    )
+    return ex.unionByName(nx).unionByName(jd)

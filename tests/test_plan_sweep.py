@@ -22,6 +22,8 @@ BNLJ_OK = {
     "sample_temperature_mixture",  # broadcast 1-row totals
     "join_range_theta",   # non-equi range join — BNLJ is its honest plan
     "pipeline_corpus_report",  # broadcast 1-row top-language aggregate
+    "sim_search_lsh_eval",  # exact-baseline side reuses sim_search_cosine's
+                            # broadcast query-set cross join
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or
