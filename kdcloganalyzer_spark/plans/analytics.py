@@ -937,3 +937,69 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_conversions"),
         F.sum(share_us).cast("bigint").alias("attr_value_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mxts FROM events),
+    u AS (
+      SELECT user_id,
+             (epoch_us((SELECT mxts FROM mx)) - epoch_us(max(ts)))
+               // 86400000000 AS r_days,
+             count(*) AS freq,
+             CAST(sum(round(value * 100)) AS BIGINT) AS monetary_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, r_days, freq, monetary_cents,
+           ntile(4) OVER (ORDER BY r_days, user_id) AS r_tier,
+           ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_tier,
+           ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_tier
+    FROM u
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — recency / frequency / monetary quartile tiers
+    per user, the classic behavioral-segmentation rollup (tier 1-1-1 =
+    most recent, most active, highest spend). Recency is integer days
+    from each user's last event to the corpus max timestamp
+    (microsecond-exact integer arithmetic, ``unix_micros`` ⇄
+    ``epoch_us``); monetary is integer cents; every ntile ORDER BY
+    carries user_id as the tiebreak, so tier assignment is total-order
+    deterministic and the whole segmentation hash-verifies.
+
+    Scale: one groupBy(user_id) with partial aggregation builds the
+    per-user RFM row (data-sized shuffle); the three ntile windows are
+    GLOBAL rankings — the honest cost of exact quartiles (a single-
+    partition sort of |users| rows, fine while users ≪ events; at 100 TB
+    swap exact ntile for approx percentile cutoffs from
+    agg_quantile_sketch and assign tiers by comparison, turning the
+    global sort into a broadcast of 3 cut values). The corpus max ts is
+    a 1-row aggregate collected driver-side (bounded control data — the
+    sanctioned scalar pattern, never a BNLJ 1-row join)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    u = ev.groupBy("user_id").agg(
+        F.expr(f"({mx_us}L - unix_micros(max(ts))) div 86400000000").alias(
+            "r_days"
+        ),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias(
+            "monetary_cents"
+        ),
+    )
+    w_r = Window.orderBy("r_days", "user_id")
+    w_f = Window.orderBy(F.desc("freq"), "user_id")
+    w_m = Window.orderBy(F.desc("monetary_cents"), "user_id")
+    return u.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary_cents",
+        F.ntile(4).over(w_r).alias("r_tier"),
+        F.ntile(4).over(w_f).alias("f_tier"),
+        F.ntile(4).over(w_m).alias("m_tier"),
+    )

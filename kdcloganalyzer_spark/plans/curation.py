@@ -1253,3 +1253,101 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ex.unionByName(nx).unionByName(jd)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (the CommonCrawl-style crawl-frontier audit)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+             || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+             || '/path' || (doc_id % 50)
+             || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 4 = 2
+                     THEN '/?utm_source=feed&id=' || (doc_id % 100)
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 3 THEN '#frag' || doc_id
+                     ELSE '' END AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(
+               replace(
+                 replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '[?&]utm_[^&#]*', '', 'g'),
+                   '.com:443/', '.com/'),
+                 '/&', '/?'),
+               '/$', '') AS canon
+      FROM u
+    )
+    SELECT canon, count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM c GROUP BY canon
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION dedup — the crawl-frontier / CommonCrawl
+    ingest step that collapses scheme-case, default-port, fragment,
+    tracking-parameter, and trailing-slash variants of the same page
+    before any content dedup runs (cheapest tier of the dedup ladder:
+    pure per-row string normalization, no pairs at all). URLs are
+    synthesized deterministically from doc_id (like text_pii_scrub's
+    planted PII) with four variant decorations; canonicalization
+    lowercases, drops the fragment, strips ``utm_*`` params and the
+    explicit :443 default port, and removes the trailing slash — then
+    one groupBy(canon) yields keep-lowest-id groups. (Simplification
+    documented: real canonicalizers lowercase only scheme+host and
+    sort remaining query params; both engines here apply byte-identical
+    simple replaces so the driver hash-verifies the normalization.)
+
+    Scale: canonicalization is a codegen projection evaluated at the
+    scan — rejected duplicates collapse in the single partial-agg'd
+    groupBy on the canonical key; at 100 TB this is the map-side-combine
+    shape (variants of one URL are ~always colocated-in-time, so
+    partial aggregation removes most rows before the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m4 = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(m4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/path"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(m4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            m4 == 2,
+            F.concat(
+                F.lit("/?utm_source=feed&id="),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            m4 == 3, F.concat(F.lit("#frag"), F.col("doc_id").cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.expr(
+            "replace(replace("
+            "regexp_replace(regexp_replace(lower(url), '#.*$', ''),"
+            "               '[?&]utm_[^&#]*', ''),"
+            "'.com:443/', '.com/'), '/&', '/?')"
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

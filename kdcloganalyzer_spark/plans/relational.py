@@ -2643,3 +2643,224 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame: per-user rolling 1-hour event count and
+    value sum — the RANGE-frame sibling of window_rank_analytic's ROWS
+    frames. A ROWS frame counts a fixed number of rows; a RANGE frame
+    keyed on event time expresses "the last hour" regardless of how
+    many events it holds — the batch form of the sliding stream window
+    (stream_window_sliding), and the alerting primitive behind
+    kdc_failed_auth_burst generalized to arbitrary aggregates.
+
+    The frame bound is numeric microseconds (``unix_micros`` ⇄ DuckDB
+    ``epoch_us``, both exact integers — the module-header timestamp
+    equivalence), so the frame edge is microsecond-exact in both
+    engines and RANGE peers (equal timestamps) group identically.
+
+    Scale: one shuffle on user_id + one sort per partition; the running
+    frame is computed incrementally by the window operator (add/evict
+    at the frame edges), never by re-scanning the hour — per-user cost
+    is linear in that user's events, the same skew profile as every
+    user-keyed window here."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT TRY_CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT)) AS n_campaigns,
+           count(*) FILTER (value > 50) AS n_big,
+           round(sum(value) FILTER (value > 50), 2) AS sum_big
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE exact count-distincts + FILTERed aggregates in ONE
+    groupBy — the plan-shape stressor: Catalyst rewrites n distinct
+    aggregates over different children into an Expand (one row
+    replicated per distinct group) + two-stage aggregation, so the
+    query costs one widened shuffle instead of n self-joins; the
+    conditional aggregates ride the same pass as filter-wrapped
+    children (Spark's ``F.count(when(...))`` ≡ SQL FILTER).
+
+    Scale: Expand multiplies shuffle rows by the number of DISTINCT
+    children (×2 here) — the documented trade; when a distinct column's
+    cardinality explodes at 100 TB, swap exact distinct for
+    approx_count_distinct (distinct_exact_approx measures that gap) and
+    the Expand collapses back to one partial-agg'd pass."""
+    ev = load_table(spark, sf_dir, "events")
+    big = F.col("value") > 50
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+        ).alias("n_campaigns"),
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.round(F.sum(F.when(big, F.col("value"))), 2).alias("sum_big"),
+    )
+
+
+@query(
+    "agg_cube_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() indicators — the full 2^n grouping-set
+    lattice plus the metadata that lets a consumer tell a NULL **data**
+    value from a NULL **subtotal** placeholder (the reason GROUPING()
+    exists; ROLLUP's linear prefix chain is agg_grouping_sets). Spark
+    and DuckDB agree bit-for-bit on the indicator definition, so the
+    whole lattice hash-verifies.
+
+    Scale: like rollup, CUBE compiles to ONE Expand (×4 here: every
+    row replicated per grouping set) + a single two-stage
+    HashAggregate — one widened shuffle for all 4 sets, never one job
+    per set; at high set counts (2^n) the Expand factor is the
+    documented cost knob and partial aggregation still collapses
+    map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n", "total",
+    )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id % 256) AS band,
+           bit_or(event_id % 256) AS bor,
+           bit_xor(event_id % 256) AS bxor,
+           CAST(sum(bit_count(((event_id % 256) << 2) | (user_id % 16)))
+                AS BIGINT) AS sum_bits,
+           CAST(sum((event_id % 256) >> 3) AS BIGINT) AS sum_shr
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: per-row shifts / masks / popcount and
+    the bit_and / bit_or / bit_xor AGGREGATES (flag-set intersection
+    and union — the permission-mask and feature-flag rollup
+    primitives). Everything is integer arithmetic, so the suite
+    hash-verifies exactly.
+
+    Scale: pure codegen projections + one partial-agg'd groupBy on the
+    5-value type key; bitwise aggregates are trivially mergeable
+    (map-side combine), the property that makes them cheap fleet-wide
+    rollups at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.col("event_id") % 256
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(event_id % 256)").alias("band"),
+        F.expr("bit_or(event_id % 256)").alias("bor"),
+        F.expr("bit_xor(event_id % 256)").alias("bxor"),
+        F.sum(
+            F.bit_count(
+                F.shiftleft(b, 2).bitwiseOR(F.col("user_id") % 16)
+            )
+        ).cast("bigint").alias("sum_bits"),
+        F.sum(F.shiftright(b, 3)).cast("bigint").alias("sum_shr"),
+    )
+
+
+@query(
+    "fn_struct_suite",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(status := o_orderstatus,
+                         cents := CAST(round(o_totalprice * 100) AS BIGINT),
+                         who := struct_pack(cust := o_custkey,
+                                            prio := o_orderpriority))
+               AS rec
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           rec.status AS status,
+           rec.cents AS cents,
+           rec.who.cust AS cust,
+           rec.who.prio AS prio,
+           to_json(struct_pack(status := rec.status, cents := rec.cents))
+             AS js
+    FROM s
+    """,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT surface, completing the complex-type matrix next to
+    fn_array_suite / fn_map_suite: named_struct construction, nested
+    structs, field extraction through two levels, and to_json
+    serialization (monetary value carried as integer CENTS in the
+    struct so the JSON text is float-format-independent across
+    engines — the same integer-units trick as
+    events_attribution_linear).
+
+    Scale: structs are columnar fiction — Catalyst flattens field
+    accesses back to the underlying columns at optimization time, so
+    this whole suite is one codegen projection over a pruned scan; only
+    serialization (to_json) materializes the nested shape."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 1000
+    )
+    rec = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("who"),
+    )
+    s = orders.select("o_orderkey", rec.alias("rec"))
+    return s.select(
+        "o_orderkey",
+        F.col("rec.status").alias("status"),
+        F.col("rec.cents").alias("cents"),
+        F.col("rec.who.cust").alias("cust"),
+        F.col("rec.who.prio").alias("prio"),
+        F.to_json(
+            F.struct(
+                F.col("rec.status").alias("status"),
+                F.col("rec.cents").alias("cents"),
+            )
+        ).alias("js"),
+    )
