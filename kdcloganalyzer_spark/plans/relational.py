@@ -2864,3 +2864,223 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("js"),
     )
+
+
+@query(
+    "analytics_revenue_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def analytics_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-aggregate: what revenue would a
+    discount-band change have touched. No join, no groupBy key: ONE
+    pass with every predicate (date range, discount band, quantity cap)
+    pushed into the parquet scan and a single global partial→final
+    aggregate. Revenue accumulates as exact integers (price cents ×
+    discount basis points), so the sum is order-free across engines —
+    the float product would land on rounding boundaries.
+
+    Scale: the canonical predicate-pushdown benchmark — at 100 TB the
+    scan reads only 3 columns and row groups whose min/max stats admit
+    the date range (parquet row-group skipping; file-level skipping is
+    scan_manifest_pruned), and the aggregate ships one partial row per
+    task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        F.col("l_discount") * 100
+    ).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("bigint").alias("revenue_e4"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "analytics_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def analytics_late_shipment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders
+    in a quarter-window with at least one line item shipped >60 days
+    after the order date, counted per priority (the order-fulfillment
+    SLA report). The correlated EXISTS (equality on orderkey + a
+    non-equi date condition referencing BOTH sides) is exactly the
+    shape engines must decorrelate rather than re-execute per row.
+
+    Scale: Catalyst rewrites the subquery to one semi-join on
+    l_orderkey with the date comparison as a residual — each order is
+    emitted at most once no matter how many qualifying lines (semi-join
+    short-circuit, no dedup pass); the narrow date-filtered orders side
+    drives, the lineitem probe prunes to 2 columns. One join shuffle
+    (or broadcast under AQE) + one 5-value groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = sel.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "analytics_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def analytics_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape — DISJUNCTIVE join predicates: revenue over an
+    OR of three (brand, size-range, quantity-range) baskets. The trap
+    shape for optimizers: the OR spans both join sides, so a naive plan
+    evaluates it post-join over everything; the right plan extracts the
+    common equi-key (partkey) for the join and derives single-side
+    prefilters from the disjunction (brand ∈ {1,2,3}, quantity ≤ 30 —
+    the union bounds of each side's branches) so both inputs shrink
+    BEFORE the join and the full OR runs only as the residual.
+    Revenue in exact integer units (cents × (100 − discount bp)) keeps
+    the aggregate order-free.
+
+    Scale: part is the dimension → broadcast hash join on partkey;
+    Catalyst's constraint propagation emits the derived IN/range
+    prefilters into both scans (visible as PushedFilters: In(p_brand)
+    and quantity bounds), which is what keeps the probe side from
+    reading every basket-ineligible row group at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    basket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return j.where(basket).agg(
+        F.sum(rev).cast("bigint").alias("revenue_e4"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "analytics_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE '%anodized%'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def analytics_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape — supplier diversity per (brand, type) with a
+    NOT IN exclusion list: how many distinct suppliers ship each
+    catalog segment, excluding one brand, a type pattern, and
+    complaint-listed suppliers (negative balance). Exercises NOT IN →
+    anti-join decorrelation stacked under a distinct aggregate.
+
+    Scale: the exclusion subquery is a tiny broadcast (suppliers in
+    deficit) anti-joined before anything widens; part is the broadcast
+    dimension; the distinct count rides the (brand, type) shuffle with
+    a per-group partial distinct. NOT IN's null trap is avoided by
+    construction (s_suppkey is non-null) — Spark and DuckDB agree on
+    the 3-valued semantics either way because the subquery yields no
+    NULLs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    ).where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").contains("anodized")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
