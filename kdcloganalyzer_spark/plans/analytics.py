@@ -1003,3 +1003,90 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_f).alias("f_tier"),
         F.ntile(4).over(w_m).alias("m_tier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed approximate top-k (sharded heavy hitters)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_approx_topk_sharded",
+    oracle="""
+    WITH k AS (
+      SELECT event_type || '#' || (user_id % 50) AS key FROM events
+    ), c AS (
+      SELECT key,
+             ('0x' || substr(md5(key), 1, 15))::BIGINT % 8 AS pid,
+             count(*) AS cnt
+      FROM k GROUP BY key
+    ), r AS (
+      SELECT key, pid, cnt,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY cnt DESC, key) AS rn
+      FROM c
+    ), resid AS (
+      SELECT pid, coalesce(max(cnt) FILTER (rn > 4), 0) AS pid_resid
+      FROM r GROUP BY pid
+    )
+    SELECT key, cnt AS est, CAST(r.pid AS INT) AS pid, pid_resid
+    FROM r JOIN resid ON r.pid = resid.pid
+    WHERE rn <= 4
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, key) <= 12
+    """,
+)
+def agg_approx_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed APPROXIMATE TOP-K / heavy hitters — the sharded
+    summary algorithm (TPUT-family): keys shard by an engine-neutral
+    md5 hash, each shard keeps only its local top-4 plus the largest
+    DROPPED count (the shard's residual threshold), and the global
+    top-12 merges from the per-shard summaries. Because a key lives in
+    exactly ONE shard, every reported estimate is EXACT, and any
+    unreported key is provably ≤ max(its shard's residual, the merge
+    cutoff — the 12th reported estimate) — both laws pinned in
+    tests/test_topk_sharded.py. Completes the mergeable-summary family
+    next to CMS (counts), HLL (distincts), and KLL (quantiles), and
+    like the CMS twin it is hash-verified end-to-end: md5 sharding
+    makes the summary an exact function of the data, not of the
+    engine's partitioner.
+
+    Scale: this is why shard-local top-k works at 100 TB — the full
+    key×count table never centralizes; each shard ships K+1 numbers
+    (top-K + residual) no matter how many keys it holds, so the merge
+    input is O(shards·K). The count itself is one partial-agg'd
+    groupBy; the per-shard ranking windows over shard-sized slices. At
+    higher cardinality swap the exact shard count for SpaceSaving
+    within the shard — the summary contract (estimate + threshold)
+    stays identical."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws("#", "event_type", (F.col("user_id") % 50))
+    c = (
+        ev.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "pid",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(key),1,15),16,10) as bigint)"
+                )
+                % 8
+            ).cast("int"),
+        )
+    )
+    w_shard = Window.partitionBy("pid").orderBy(F.desc("cnt"), "key")
+    r = c.withColumn("rn", F.row_number().over(w_shard))
+    resid = r.groupBy("pid").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") > 4, F.col("cnt"))), F.lit(0)
+        ).alias("pid_resid")
+    )
+    kept = (
+        r.where(F.col("rn") <= 4)
+        .join(resid, "pid")
+        .select("key", F.col("cnt").alias("est"), "pid", "pid_resid")
+    )
+    w_glob = Window.orderBy(F.desc("est"), "key")
+    return (
+        kept.withColumn("grn", F.row_number().over(w_glob))
+        .where(F.col("grn") <= 12)
+        .drop("grn")
+    )
