@@ -407,60 +407,73 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-def _staged_tail_chunks(log_dir: str, n_chunks: int) -> tuple[str, str]:
-    """Stage ONE log file as ``n_chunks`` JSONL chunk files — the test
-    harness's stand-in for a tail-follower on a GROWING file. Each row
-    is ``{"seq": global_line_no, "line": ...}``: a real tail source
-    (Kafka topic, fluentd, a byte-offset follower) delivers exactly this
-    (payload + its position), and the seq is what lets the stateful
-    assembler re-establish in-file order after the group-key shuffle.
-    Chunk boundaries land wherever the line count falls — deliberately
+def _staged_tail_chunks(
+    log_dir: str, n_chunks: int, n_files: int = 1
+) -> tuple[str, list[str]]:
+    """Stage ``n_files`` log files as per-file ``n_chunks`` JSONL chunk
+    files — the test harness's stand-in for a tail-follower on GROWING
+    files. Each row is ``{"file": ..., "seq": per_file_line_no,
+    "line": ...}``: a real tail source (Kafka topic, fluentd, a
+    byte-offset follower) delivers exactly this (origin + payload +
+    position), and the seq is what lets the stateful assembler
+    re-establish in-file order after the group-key shuffle. Chunk
+    boundaries land wherever the line count falls — deliberately
     MID-RECORD, the layout the file-granular foreachBatch sessionizer
-    (stream_sessionize_kdc) never faces. Chunk mtimes increase so the
-    file source's oldest-first ordering delivers them in append order.
+    (stream_sessionize_kdc) never faces. All files' chunk ``c`` share
+    one mtime tick, so a micro-batch carries the CONCURRENT growth of
+    every followed file (oldest-first source ordering).
 
-    Returns (monitored_dir, logical file name). Staging reads the one
-    file driver-side — it IS the simulated producer, not the engine's
+    Returns (monitored_dir, logical file names). Staging reads the
+    files driver-side — it IS the simulated producer, not the engine's
     data path (the engine sees only the staged stream)."""
     import json
     import os
 
-    key = f"{log_dir}::tail{n_chunks}"
+    key = f"{log_dir}::tail{n_chunks}x{n_files}"
     if key not in _STAGE_CACHE:
-        src = sorted(
+        srcs = sorted(
             f for f in os.listdir(log_dir) if f.endswith(".log")
-        )[0]
-        with open(os.path.join(log_dir, src)) as f:
-            lines = f.read().splitlines()
+        )[:n_files]
         d = appcache.tempdir(prefix="kdc_tail_")
-        per = max(1, (len(lines) + n_chunks - 1) // n_chunks)
-        now = int(os.path.getmtime(os.path.join(log_dir, src)))
-        for c in range(n_chunks):
-            chunk = lines[c * per : (c + 1) * per]
-            p = os.path.join(d, f"chunk{c:02d}.json")
-            with open(p, "w") as out:
-                for i, line in enumerate(chunk):
-                    out.write(
-                        json.dumps({"seq": c * per + i, "line": line})
-                        + "\n"
-                    )
-            os.utime(p, (now + c, now + c))
-        _STAGE_CACHE[key] = f"{d}\t{src}"
-    d, src = _STAGE_CACHE[key].split("\t")
-    return d, src
+        now = int(os.path.getmtime(os.path.join(log_dir, srcs[0])))
+        for src in srcs:
+            with open(os.path.join(log_dir, src)) as f:
+                lines = f.read().splitlines()
+            per = max(1, (len(lines) + n_chunks - 1) // n_chunks)
+            for c in range(n_chunks):
+                chunk = lines[c * per : (c + 1) * per]
+                p = os.path.join(d, f"chunk{c:02d}_{src}.json")
+                with open(p, "w") as out:
+                    for i, line in enumerate(chunk):
+                        out.write(
+                            json.dumps(
+                                {
+                                    "file": src,
+                                    "seq": c * per + i,
+                                    "line": line,
+                                }
+                            )
+                            + "\n"
+                        )
+                os.utime(p, (now + c, now + c))
+        _STAGE_CACHE[key] = f"{d}\t" + "\t".join(srcs)
+    parts = _STAGE_CACHE[key].split("\t")
+    return parts[0], parts[1:]
 
 
 def stream_sessionize_tail_kdc(
-    spark: SparkSession, log_dir: str, n_chunks: int = 3
+    spark: SparkSession, log_dir: str, n_chunks: int = 3, n_files: int = 1
 ) -> DataFrame:
-    """Streaming multi-line sessionizer for a GROWING SINGLE FILE — the
-    ``tail -f`` shape: one log file arrives in ``n_chunks`` appended
-    segments across micro-batches, and records STRADDLE the segment
-    boundaries (the reference's record-assembly core,
+    """Streaming multi-line sessionizer for GROWING FILES — the
+    ``tail -f`` shape: each followed log file arrives in ``n_chunks``
+    appended segments across micro-batches, and records STRADDLE the
+    segment boundaries (the reference's record-assembly core,
     KDCLogRecordReader.java:208-324, under the one layout the
     file-granular foreachBatch design of ``stream_sessionize_kdc``
     dodges — that one is correct because records never span FILES; this
-    one is correct when they span BATCHES).
+    one is correct when they span BATCHES). With ``n_files > 1``,
+    several files grow CONCURRENTLY — one independent state row per
+    file key (pinned in tests/test_streaming_tail.py's 2-file case).
 
     Shape: the line-feature pass (terminator detection) runs JVM-side on
     the stream exactly as in batch; ``applyInPandasWithState`` keyed by
@@ -488,15 +501,15 @@ def stream_sessionize_tail_kdc(
     from kdcloganalyzer_spark.functions.kdc_parse import line_features
     from kdcloganalyzer_spark.operators.sessionize import _assemble
 
-    d, fname = _staged_tail_chunks(log_dir, n_chunks)
+    d, _fnames = _staged_tail_chunks(log_dir, n_chunks, n_files)
     sdf = (
-        spark.readStream.schema("seq long, line string")
-        .option("maxFilesPerTrigger", 1)
+        spark.readStream.schema("file string, seq long, line string")
+        .option("maxFilesPerTrigger", n_files)
         .json(d)
     )
     feats = line_features(F.col("line"))
     annotated = sdf.select(
-        F.lit(fname).alias("file"),
+        "file",
         "seq",
         "line",
         feats["is_sending"].alias("is_sending"),

@@ -49,8 +49,8 @@ def test_tail_chunks_straddle_records(spark, sf_dir):
     import json
 
     log_dir = synth_dir_for_sf(sf_dir)
-    d, _ = SQ._staged_tail_chunks(log_dir, 3)
-    chunk0 = os.path.join(d, "chunk00.json")
+    d, srcs = SQ._staged_tail_chunks(log_dir, 3)
+    chunk0 = os.path.join(d, f"chunk00_{srcs[0]}.json")
     with open(chunk0) as f:
         last = json.loads(f.read().splitlines()[-1])["line"]
     assert " sending " not in last
@@ -59,3 +59,23 @@ def test_tail_chunks_straddle_records(spark, sf_dir):
 def test_tail_registered_query_runs(spark, sf_dir):
     out = registry.QUERIES["stream_sessionize_tail"](spark, sf_dir)
     assert out.count() > 0
+
+
+def test_two_concurrently_growing_files(spark, sf_dir):
+    """Two files growing at once, chunks interleaved into the same
+    micro-batches: per-file state rows must assemble each file exactly
+    as the batch sessionizer does — no cross-file bleed, no lost
+    boundary records."""
+    log_dir = synth_dir_for_sf(sf_dir)
+    streamed = SQ.stream_sessionize_tail_kdc(
+        spark, log_dir, n_chunks=2, n_files=2
+    )
+    srcs = sorted(f for f in os.listdir(log_dir) if f.endswith(".log"))[:2]
+    batch = sessionize(
+        read_log_lines(
+            spark, [os.path.join(log_dir, s) for s in srcs]
+        )
+    )
+    s_rows, b_rows = _canon(streamed), _canon(batch)
+    assert len(s_rows) > 0
+    assert s_rows == b_rows
