@@ -3084,3 +3084,194 @@ def analytics_supplier_part_counts(
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+@query(
+    "analytics_small_qty_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated SCALAR AGGREGATE subquery: revenue
+    from line items ordering less than half the part's average quantity
+    (the small-lot-detection report). Expressed through ``spark.sql``
+    with the correlation intact: Catalyst decorrelates the per-part avg
+    into ONE grouped aggregate joined back on partkey — linear in
+    lineitem, never a per-row re-scan. The threshold comparison is
+    float-deterministic across engines: the per-part quantity sum is an
+    exact integral double and avg's single division yields bit-identical
+    thresholds; revenue itself sums integer cents.
+
+    Scale: the decorrelated plan is aggregate + equi-join — the
+    textbook reason engines decorrelate (a naive correlated execution
+    is O(|lineitem|²/parts)); with AQE the tiny Brand#1 side broadcast-
+    joins the per-part averages."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c,
+               count(*) AS n_lines
+        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM v_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@query(
+    "analytics_waiting_supplier",
+    oracle="""
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_suppkey) FILTER (late) AS n_late
+      FROM l GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(DISTINCT l.l_orderkey) AS n_waiting
+    FROM l
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.late AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def analytics_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole-blocker report: suppliers who were
+    the ONLY late shipper on a finalized multi-supplier order. The
+    original phrases this as EXISTS (another supplier on the order)
+    AND NOT EXISTS (another LATE supplier) — two correlated subqueries
+    three levels deep. The scale-honest rewrite used here computes each
+    order's (distinct suppliers, distinct late suppliers) ONCE in a
+    grouped aggregate and turns both EXISTS into cheap predicates
+    (n_supp > 1, n_late = 1) on the joined-back row — one aggregation
+    + two equi-joins instead of two nested probes per line item, the
+    decorrelation engines aspire to and a pipeline author can guarantee
+    by construction.
+
+    Scale: everything keys on l_orderkey (the join-back co-partitions
+    with the aggregate's own shuffle) except the final tiny
+    supplier-name broadcast; late flags are computed once at the scan
+    join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")
+        ).alias("late"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l.where(F.col("late"))
+        .join(
+            per_order.where(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_waiting"))
+    )
+
+
+@query(
+    "analytics_dormant_rich_customers",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ), t AS (
+      SELECT sum(bal_c)::DOUBLE / count(*) AS thresh_c
+      FROM c WHERE bal_c > 0
+    )
+    SELECT c.c_nationkey AS nation, count(*) AS n_custs,
+           CAST(sum(c.bal_c) AS BIGINT) AS total_bal_c
+    FROM c
+    WHERE c.bal_c > (SELECT thresh_c FROM t)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def analytics_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — the dormant-high-value report: customers with
+    above-average positive balance and NO orders at all, counted per
+    nation. Two decorrelation features stacked: an uncorrelated scalar
+    aggregate threshold (the global average) and a NOT EXISTS that
+    becomes a LEFT ANTI join on custkey. Balances are exact integer
+    cents, so the average threshold (one exact-integer sum, one
+    division) is bit-identical across engines — the float-avg boundary
+    trap neutralized the same way as events_attribution_linear's
+    shares.
+
+    Scale: the threshold is a 1-row aggregate collected driver-side
+    (bounded control scalar — the sanctioned pattern, not a BNLJ 1-row
+    join); the anti-join keys on custkey against the orders projection
+    (at 100 TB: orders' custkey column pruned at the scan, anti-join
+    co-partitioned or bloom-pruned); one 25-value groupBy finishes."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    thresh = (
+        c.where(F.col("bal_c") > 0)
+        .agg(
+            (
+                F.sum("bal_c").cast("double") / F.count("*")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.where(F.col("bal_c") > F.lit(thresh))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_c").cast("bigint").alias("total_bal_c"),
+        )
+    )
