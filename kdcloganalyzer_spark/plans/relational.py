@@ -3275,3 +3275,475 @@ def analytics_dormant_rich_customers(
             F.sum("bal_c").cast("bigint").alias("total_bal_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H matrix completion: Q2 / Q8 / Q9 / Q11 / Q12 / Q13 / Q15 / Q20 shapes
+# (adapted to the driver star schema — no partsupp table, so supply-cost
+# roles are played by lineitem's observed prices; every money aggregate
+# runs in exact integer cents so cross-engine sums are order-free)
+# ---------------------------------------------------------------------------
+@query(
+    "analytics_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(cost_c) AS min_cost_c FROM ps
+      GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name,
+           min(ps.l_suppkey) AS s_suppkey, best.min_cost_c
+    FROM part p
+    JOIN best ON best.l_partkey = p.p_partkey
+    JOIN ps ON ps.l_partkey = p.p_partkey
+           AND ps.cost_c = best.min_cost_c
+    WHERE p.p_size <= 10
+    GROUP BY p.p_partkey, p.p_name, best.min_cost_c
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the minimum-cost-supplier lookup: for each
+    small part, the supplier offering it cheapest (observed minimum
+    sale price standing in for ps_supplycost — the driver schema has no
+    partsupp). The Q2 skeleton is a correlated MIN subquery
+    (cost = (SELECT min(..) WHERE same part)); here it is decorrelated
+    by construction: one (part, supplier) aggregate, one per-part min,
+    one equality join-back, with min(suppkey) as the deterministic
+    tie-break among equal-cost suppliers.
+
+    Scale: both aggregates and the join-back key on partkey — a single
+    shuffle partitioning serves all three (Catalyst reuses the
+    exchange); the part dimension broadcast-prunes to the size filter.
+    Costs are integer cents, so min/equality are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cost_c")
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min("cost_c").alias("min_cost_c")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        p.join(best, p["p_partkey"] == best["l_partkey"])
+        .drop("l_partkey")
+        .join(
+            ps,
+            (ps["l_partkey"] == F.col("p_partkey"))
+            & (ps["cost_c"] == F.col("min_cost_c")),
+        )
+        .groupBy("p_partkey", "p_name", "min_cost_c")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "min_cost_c")
+    )
+
+
+@query(
+    "analytics_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT year(o.o_orderdate) AS yr,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               AS rev_e4,
+             (sn.n_name = 'NATION_7') AS is_target
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT yr,
+           CAST(sum(rev_e4) FILTER (is_target) AS BIGINT) AS target_e4,
+           CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+           round(sum(rev_e4) FILTER (is_target)
+                 / sum(rev_e4)::DOUBLE, 6) AS share
+    FROM sales GROUP BY yr
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of everything sold to
+    ASIA customers, what fraction was supplied by NATION_7, per order
+    year. The 6-way star join (lineitem → orders → customer → nation →
+    region, plus supplier → nation) with a conditional-share aggregate;
+    the share divides two exact integer sums, so the ratio is
+    bit-identical across engines.
+
+    Scale: all five dimension joins are broadcasts (nation/region/
+    customer/supplier are dims); the single data-sized shuffle is the
+    year groupBy. At 100 TB the orders join is the big pairing —
+    orderkey-bucketed layouts or a runtime bloom filter (see
+    join_bloom_runtime) keep it from shuffling lineitem twice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("sn_name"),
+    )
+    asia = r.where(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    sales = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(
+            F.broadcast(asia),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            rev.alias("rev_e4"),
+            (F.col("sn_name") == "NATION_7").alias("is_target"),
+        )
+    )
+    tgt = F.sum(F.when(F.col("is_target"), F.col("rev_e4")))
+    tot = F.sum("rev_e4")
+    return sales.groupBy("yr").agg(
+        tgt.cast("bigint").alias("target_e4"),
+        tot.cast("bigint").alias("total_e4"),
+        F.round(tgt / tot.cast("double"), 6).alias("share"),
+    )
+
+
+@query(
+    "analytics_product_type_profit",
+    oracle="""
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS yr,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def analytics_product_type_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    year, restricted to a part-name pattern ('%widget%' standing in
+    for '%green%'; profit omits ps_supplycost — no partsupp table).
+    The join graph is the Q9 skeleton: fact → part (pattern-filtered
+    dim) → supplier → nation → orders, grouped on (nation, year).
+
+    Scale: the LIKE-filtered part dim shrinks first and broadcasts,
+    pruning lineitem EARLY (the join order that makes Q9 tractable);
+    supplier/nation broadcast; orders is the one big pairing. One
+    data shuffle for the (nation, year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("nation"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(profit).cast("bigint").alias("profit_e4"))
+    )
+
+
+@query(
+    "analytics_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_c
+    FROM v
+    WHERE value_c > (SELECT 0.001 * sum(value_c)::DOUBLE FROM v)
+    """,
+)
+def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — the important-stock report: parts whose total
+    traded value exceeds a FRACTION of the whole book (lineitem value
+    standing in for partsupp availqty × supplycost). The Q11 skeleton
+    is a HAVING over a scalar subquery that re-aggregates the same
+    grouped table — the single-pass-reuse pattern: compute the per-part
+    values once, derive the global threshold from that same result,
+    filter.
+
+    Scale: one partkey groupBy; the threshold is a 1-row re-aggregate
+    of the (small, per-part) value table collected driver-side — a
+    bounded control scalar, so no 1-row BNLJ join; the grouped table
+    would be cached/reused in a multi-query session (here linear
+    lineage keeps it one pass + one tiny scan of the aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.round(F.col("l_extendedprice") * 100).cast(
+        "bigint"
+    ) * F.col("l_quantity").cast("bigint")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(val).cast("bigint").alias("value_c")
+    )
+    thresh = (
+        v.agg((F.sum("value_c").cast("double") * 0.001).alias("t"))
+        .collect()[0]["t"]
+    )
+    return v.where(F.col("value_c") > F.lit(thresh))
+
+
+@query(
+    "analytics_ship_channel_priority",
+    oracle="""
+    SELECT CASE l.l_linenumber % 3 WHEN 0 THEN 'MAIL'
+                                   WHEN 1 THEN 'SHIP' ELSE 'AIR' END
+             AS channel,
+           CAST(sum(CASE WHEN o.o_orderpriority IN
+                              ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY channel
+    """,
+)
+def analytics_ship_channel_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape — priority mix per shipping channel for slow
+    shipments (a synthetic channel from l_linenumber stands in for
+    l_shipmode): the conditional two-counter aggregate (urgent vs
+    other) per category, the classic CASE-pivot rollup.
+
+    Scale: one orderkey equi-join (date condition as residual), one
+    3-value groupBy with both counters in the same partial-agg pass —
+    no second scan for the second counter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    channel = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("AIR")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            ),
+        )
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "analytics_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def analytics_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — the customer order-count HISTOGRAM, including
+    the zero bucket: a LEFT join so customers with no orders survive
+    with count 0 (count(o_orderkey) skips the NULLs the outer join
+    manufactures — the semantics the inner-join version silently gets
+    wrong), then a second aggregate over the first's output.
+
+    Scale: the custkey join and first groupBy share partitioning (one
+    exchange serves both); the histogram re-aggregate shuffles only
+    |distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@query(
+    "analytics_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_e4
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_e4 = (SELECT max(total_e4) FROM rev)
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the top supplier for a quarter: a revenue
+    "view" (CTE) aggregated per supplier, then the suppliers achieving
+    the maximum (Q15's scalar-subquery-on-a-view pattern; ties all
+    surface, and because revenue is exact integer units the equality
+    is exact — the float version of this query is famously
+    tie-unstable).
+
+    Scale: one suppkey groupBy over the date-pruned scan; the max is a
+    1-row re-aggregate collected as a control scalar; the supplier
+    dim broadcast-joins the (tiny) qualifying set."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).cast("bigint").alias("total_e4")
+    )
+    mx = rev.agg(F.max("total_e4")).collect()[0][0]
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.where(F.col("total_e4") == F.lit(mx))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+@query(
+    "analytics_promotable_suppliers",
+    oracle="""
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ), shipped AS (
+      SELECT l.l_suppkey, CAST(sum(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN promo_parts pp ON pp.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, sh.qty
+    FROM supplier s JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty > (SELECT 2.0 * avg(qty) FROM shipped)
+    """,
+)
+def analytics_promotable_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape — suppliers to promote for a part family:
+    suppliers who shipped MORE than twice the average quantity of
+    'small%' parts in a year (the original's nested IN-chain over
+    partsupp/availqty adapted to shipped quantities). Skeleton:
+    pattern-filtered part IN-list (a semi-joinable CTE), per-supplier
+    aggregate, scalar threshold over that same aggregate.
+
+    Scale: the promo-parts list broadcasts into the date-pruned
+    lineitem scan (semi-join before any widening); one suppkey
+    groupBy; the threshold is a 1-row re-aggregate collected as a
+    control scalar (exact integral quantity sums → identical division
+    in both engines); supplier dim broadcasts at the end."""
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(pp), li["l_partkey"] == pp["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    t = (
+        shipped.agg((F.avg("qty") * 2.0).alias("t"))
+        .collect()[0]["t"]
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        shipped.where(F.col("qty") > F.lit(t))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "qty")
+    )
