@@ -36,8 +36,18 @@ def evict_stale(cache: dict, spark) -> None:
         cache.pop(k, None)
 
 
-def tempdir(prefix: str) -> str:
-    """mkdtemp that is removed at interpreter exit."""
-    d = tempfile.mkdtemp(prefix=prefix)
+def tempdir(prefix: str, fast: bool = False) -> str:
+    """mkdtemp that is removed at interpreter exit.
+
+    ``fast=True`` prefers tmpfs (/dev/shm) when present — for
+    commit-latency-bound scratch like streaming checkpoints of BOUNDED
+    runs, where durability across a machine crash buys nothing (a real
+    deployment points checkpoints at object storage instead)."""
+    import os
+
+    base = None
+    if fast and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d

@@ -380,7 +380,7 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
 
-    out_dir = appcache.tempdir(prefix="stream_kdc_records_")
+    out_dir = appcache.tempdir(prefix="stream_kdc_records_", fast=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = [r["path"] for r in batch_df.select("path").collect()]
@@ -747,7 +747,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
             .option(
                 "checkpointLocation",
-                appcache.tempdir(prefix="upsert_ckpt_"),
+                appcache.tempdir(prefix="upsert_ckpt_", fast=True),
             )
             .trigger(availableNow=True)
             .start()
