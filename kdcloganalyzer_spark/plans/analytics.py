@@ -1090,3 +1090,89 @@ def agg_approx_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("grn") <= 12)
         .drop("grn")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med
+      FROM d GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n, med.med,
+             abs(d.n - med.med) AS adev
+      FROM d JOIN med ON med.event_type = d.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.day, dev.n,
+           CAST(round(2 * dev.med) AS BIGINT) AS med2,
+           CAST(round(2 * mad.mad) AS BIGINT) AS mad2,
+           CAST(6745 * (2 * dev.n - round(2 * dev.med)) AS BIGINT) AS z_num,
+           CAST(10000 * round(2 * mad.mad) AS BIGINT) AS z_den,
+           (abs(6745 * (2 * dev.n - round(2 * dev.med)))
+            > 35000 * round(2 * mad.mad)) AS outlier
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE mad.mad > 0
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST volume-anomaly scoring — median/MAD modified z-scores
+    (Iglewicz-Hoaglin: 0.6745·(x−med)/MAD, flag |z| > 3.5) per
+    (event_type, day), the heavy-tail-safe sibling of
+    events_anomaly_zscore: one pathological day inflates a mean/stddev
+    baseline and masks itself, but barely moves the median and MAD.
+
+    Cross-engine determinism: counts are integers; Spark exact
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (verify-skill
+    equivalence), and medians of integers interpolate to exact halves
+    — every downstream ratio is a chain of IEEE ops on identical
+    inputs, so round(·, 3) hash-verifies.
+
+    Scale: the corpus collapses to type×day counts in one
+    partial-agg'd shuffle; the two median passes run over that tiny
+    rollup (exact percentile needs the sorted group — fine at
+    days×types size; at per-entity grain swap in approx KLL from
+    agg_quantile_sketch). Both join-backs broadcast the 5-row
+    med/MAD tables."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = d.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    # Medians of integer counts interpolate to exact half-integers, so
+    # 2·med and 2·mad are exact BIGINTs — the modified z-score is then
+    # reported as an exact integer ratio z_num/z_den (= 0.6745·(n−med)/
+    # MAD) and the 3.5 outlier gate becomes a pure integer comparison.
+    # A rounded float z lands on .xxx5 midpoints where Spark (shortest-
+    # repr HALF_UP) and DuckDB (true binary) round apart — verify-skill
+    # gotcha.
+    med2 = F.round(2 * F.col("med")).cast("bigint")
+    mad2 = F.round(2 * F.col("mad")).cast("bigint")
+    z_num = (F.lit(6745) * (2 * F.col("n") - med2)).cast("bigint")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            med2.alias("med2"),
+            mad2.alias("mad2"),
+            z_num.alias("z_num"),
+            (F.lit(10000) * mad2).cast("bigint").alias("z_den"),
+            (F.abs(z_num) > F.lit(35000) * mad2).alias("outlier"),
+        )
+    )

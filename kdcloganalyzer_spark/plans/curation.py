@@ -1351,3 +1351,101 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule attribution (which gate kills what)
+# ---------------------------------------------------------------------------
+from kdcloganalyzer_spark.plans.registry import ORACLES as _ORACLES
+
+_GOPHER_SQL = _ORACLES["quality_gopher_repetition"]
+
+
+@query(
+    "quality_rule_attribution",
+    oracle=f"""
+    WITH g AS ({_GOPHER_SQL}),
+    flags AS (
+      SELECT doc_id,
+             (n_words < 5) AS r_short,
+             (n_words > 1000) AS r_long,
+             (mean_word_len < 2 OR mean_word_len > 12) AS r_word_len,
+             (top_word_frac > 0.3) AS r_top_word,
+             (dup_bigram_frac > 0.6) AS r_repetition
+      FROM g
+    ), n AS (
+      SELECT doc_id,
+             CAST(r_short AS INT) + CAST(r_long AS INT)
+             + CAST(r_word_len AS INT) + CAST(r_top_word AS INT)
+             + CAST(r_repetition AS INT) AS n_fail,
+             r_short, r_long, r_word_len, r_top_word, r_repetition
+      FROM flags
+    ), e AS (
+      SELECT rule, fails, n_fail FROM n
+      UNPIVOT (fails FOR rule IN (r_short, r_long, r_word_len,
+                                  r_top_word, r_repetition))
+    )
+    SELECT rule,
+           CAST(count(*) FILTER (fails) AS BIGINT) AS n_failing,
+           CAST(count(*) FILTER (fails AND n_fail = 1) AS BIGINT)
+             AS n_exclusive
+    FROM e GROUP BY rule
+    """,
+)
+def quality_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ATTRIBUTION: for each Gopher-style rule, how many
+    documents it fails and how many it fails EXCLUSIVELY (no other rule
+    fires) — the audit a curation team runs before tuning thresholds: a
+    rule with zero exclusive kills is redundant; one with many is doing
+    unshared work. Composes the registered quality_gopher_repetition
+    metrics (one source of truth for the per-doc signals — the oracle
+    embeds that query's SQL as a CTE, so the two ids can never drift).
+
+    Scale: per-doc flags are pure projections over the gopher metric
+    output (codegen HOF folds, no shuffle); the rule explode (unpivot,
+    ×5 rows) feeds one partial-agg'd 5-key groupBy. Counting exclusive
+    kills needs the per-doc fail COUNT, computed in the same
+    projection — no self-join."""
+    g = registry_query("quality_gopher_repetition")(spark, sf_dir)
+    flags = g.select(
+        "doc_id",
+        (F.col("n_words") < 5).alias("r_short"),
+        (F.col("n_words") > 1000).alias("r_long"),
+        (
+            (F.col("mean_word_len") < 2) | (F.col("mean_word_len") > 12)
+        ).alias("r_word_len"),
+        (F.col("top_word_frac") > 0.3).alias("r_top_word"),
+        (F.col("dup_bigram_frac") > 0.6).alias("r_repetition"),
+    )
+    rules = ["r_short", "r_long", "r_word_len", "r_top_word",
+             "r_repetition"]
+    n_fail = sum(F.col(r).cast("int") for r in rules)
+    n = flags.withColumn("n_fail", n_fail)
+    e = n.select(
+        "n_fail",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(r).alias("fails")
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("rf"),
+    ).select("n_fail", "rf.rule", "rf.fails")
+    return e.groupBy("rule").agg(
+        F.count(F.when(F.col("fails"), 1)).cast("bigint").alias(
+            "n_failing"
+        ),
+        F.count(
+            F.when(F.col("fails") & (F.col("n_fail") == 1), 1)
+        ).cast("bigint").alias("n_exclusive"),
+    )
+
+
+def registry_query(qid: str):
+    """Late import avoiding a registry lookup at module import time."""
+    from kdcloganalyzer_spark.plans.registry import QUERIES
+
+    return QUERIES[qid]
