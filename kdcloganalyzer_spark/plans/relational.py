@@ -3747,3 +3747,110 @@ def analytics_promotable_suppliers(
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "qty")
     )
+
+
+@query(
+    "sql_cached_table",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CACHE TABLE surface — Spark's in-memory columnar cache tier:
+    a narrow projection is registered and cached
+    (``spark.catalog.cacheTable``), and the aggregate reads the
+    compressed in-memory columnar batches (Spark 4's ``Scan In-memory
+    table`` under a TableCacheQueryStage — pinned in
+    tests/test_plans_cache.py) instead of re-scanning parquet. This
+    is the interactive-session contract: the first action pays the
+    scan + cache build, every later query over the hot view is
+    memory-speed.
+
+    Scale: caching is per-executor columnar storage with the SAME
+    partitioning as the source scan — no shuffle to build; at 100 TB
+    you cache the narrow pruned projection (3 columns here), never the
+    raw table, and MEMORY_AND_DISK spills cold partitions instead of
+    failing. Cache is idempotent per session (cacheTable on a cached
+    view is a no-op), so re-invocations reuse the built batches."""
+    view = "cached_orders_narrow"
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).createOrReplaceTempView(view)
+    if not spark.catalog.isCached(view):
+        spark.catalog.cacheTable(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM {view}
+        GROUP BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def fixed_width_dir_for_sf(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/orders_fixedwidth_v1_{(m.group(1) if m else '0.001')}"
+
+
+@query(
+    "scan_fixed_width",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingestion — the mainframe/COBOL export format
+    (no delimiters; fields live at byte offsets): orders are staged
+    once as 12-char orderkey | 1-char status | 14-char price records,
+    then parsed back with substring slices + casts. Staging uses
+    ``format_string`` (executor-side, atomic publish via build-dir
+    rename); the formats are width-exact, so parse(format(x)) == x and
+    the oracle runs on the ORIGINAL table — the round-trip is provably
+    lossless.
+
+    Scale: a fixed-width file is newline-splittable like CSV, so the
+    scan parallelizes by byte ranges; parsing is substring/cast
+    codegen (no regex, no Python). The one thing fixed-width cannot do
+    is column pruning at the reader — every byte of a record is read
+    even for a 2-field projection, which is exactly why this format is
+    converted to parquet at the ingest boundary (the query demonstrates
+    the ingest, then aggregates)."""
+    import os
+    import shutil
+
+    base = fixed_width_dir_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        load_table(spark, sf_dir, "orders").select(
+            F.format_string(
+                "%012d%1s%014.2f",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+            ).alias("value")
+        ).coalesce(2).write.mode("overwrite").text(build)
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    raw = spark.read.text(base)
+    rec = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 1).alias("o_orderstatus"),
+        F.substring("value", 14, 14).cast("double").alias("o_totalprice"),
+    )
+    return rec.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
