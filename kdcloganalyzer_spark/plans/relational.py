@@ -3854,3 +3854,174 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH b AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts) AS back_ts,
+             (SELECT min(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts >= p.ts) AS fwd_ts
+      FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN back_ts IS NULL THEN fwd_ts
+             WHEN fwd_ts IS NULL THEN back_ts
+             WHEN epoch_us(ts) - epoch_us(back_ts)
+                  <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+             ELSE fwd_ts
+           END AS nearest_click_ts,
+           CASE
+             WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+             WHEN back_ts IS NULL THEN 'fwd'
+             WHEN fwd_ts IS NULL THEN 'back'
+             WHEN epoch_us(ts) - epoch_us(back_ts)
+                  <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'back'
+             ELSE 'fwd'
+           END AS direction
+    FROM b
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: for each purchase, the closest
+    click of the same user in EITHER direction (ties go backward) —
+    pandas' ``merge_asof(direction='nearest')``, which plain
+    carry-forward cannot express. Built as TWO carry passes over one
+    union: the ascending window carries the last click ≤ ts forward,
+    the descending window carries the first click ≥ ts backward, and a
+    microsecond-exact comparison picks the nearer (equal-ts clicks are
+    visible to both passes, distance 0).
+
+    Scale: both window passes share the user_id partitioning — one
+    shuffle, two sorts (asc + desc), no range explosion, per-user
+    linear; the same reason join_asof beats a range join at 100 TB,
+    paid twice instead of once for the bidirectional semantics."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    u = clicks.unionByName(purchases).withColumn(
+        "is_purchase", F.col("event_id").isNotNull().cast("int")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        u.withColumn(
+            "back_ts", F.last("click_ts", ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "fwd_ts", F.last("click_ts", ignorenulls=True).over(w_fwd)
+        )
+        .where(F.col("is_purchase") == 1)
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("back_ts")
+    d_fwd = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    nearer_back = d_back <= d_fwd
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(nearer_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    direction = (
+        F.when(
+            F.col("back_ts").isNull() & F.col("fwd_ts").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("back_ts").isNull(), F.lit("fwd"))
+        .when(F.col("fwd_ts").isNull(), F.lit("back"))
+        .when(nearer_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_click_ts"),
+        direction.alias("direction"),
+    )
+
+
+@query(
+    "fn_agg_suite",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, event_id, value,
+             CAST(round(value * 100) AS BIGINT) * 10000000000
+               + event_id AS ord_key
+      FROM events
+    )
+    SELECT event_type,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 200) AS any_big,
+           CAST(count(*) FILTER (value > 100) AS BIGINT) AS n_over100,
+           arg_min(event_id, ord_key) AS cheapest_id,
+           arg_max(event_id, ord_key) AS priciest_id,
+           CAST(round(2 * quantile_cont(
+                 CAST(round(value * 100) AS BIGINT), 0.5)) AS BIGINT)
+             AS med2_c
+    FROM k GROUP BY event_type
+    """,
+)
+def fn_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE-function surface, completing the matrix next to the
+    scalar/datetime/array/map/struct suites: bool_and / bool_or,
+    FILTERed counts, min_by / max_by (arg-extremum), and exact median.
+    Determinism engineering: arg-extrema order by a SINGLE composite
+    integer (cents·10^10 + event_id — DuckDB's max_by rejects
+    composite tuple keys, a pinned gotcha, and value alone has ties);
+    the median ships as 2·median of integer cents (exact BIGINT —
+    medians interpolate to halves, and a rounded float median sits on
+    the .xx5 midpoint trap).
+
+    Scale: every aggregate here is partial-merge mergeable EXCEPT the
+    exact median (holds the group's values); at 100 TB the median slot
+    swaps to the KLL sketch (agg_quantile_sketch) and the rest of the
+    suite stays one partial-agg'd pass."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = (
+        F.round(F.col("value") * 100).cast("bigint")
+        * F.lit(10000000000)
+        + F.col("event_id")
+    )
+    k = ev.select("event_type", "event_id", "value", ord_key.alias("ord"))
+    return k.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_pos"),
+        F.bool_or(F.col("value") > 200).alias("any_big"),
+        F.count(F.when(F.col("value") > 100, 1))
+        .cast("bigint")
+        .alias("n_over100"),
+        F.min_by("event_id", F.col("ord")).alias("cheapest_id"),
+        F.max_by("event_id", F.col("ord")).alias("priciest_id"),
+        F.round(
+            2
+            * F.expr(
+                "percentile(cast(round(value * 100) as bigint), 0.5)"
+            )
+        )
+        .cast("bigint")
+        .alias("med2_c"),
+    )
