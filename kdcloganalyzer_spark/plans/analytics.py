@@ -1176,3 +1176,91 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z_num) > F.lit(35000) * mad2).alias("outlier"),
         )
     )
+
+
+@query(
+    "sessionize_stats_rollup",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL
+                        OR gap_us > {_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ), sess AS (
+      SELECT user_id, sess_id,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(round(2 * quantile_cont(dur_us, 0.5)) AS BIGINT)
+             AS med2_dur_us,
+           CAST(round(10 * quantile_cont(dur_us, 0.9)) AS BIGINT)
+             AS p90x10_dur_us,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+           CAST(round(2 * quantile_cont(n_events, 0.5)) AS BIGINT)
+             AS med2_events,
+           CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces
+    FROM sess
+    """,
+)
+def sessionize_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality distribution report composed ON TOP of the gap
+    sessionizer: session count, duration median/p90/max, events-per-
+    session median, and single-event bounce count — the product-
+    analytics rollup every sessionization feeds next. Quantiles ride
+    exact integer microsecond durations, shipped scaled (2×median,
+    10×p90) so linear-interpolated quantiles of integers stay exact
+    BIGINTs (p90 interpolates at tenths).
+
+    Scale: reuses the sessionizer's single user_id shuffle for the
+    window + per-session aggregate; the distribution pass then reduces
+    |sessions| rows to ONE — exact quantiles hold the session list per
+    group, so at 100 TB the quantile slots swap to the KLL sketch
+    (agg_quantile_sketch) and everything else is a partial-agg'd
+    global aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > _GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+        F.count("*").alias("n_events"),
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(2 * F.expr("percentile(dur_us, 0.5)"))
+        .cast("bigint")
+        .alias("med2_dur_us"),
+        F.round(10 * F.expr("percentile(dur_us, 0.9)"))
+        .cast("bigint")
+        .alias("p90x10_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        F.round(2 * F.expr("percentile(n_events, 0.5)"))
+        .cast("bigint")
+        .alias("med2_events"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )
