@@ -1264,3 +1264,81 @@ def sessionize_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bounces"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sz AS (
+      SELECT event_type, count(*) AS n FROM s GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, za.n AS n_a, zb.n AS n_b, i.n_both,
+           round(i.n_both::DOUBLE / (za.n + zb.n - i.n_both), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON za.event_type = i.type_a
+    JOIN sz zb ON zb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: pairwise Jaccard of the distinct user
+    sets behind each event type (do clickers also purchase?) — the
+    segment-overlap report behind every "audience insights" panel.
+    Exact small-pair-space version: 5 types → 10 pairs; the
+    user-keyed self-join of the distinct (type, user) table produces
+    only co-occurring pairs (never |users|² — a user contributes
+    C(types_of_user, 2) ≤ 10 rows), and the Jaccard divides exact
+    integers.
+
+    Scale: one distinct (one shuffle), a self-join keyed on user_id
+    (co-partitioned with the distinct's own exchange), one 10-group
+    aggregate, two broadcast joins for the set sizes. When the
+    "types" dimension is unbounded (audiences, cohorts), swap the
+    exact distinct sets for HLL sketches (agg_hll_sketch_merge) and
+    estimate the union via inclusion-exclusion — the summary-merge
+    form of this exact report."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "user_id").distinct()
+    sz = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = s.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    za = sz.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    zb = sz.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(za), "type_a")
+        .join(F.broadcast(zb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

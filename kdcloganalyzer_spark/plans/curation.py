@@ -1449,3 +1449,84 @@ def registry_query(qid: str):
     from kdcloganalyzer_spark.plans.registry import QUERIES
 
     return QUERIES[qid]
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (dataset-order memorization/novelty signal)
+# ---------------------------------------------------------------------------
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                    || ' ' || ws[CAST(i AS INT) + 2])) AS gram
+      FROM w WHERE len(ws) >= 3
+    ), d AS (
+      SELECT DISTINCT doc_id, gram FROM g
+    ), first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM d GROUP BY gram
+    )
+    SELECT d.doc_id,
+           count(*) AS n_grams,
+           CAST(count(*) FILTER (f.first_doc = d.doc_id) AS BIGINT)
+             AS n_novel,
+           round(count(*) FILTER (f.first_doc = d.doc_id)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM d JOIN first_seen f ON f.gram = d.gram
+    GROUP BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document in dataset order: the fraction of a
+    doc's distinct 3-grams whose FIRST corpus occurrence (min doc_id)
+    is this doc — the streaming-ingest novelty curve a curation
+    pipeline watches to decide when a source has stopped contributing
+    new content (novelty → 0 means you're re-crawling what you have;
+    the complement is the memorization-risk mass). Deterministic: the
+    first-seen attribution is min(doc_id), an exact function of the
+    corpus, and the ratio divides exact integers.
+
+    Scale: distinct-gram explode → min-groupBy on the gram hash →
+    join-back on the same key — the dedup_lines_global shape (two
+    co-partitioned shuffles, partial-agg'd, AQE-skew-safe on
+    boilerplate grams); nothing pairwise. On a growing corpus the
+    first_seen table is the standing index, maintained incrementally
+    per ingest batch (new grams insert, existing ones win by min)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        docs.where(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 2),"
+                    " i -> concat_ws(' ',"
+                    "  slice(split(lower(text), ' '), i, 3)))"
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    first_seen = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.count(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    )
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

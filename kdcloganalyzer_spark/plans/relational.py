@@ -4025,3 +4025,42 @@ def fn_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("med2_c"),
     )
+
+
+@query(
+    "fn_decimal_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+           min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_dec,
+           max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))
+               * CAST(2 AS DECIMAL(3,0))) AS doubled_dec,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DECIMAL arithmetic surface — the numeric tier this repo's
+    integer-cents idiom hand-rolls, provided natively: money cast to
+    DECIMAL(18,2) sums EXACTLY in any order on both engines (128-bit
+    accumulation), so no rounding trick is needed and the aggregate
+    hash-verifies as-is. Division/average stay out of the suite
+    deliberately: engines disagree on result SCALE rules there (DuckDB
+    averages decimals as DOUBLE, Spark widens the scale) — sums,
+    extrema, and integer-scaled products are where cross-engine
+    decimal exactness actually holds.
+
+    Scale: decimal aggregation is partial-merge mergeable like any
+    sum; the cost vs double is ~2× per value (128-bit adds) — the
+    standard price of exactness for financial rollups, and still one
+    partial-agg'd shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("total_dec"),
+        F.min(dec).alias("min_dec"),
+        F.max(dec).alias("max_dec"),
+        F.sum(dec * F.lit(2).cast("decimal(3,0)")).alias("doubled_dec"),
+        F.count("*").alias("n"),
+    )
