@@ -34,10 +34,34 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_idle(threshold: float = 1.5, max_wait_sec: float = 240.0) -> float:
+    """Block (bounded) until the 1-min loadavg drops below `threshold`.
+
+    The driver calls bench.py right after its gate/pytest phase, so the
+    box's load is usually a decaying tail of finished work — BENCH_r06
+    started at loadavg 5.1 and its headline was uninterpretable (VERDICT
+    r6 item 3). A 1-min loadavg halves roughly every 60 s once the work
+    stops, so a few minutes of waiting converts a busy-machine number
+    into an attributable one; the cap keeps a genuinely-busy machine
+    from stalling the run (we then record the load and move on).
+    Returns seconds actually waited. Disable with SPARK_GRAFT_NO_WAIT=1.
+    """
+    if os.environ.get("SPARK_GRAFT_NO_WAIT"):
+        return 0.0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_sec:
+        la = _loadavg()
+        if not la or la[0] < threshold:
+            break
+        time.sleep(10)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    idle_wait = _wait_for_idle()
 
     registry.load_all()
     spark = get_spark(app_name="bench")
@@ -114,6 +138,7 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "idle_wait_sec": idle_wait,
         "errors": errors,
         "sf": sf,
     }
@@ -137,6 +162,7 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "idle_wait_sec": idle_wait,
         "queries": {},
         "queries_file": "BENCH_LOCAL.json",
     }

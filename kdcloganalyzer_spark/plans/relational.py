@@ -4030,37 +4030,71 @@ def fn_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_decimal_suite",
     oracle="""
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), a AS (
+        SELECT o_orderstatus,
+               CAST(sum(cents) AS BIGINT)     AS total_c,
+               min(cents)                     AS min_c,
+               max(cents)                     AS max_c,
+               CAST(sum(cents) * 2 AS BIGINT) AS doubled_c,
+               count(*)                       AS n
+        FROM c GROUP BY o_orderstatus
+    )
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
-           min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_dec,
-           max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_dec,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))
-               * CAST(2 AS DECIMAL(3,0))) AS doubled_dec,
-           count(*) AS n
-    FROM orders GROUP BY o_orderstatus
+           printf('%d.%02d', total_c // 100, total_c % 100)
+               ::DECIMAL(28,2) AS total_dec,
+           printf('%d.%02d', min_c // 100, min_c % 100)
+               ::DECIMAL(28,2) AS min_dec,
+           printf('%d.%02d', max_c // 100, max_c % 100)
+               ::DECIMAL(28,2) AS max_dec,
+           printf('%d.%02d', doubled_c // 100, doubled_c % 100)
+               ::DECIMAL(28,2) AS doubled_dec,
+           n
+    FROM a
     """,
 )
 def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT DECIMAL arithmetic surface — the numeric tier this repo's
-    integer-cents idiom hand-rolls, provided natively: money cast to
-    DECIMAL(18,2) sums EXACTLY in any order on both engines (128-bit
-    accumulation), so no rounding trick is needed and the aggregate
-    hash-verifies as-is. Division/average stay out of the suite
-    deliberately: engines disagree on result SCALE rules there (DuckDB
-    averages decimals as DOUBLE, Spark widens the scale) — sums,
-    extrema, and integer-scaled products are where cross-engine
-    decimal exactness actually holds.
+    """EXACT DECIMAL arithmetic surface, built the only way that is
+    exact across ENGINE VERSIONS: the per-row DOUBLE is converted once
+    with the proven ``round(x*100)`` integer-cents idiom (half-even on
+    the binary value, identical everywhere), all aggregation happens on
+    BIGINT cents, and DECIMAL appears only in the final projection via
+    a canonical string — ``'%d.%02d'`` formatting of an integer cannot
+    round, so the decimal cast is exact on both engines. A per-row
+    ``CAST(double AS DECIMAL(18,2))`` is NOT portable: .xx5 midpoints
+    round differently across DuckDB builds (driver r6 hash-fail).
+    Division/average stay out deliberately: engines disagree on decimal
+    result-SCALE rules there.
 
-    Scale: decimal aggregation is partial-merge mergeable like any
-    sum; the cost vs double is ~2× per value (128-bit adds) — the
-    standard price of exactness for financial rollups, and still one
-    partial-agg'd shuffle."""
+    Scale: integer aggregation is partial-merge mergeable and cheaper
+    than 128-bit decimal accumulation; the decimal presentation cast
+    touches only the G group rows, not the N input rows — one
+    partial-agg'd shuffle total."""
     orders = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
-    return orders.groupBy("o_orderstatus").agg(
-        F.sum(dec).alias("total_dec"),
-        F.min(dec).alias("min_dec"),
-        F.max(dec).alias("max_dec"),
-        F.sum(dec * F.lit(2).cast("decimal(3,0)")).alias("doubled_dec"),
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def dec(c: str) -> F.Column:
+        return F.format_string(
+            "%d.%02d", F.expr(f"{c} div 100"), F.col(c) % 100
+        ).cast("decimal(28,2)")
+
+    agg = orders.select("o_orderstatus", cents.alias("cents")).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.sum("cents").alias("total_c"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
+        (F.sum("cents") * 2).alias("doubled_c"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        dec("total_c").alias("total_dec"),
+        dec("min_c").alias("min_dec"),
+        dec("max_c").alias("max_dec"),
+        dec("doubled_c").alias("doubled_dec"),
+        "n",
     )
