@@ -1006,6 +1006,117 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFM segmentation — approx-cutoff variant (the 100 TB swap, registered)
+# ---------------------------------------------------------------------------
+@query(
+    "events_rfm_segmentation_approx",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mxts FROM events),
+    u AS (
+      SELECT user_id,
+             (epoch_us((SELECT mxts FROM mx)) - epoch_us(max(ts)))
+               // 86400000000 AS r_days,
+             count(*) AS freq,
+             CAST(sum(round(value * 100)) AS BIGINT) AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT quantile_disc(r_days, 0.25) AS r25,
+             quantile_disc(r_days, 0.50) AS r50,
+             quantile_disc(r_days, 0.75) AS r75,
+             quantile_disc(freq, 0.25) AS f25,
+             quantile_disc(freq, 0.50) AS f50,
+             quantile_disc(freq, 0.75) AS f75,
+             quantile_disc(monetary_cents, 0.25) AS m25,
+             quantile_disc(monetary_cents, 0.50) AS m50,
+             quantile_disc(monetary_cents, 0.75) AS m75
+      FROM u
+    )
+    SELECT user_id, r_days, freq, monetary_cents,
+           CAST(1 + CAST(r_days > c.r25 AS INT)
+                  + CAST(r_days > c.r50 AS INT)
+                  + CAST(r_days > c.r75 AS INT) AS INT) AS r_tier,
+           CAST(1 + CAST(freq < c.f75 AS INT)
+                  + CAST(freq < c.f50 AS INT)
+                  + CAST(freq < c.f25 AS INT) AS INT) AS f_tier,
+           CAST(1 + CAST(monetary_cents < c.m75 AS INT)
+                  + CAST(monetary_cents < c.m50 AS INT)
+                  + CAST(monetary_cents < c.m25 AS INT) AS INT) AS m_tier
+    FROM u, c
+    """,
+)
+def events_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION, APPROX-CUTOFF FORM — the 100 TB swap that
+    ``events_rfm_segmentation``'s docstring names, registered as a
+    runnable, oracle-checked query (VERDICT r6 item 4). The exact twin
+    ranks every user through three GLOBAL ntile windows (a
+    single-partition sort of |users| rows — the honest exact cost);
+    this variant computes the 25/50/75 cut values with
+    ``approx_percentile`` (Greenwald-Khanna sketch: mergeable partial
+    aggregate, one data-sized shuffle, NO global sort anywhere in the
+    plan), collects the 9 integer cutoffs driver-side (bounded control
+    scalars — the sanctioned pattern, never a lazy 1-row BNLJ join),
+    and assigns tiers by comparison, which is embarrassingly parallel.
+
+    Tier semantics: tier = 1 + #cutoffs beaten, with "at least p·N
+    values ≤ cutoff" discrete-quantile cut values — so ties land
+    deterministically on both engines and the whole segmentation
+    hash-verifies. At gate SFs (|users| ≪ accuracy=1e6) the GK sketch
+    is rank-exact and provably equals DuckDB ``quantile_disc`` (the
+    ceil(q·n)-th order statistic — verified empirically at sf0.001 and
+    sf0.01 for all three metrics); at 100 TB the same plan yields
+    rank error ≤ n/1e6 per cutoff — bounded-error quartile boundaries
+    while tier ASSIGNMENT stays exact given the cutoffs. The per-user
+    base is localCheckpointed so the cutoff job and the final
+    projection share one materialization instead of re-shuffling
+    events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    mx_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    u = ev.groupBy("user_id").agg(
+        F.expr(f"({mx_us}L - unix_micros(max(ts))) div 86400000000").alias(
+            "r_days"
+        ),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias(
+            "monetary_cents"
+        ),
+    ).localCheckpoint(eager=False)
+    cuts = u.agg(
+        F.expr(
+            "approx_percentile(r_days, array(0.25,0.5,0.75), 1000000)"
+        ).alias("r"),
+        F.expr(
+            "approx_percentile(freq, array(0.25,0.5,0.75), 1000000)"
+        ).alias("f"),
+        F.expr(
+            "approx_percentile(monetary_cents, array(0.25,0.5,0.75), 1000000)"
+        ).alias("m"),
+    ).collect()[0]
+
+    def asc_tier(col: str, c: list) -> F.Column:
+        t = F.lit(1)
+        for cut in c:
+            t = t + (F.col(col) > F.lit(int(cut))).cast("int")
+        return t.cast("int")
+
+    def desc_tier(col: str, c: list) -> F.Column:
+        t = F.lit(1)
+        for cut in reversed(c):
+            t = t + (F.col(col) < F.lit(int(cut))).cast("int")
+        return t.cast("int")
+
+    return u.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary_cents",
+        asc_tier("r_days", cuts["r"]).alias("r_tier"),
+        desc_tier("freq", cuts["f"]).alias("f_tier"),
+        desc_tier("monetary_cents", cuts["m"]).alias("m_tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed approximate top-k (sharded heavy hitters)
 # ---------------------------------------------------------------------------
 @query(
