@@ -496,6 +496,7 @@ def minhash_lsh_pairs(
     sig: DataFrame | None = None,
     word_hash=_seeded_word_hash,
     string_band_key: bool = False,
+    probe_min_id: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, entirely JVM-side.
 
@@ -559,7 +560,20 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Incremental (delta-vs-base) probe: when the corpus grows by an
+    # ingest batch whose ids all EXCEED the standing corpus's (the
+    # id-midpoint split used by the *_incremental queries), every pair
+    # the batch adds has its LARGER member in the delta — so probing
+    # delta bands against the full band index (a.doc_id < b.doc_id
+    # keeps the index side smaller) enumerates exactly the pairs the
+    # batch introduces, at per-batch cost O(delta bands), never
+    # re-joining base×base.
+    probe = (
+        bands
+        if probe_min_id is None
+        else bands.where(F.col("doc_id") > probe_min_id)
+    )
+    a, b = bands.alias("a"), probe.alias("b")
     est = F.round(
         F.size(
             F.filter(

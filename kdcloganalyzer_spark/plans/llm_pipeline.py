@@ -347,6 +347,80 @@ def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_incremental_md5",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(doc_id) + max(doc_id)) // 2 AS BIGINT) AS t
+      FROM documents WHERE doc_id % 3 = 0
+    ), d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents WHERE doc_id % 3 = 0
+    ), dd AS (
+      SELECT doc_id, words FROM d WHERE len(words) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tok FROM dd
+    ), sigl AS (
+      SELECT doc_id, s,
+             min(('0x' || substr(md5(tok || '#' || s), 1, 15))::BIGINT) AS h
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+      GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY s) AS sig FROM sigl GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b,
+             array_to_string(list_slice(sig, b * 8 + 1, b * 8 + 8), ',') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             round(len(list_filter(range(1, 17),
+                                   i -> a.sig[i] = c.sig[i])) / 16.0,
+                   6) AS jaccard_est
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+      WHERE c.doc_id > (SELECT t FROM thr)
+    )
+    SELECT id_a, id_b, jaccard_est FROM cand WHERE jaccard_est >= 0.9
+    """,
+)
+def dedup_minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup, hash-verified end-to-end — the
+    ingest-batch form of dedup_minhash_pairs_md5 and the LSH sibling of
+    text_ngram_novelty_incremental: the corpus (same deterministic %3
+    verification slice) splits at the doc_id midpoint into the STANDING
+    corpus and a DELTA batch, and only the pairs the batch INTRODUCES
+    are enumerated — delta bands probe the standing band index
+    (operators/dedup.py:minhash_lsh_pairs probe_min_id), never
+    re-joining base x base. Because delta ids all exceed base ids, "pair
+    involves the delta" == "the pair's larger id is a delta id", which
+    is exactly the oracle's `id_b > midpoint` predicate over the FULL
+    pair enumeration — so a hash match proves the incremental probe
+    yields bit-identical pairs + estimates to the global run restricted
+    to the batch (index stability under incremental ingest).
+
+    Scale: per-batch cost is O(delta bands) joined into the standing
+    index (co-partitioned on band key, AQE-skew-split like the full
+    form); the signature table is the persisted artifact a real
+    pipeline appends each batch's signatures to — here both halves'
+    signatures come from one localCheckpointed scan (the base
+    signatures stand in for the persisted index). The midpoint is a
+    1-row aggregate collected driver-side (sanctioned control
+    scalar)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    return dedup.minhash_lsh_pairs(
+        docs,
+        0.9,
+        n_bands=2,
+        rows_per_band=8,
+        word_hash=dedup._md5_word_hash,
+        string_band_key=True,
+        probe_min_id=(int(lo) + int(hi)) // 2,
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banding + Hamming≤3 pairs (rows-only: xxhash64 word

@@ -329,3 +329,155 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(entropy, 4).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified train/val/test split
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_train_val_test",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hkey
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, source, hkey,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY hkey, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM h
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN rk <= CAST(floor(0.8 * n) AS BIGINT) THEN 'train'
+                WHEN rk <= CAST(floor(0.9 * n) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC STRATIFIED TRAIN/VAL/TEST SPLIT — the assignment
+    every training pipeline makes exactly once and must never change
+    under re-runs, repartitioning, or corpus append-order: docs are
+    ranked WITHIN each (lang, source) stratum by a content-independent
+    md5 key (the cross-engine 60-bit idiom) and cut at exact 80/10/10
+    per-stratum fractions — rank-based, so every stratum hits its
+    fractions exactly (a bare hash-mod split only hits them in
+    expectation, ±sqrt(n) per stratum, which starves small strata).
+    The md5 rank order is stable under any row order, so the split is
+    reproducible from the corpus alone — no seed state to persist.
+
+    Scale: one window partitioned by stratum (shuffle on the stratum
+    key, each stratum sorts independently — parallelism = #strata,
+    AQE-splittable if one language dominates); no global sort, no
+    driver state. At 100 TB with few huge strata, swap the exact
+    per-stratum rank for the hash-mod form (pure map, no shuffle) and
+    accept the sqrt(n) drift — at a billion docs per stratum the drift
+    is 0.003%, which is why BOTH forms exist in practice."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hkey = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy("hkey", "doc_id")
+    wc = Window.partitionBy("lang", "source")
+    r = docs.select("doc_id", "lang", "source", hkey.alias("hkey")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            F.col("rk") <= F.floor(0.8 * F.col("n")).cast("bigint"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("rk") <= F.floor(0.9 * F.col("n")).cast("bigint"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed global shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('seed42#' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY hkey, doc_id) - 1 AS pos
+    FROM h
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC GLOBAL SHUFFLE — the seeded whole-corpus
+    permutation that fixes a training run's example order: position =
+    rank of md5(seed # doc_id). The oracle states it as one global
+    row_number window; executing THAT plan is a single-partition sort
+    — the canonical scale-killer — so the Spark side composes exact
+    global positions WITHOUT any global sort:
+
+      bucket   = hkey >> 52  (top bits of the hash key — order-
+                 preserving range partitioning with pre-known, uniform
+                 bounds: md5 bits are i.i.d., no sampling pass needed)
+      offsets  = per-bucket counts, cumulated driver-side (≤4096 rows —
+                 bounded control data, the sanctioned scalar pattern)
+      pos      = bucket_offset + (rank within bucket − 1)
+
+    Within-bucket ranks come from one window partitioned by bucket
+    (every bucket sorts independently); concatenating buckets in key
+    order IS the global order because bucketing preserves it. This is
+    how distributed engines implement ORDER BY + row_number at scale —
+    made explicit because Spark's window operator would otherwise
+    collapse to one partition.
+
+    Scale: one shuffle on bucket (4096-way at any corpus size — retune
+    the shift to corpus/partition budget), a 4096-row driver aggregate,
+    zero skew by construction (hash uniformity), and the permutation is
+    reproducible from (corpus, seed) alone. Epoch re-shuffles = new
+    seed literal."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hkey = F.expr(
+        "CAST(conv(substring(md5(concat('seed42#', CAST(doc_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    h = docs.select("doc_id", hkey.alias("hkey")).withColumn(
+        "bucket", F.shiftright("hkey", 48)  # 60-bit key → 12 top bits
+    )
+    counts = {
+        r["bucket"]: r["n"]
+        for r in h.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(4096):
+        offsets.append(acc)
+        acc += counts.get(b, 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
+    # Dense 4096-entry offsets array as ONE parsed SQL literal (the
+    # _literal_matrix lesson: per-element F.lit costs a py4j round trip
+    # each — seconds of driver time for thousands of literals).
+    off_expr = F.expr(
+        "array(" + ",".join(f"{o}L" for o in offsets) + ")[bucket]"
+    )
+    return h.select(
+        "doc_id",
+        (off_expr + F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )

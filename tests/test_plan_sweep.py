@@ -24,6 +24,8 @@ BNLJ_OK = {
     "pipeline_corpus_report",  # broadcast 1-row top-language aggregate
     "sim_search_lsh_eval",  # exact-baseline side reuses sim_search_cosine's
                             # broadcast query-set cross join
+    "events_audience_overlap_hll",  # broadcast 5-row sketch-table pair
+                                    # enumeration (tiny dimensional cross)
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or

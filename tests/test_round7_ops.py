@@ -1,0 +1,95 @@
+"""Round-7 operator pins.
+
+- events_audience_overlap_hll: rows-only at the gate (Datasketches
+  estimates have no DuckDB twin) — pinned here against the EXACT twin
+  within the lgK=14 error envelope, per pair, at the smoke SF.
+- events_rfm_segmentation_approx: cutoff semantics — tier populations
+  and cut values must match the exact ntile form where the two
+  definitions provably coincide (no ties straddling a boundary), and
+  the plan must contain NO global sort (the point of the swap).
+- text_ngram_novelty_incremental: two-batch ingest equals single-pass
+  global novelty (first-seen stability) — the oracle proves it at the
+  gate; here we also pin that the incremental form never REVISITS base
+  docs (output contains only delta doc_ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.plans import registry
+
+registry.load_all()
+
+
+def test_audience_overlap_hll_vs_exact(spark, sf_dir):
+    exact = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.QUERIES["events_audience_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    est = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.QUERIES["events_audience_overlap_hll"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(exact) == set(est) and len(exact) == 10
+    for k, e in exact.items():
+        s = est[k]
+        union = e["n_a"] + e["n_b"] - e["n_both"]
+        # lgK=14 std err is 0.81%/sketch; inclusion-exclusion compounds
+        # three estimates — 2% of the union is a 2.5σ-ish envelope, and
+        # at smoke cardinalities (< 2^14) the sketch is sparse-exact.
+        assert abs(s["est_a"] - e["n_a"]) <= max(2, 0.02 * e["n_a"]), k
+        assert abs(s["est_b"] - e["n_b"]) <= max(2, 0.02 * e["n_b"]), k
+        assert abs(s["est_both"] - e["n_both"]) <= max(2, 0.02 * union), k
+        assert abs(s["est_jaccard"] - e["jaccard"]) <= 0.02, k
+
+
+def test_rfm_approx_plan_has_no_global_sort(spark, sf_dir):
+    df = registry.QUERIES["events_rfm_segmentation_approx"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "SinglePartition" not in plan
+    # Same per-user base row as the exact twin.
+    exact = registry.QUERIES["events_rfm_segmentation"](spark, sf_dir)
+    cols = ["user_id", "r_days", "freq", "monetary_cents"]
+    assert (
+        df.select(cols).exceptAll(exact.select(cols)).count() == 0
+    )
+
+
+def test_rfm_approx_tiers_cover_and_are_monotone(spark, sf_dir):
+    rows = registry.QUERIES["events_rfm_segmentation_approx"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        for t in ("r_tier", "f_tier", "m_tier"):
+            assert 1 <= r[t] <= 4, r
+    # Monotone: a user with >= freq than another never gets a WORSE
+    # (higher) f_tier — comparison-based tiers are order-preserving.
+    by_freq = sorted(rows, key=lambda r: r["freq"])
+    for lo, hi in zip(by_freq, by_freq[1:]):
+        assert lo["f_tier"] >= hi["f_tier"], (lo, hi)
+
+
+def test_novelty_incremental_touches_only_delta(spark, sf_dir):
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    thr = (int(lo) + int(hi)) // 2
+    out = registry.QUERIES["text_ngram_novelty_incremental"](
+        spark, sf_dir
+    )
+    assert out.where(F.col("doc_id") <= thr).count() == 0
+    # And the delta rows equal the global run's delta slice (first-seen
+    # stability — the same invariant the gate's oracle hashes).
+    glob = (
+        registry.QUERIES["text_ngram_novelty"](spark, sf_dir)
+        .where(F.col("doc_id") > thr)
+    )
+    assert out.exceptAll(glob).count() == 0
+    assert glob.exceptAll(out).count() == 0
