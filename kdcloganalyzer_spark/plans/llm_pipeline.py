@@ -250,6 +250,31 @@ def _minhash_sig(spark: SparkSession, sf_dir: str, k: int = 32) -> DataFrame:
     return _MINHASH_SIG_CACHE[key]
 
 
+# md5-signature cache for the VERIFICATION twins (dedup_minhash_pairs_md5
+# + dedup_minhash_incremental_md5 share the same %3-slice k=16 signature
+# table — one scan serves both, same amortized-index contract as
+# _MINHASH_SIG_CACHE).
+_MINHASH_MD5_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_md5_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_MINHASH_MD5_SIG_CACHE, spark)
+    if key not in _MINHASH_MD5_SIG_CACHE:
+        docs = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 3 == 0
+        )
+        d = (
+            dedup.spread(docs)
+            .select("doc_id", dedup.word_set(F.col("text")).alias("words"))
+            .filter(F.size("words") > 0)
+        )
+        _MINHASH_MD5_SIG_CACHE[key] = dedup._minhash_signature(
+            d, 16, dedup._md5_word_hash
+        ).localCheckpoint(eager=False)
+    return _MINHASH_MD5_SIG_CACHE[key]
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH dedup at J≥0.9: per-doc representative
@@ -342,6 +367,7 @@ def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.9,
         n_bands=2,
         rows_per_band=8,
+        sig=_minhash_md5_sig(spark, sf_dir),
         word_hash=dedup._md5_word_hash,
         string_band_key=True,
     )
@@ -415,6 +441,7 @@ def dedup_minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame
         0.9,
         n_bands=2,
         rows_per_band=8,
+        sig=_minhash_md5_sig(spark, sf_dir),
         word_hash=dedup._md5_word_hash,
         string_band_key=True,
         probe_min_id=(int(lo) + int(hi)) // 2,
