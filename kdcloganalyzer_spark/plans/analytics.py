@@ -586,6 +586,59 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EDGE_CACHE[key]
 
 
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    )
+    SELECT substr(src, 1, 1) AS side,
+           CAST(floor(log2(deg)) AS BIGINT) AS deg_bucket,
+           count(*) AS n_nodes,
+           min(deg) AS min_deg,
+           max(deg) AS max_deg,
+           CAST(sum(deg) AS BIGINT) AS sum_deg
+    FROM deg
+    GROUP BY side, deg_bucket
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the bipartite co-order graph: log2-bucketed
+    degree histogram per side (customers vs suppliers) — the first
+    diagnostic a graph pipeline runs before choosing join strategies
+    (max_deg bounds self-join fan-out; the bucket histogram is the skew
+    report that justifies salting/AQE choices for pagerank and the
+    wedge-based triangle count). Reuses the per-(session,sf) cached edge
+    list, so marginal cost is one groupBy chain over edges.
+
+    Scale: degree = one partial-agg'd groupBy over edges; the histogram
+    re-aggregates |nodes| rows into ≤ 2·log2(max_deg) buckets — both
+    shuffles data-sized then tiny. log2-of-integer floors are exact in
+    IEEE on both engines (powers of two are representable; non-powers
+    cannot land on integers)."""
+    sym = _coorder_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        deg.select(
+            F.substring("src", 1, 1).alias("side"),
+            F.floor(F.log2("deg")).cast("bigint").alias("deg_bucket"),
+            "deg",
+        )
+        .groupBy("side", "deg_bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").cast("bigint").alias("sum_deg"),
+        )
+    )
+
+
 @query("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-round PageRank over the undirected customer–supplier
@@ -1503,4 +1556,75 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer-moment statistics (variance/covariance without float traps)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_exact_moments",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(hour(ts) AS BIGINT) AS h
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(sum(h) AS BIGINT) AS sh,
+             CAST(sum(c * h) AS BIGINT) AS sch
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n, s1, s2,
+           (n * s2 - s1 * s1) // (n * (n - 1)) AS var_c2,
+           n * sch - s1 * sh AS cov_ch_num
+    FROM m
+    """,
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SECOND MOMENTS — sample variance and covariance computed
+    the only way that hash-verifies across engines: raw moments as
+    exact BIGINT sums over integer cents (n, Σc, Σc², Σch), combined
+    with INTEGER division (`div` ⇄ `//` truncate identically; a float
+    var_samp would differ in the last ulp by partial-aggregation order
+    on every engine pair, and round() of a ratio that can land on .5
+    is the documented midpoint trap). var_c2 is sample variance in
+    cents² (truncated); cov_ch_num is the exact covariance NUMERATOR
+    n·Σch − Σc·Σh between value and hour-of-day (denominator n·(n−1)
+    left to the consumer — exactness beats pre-dividing).
+
+    Scale: raw moments are the textbook mergeable aggregate — one
+    partial-agg'd shuffle, four BIGINT adds per row; this is also WHY
+    map-side combine works for variance (Welford's running form is
+    NOT mergeable per-row; moment sums are). Overflow headroom: cents
+    ≤ 5e4 → c² ≤ 2.5e9; n·Σc² at 1e9 rows/group ≈ 1e28 would need
+    DECIMAL(38,0) accumulation — the documented 100 TB adjustment
+    (Spark sum(BIGINT) already overflows loudly under ANSI mode, not
+    silently)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.select(
+        "event_type",
+        c.alias("c"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum("h").alias("sh"),
+        F.sum(F.col("c") * F.col("h")).alias("sch"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        F.expr("(n * s2 - s1 * s1) div (n * (n - 1))").alias("var_c2"),
+        (F.col("n") * F.col("sch") - F.col("s1") * F.col("sh")).alias(
+            "cov_ch_num"
+        ),
     )

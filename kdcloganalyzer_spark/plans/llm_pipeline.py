@@ -1515,3 +1515,53 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(both / F.nullif(nm, F.lit(0)), 6).alias("precision_r"),
         F.round(both / F.nullif(ne, F.lit(0)), 6).alias("recall_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: exact binary-content dedup (content-hash, fully verifiable)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_dedup_binary",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS total_bytes
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BINARY-CONTENT DEDUP over the opaque payload column — the
+    first multimodal op with NO stub anywhere: content-hash dedup is
+    what a real image/audio pipeline runs before any decode (identical
+    bytes → identical asset, no codec needed), so unlike the
+    decode/resize family this is the production algorithm end-to-end,
+    and it hash-verifies (Spark md5(binary) over the payload ==
+    DuckDB md5(varchar), which hashes the same UTF-8 bytes). Output:
+    one row per duplicated payload (md5 key, copy count, min-id keep
+    representative, reclaimable bytes).
+
+    Scale: one partial-agg'd groupBy on the 16-byte digest — the
+    payload bytes themselves never shuffle (the md5 projection runs
+    scan-side; only digests and counts cross the exchange). That is
+    the critical property at 100 TB of images: shuffle traffic is
+    O(rows·16B), not O(bytes). Skew-free by hash uniformity."""
+    docs = load_table(spark, sf_dir, "documents")
+    pay = multimodal.with_binary_payload(docs)
+    return (
+        pay.select(
+            "doc_id",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").alias("nb"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
