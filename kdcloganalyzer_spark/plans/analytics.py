@@ -1628,3 +1628,82 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_ch_num"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV (retention matrix with the money dimension)
+# ---------------------------------------------------------------------------
+@query(
+    "retention_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), j AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS INT) AS week_offset,
+             e.user_id,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(sum(cents) AS BIGINT))
+                  OVER (PARTITION BY cohort_week ORDER BY week_offset)
+                AS BIGINT) AS cum_revenue_cents
+    FROM j
+    WHERE week_offset <= {_MAX_OFFSET}
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME VALUE: retention_cohort's matrix with the money
+    dimension — per (cohort_week, week_offset), active users, exact
+    integer-cents revenue, and the cumulative LTV running sum each
+    growth team actually plots (cum revenue per cohort over offsets).
+    The running sum is a window over the TINY aggregated matrix
+    (|cohorts|×|offsets| rows), not over events.
+
+    Scale: same two shuffles as retention_cohort (per-user cohort
+    assignment broadcast back, one (cohort, offset) distinct+sum agg);
+    the LTV window adds no data-sized work. Money in BIGINT cents end
+    to end."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    offset = (F.datediff(week, F.col("cohort_week")) / 7).cast("int")
+    agg = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            offset.alias("week_offset"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .filter(F.col("week_offset") <= _MAX_OFFSET)
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    )

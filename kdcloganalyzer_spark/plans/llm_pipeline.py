@@ -1565,3 +1565,57 @@ def multimodal_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class embedding centroids from exact scaled-integer sums
+# ---------------------------------------------------------------------------
+@query(
+    "embed_centroid_int",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding,
+                    v -> CAST(round(v::DOUBLE * 1000000) AS BIGINT))) AS s
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(sum(s) AS BIGINT) AS sum_scaled,
+           count(*) AS n_vecs
+    FROM x GROUP BY label, pos
+    """,
+)
+def embed_centroid_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS EMBEDDING CENTROIDS with EXACT accumulation — the
+    class-mean vectors behind drift monitoring, prototype classifiers,
+    and KMeans seeding, computed so they hash-verify: each float32
+    component converts exactly to double and is scaled once to an
+    integer micro-unit, and the per-(label, position) sums are then
+    exact BIGINTs in ANY aggregation order (float centroid sums differ
+    in the last ulp per partial-agg order — the cross-row float-sum
+    trap this repo's money queries dodge with cents). Centroid
+    component = sum_scaled / (n_vecs · 1e6), left to the consumer —
+    exactness beats pre-dividing.
+
+    Scale: posexplode is map-side (rows × dim before the shuffle, but
+    each exploded row is 20 bytes) feeding ONE partial-agg'd groupBy
+    on (label, pos) — |labels|·dim result rows. The mergeable-moment
+    structure is what lets 1000 executors combine without a
+    determinism loss; at very high dim swap the explode for
+    per-partition vector pre-sums via F.aggregate over a zipped
+    accumulator (same exact integers, dim-sized rows instead of
+    element-sized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+    )
+    return (
+        emb.select("label", F.posexplode(scaled).alias("pos", "s"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("s").cast("bigint").alias("sum_scaled"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

@@ -4098,3 +4098,54 @@ def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("doubled_c").alias("doubled_dec"),
         "n",
     )
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, reverse(p_name)) AS lev_rev,
+           split_part(p_name, ' ', 2) AS word2,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_uc,
+           lpad(p_name, 25, '.') AS padded,
+           repeat(left(p_name, 2), 3) AS rep2x3,
+           CAST(strpos(p_name, 'al') AS INT) AS pos_al,
+           ascii(p_name) AS first_cp,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS key_chr,
+           CAST(length(replace(p_name, ' ', '')) AS INT) AS n_nonspace
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-FUNCTION MATRIX — the text-manipulation tier of the scalar
+    surface (scalar_fn_suite covers date/math/JSON): edit distance
+    (levenshtein — the fuzzy-match primitive), field extraction
+    (split_part), character mapping (translate), padding (lpad),
+    repetition, substring search (instr ⇄ strpos, both 1-based/0-miss),
+    codepoint/char conversions (ascii ⇄ chr) and whitespace-free
+    length. Every function pair was cross-checked for identical
+    semantics on the synthetic vocabulary (ASCII part names — locale
+    and Unicode-normalization divergences are out of contract).
+
+    Scale: one WholeStageCodegen projection over the scan, zero
+    shuffles; levenshtein is the only super-linear-per-row item
+    (O(len²) DP per value — at 100 TB you gate it behind a cheap
+    length/prefix prefilter exactly as dedup_fuzzy's candidate
+    generation does)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.reverse(F.col("p_name"))).alias(
+            "lev_rev"
+        ),
+        F.expr("split_part(p_name, ' ', 2)").alias("word2"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_uc"),
+        F.lpad("p_name", 25, ".").alias("padded"),
+        F.repeat(F.expr("left(p_name, 2)"), 3).alias("rep2x3"),
+        F.instr("p_name", "al").cast("int").alias("pos_al"),
+        F.ascii("p_name").alias("first_cp"),
+        F.expr("chr(65 + CAST(p_partkey % 26 AS INT))").alias("key_chr"),
+        F.length(F.regexp_replace("p_name", " ", "")).cast("int").alias(
+            "n_nonspace"
+        ),
+    )
