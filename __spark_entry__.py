@@ -129,7 +129,11 @@ def _gate_order(ids: list[str]) -> list[str]:
     # prior pass's latest green row is never more than ~3 rounds stale
     # across the 164-id registry under the ~50-row gate cap.
     n_urgent = len(urgent)
-    if n_urgent >= 40:
+    if n_urgent >= 48:
+        # Backlog ≈ the whole gate cap: one steady slot keeps regression
+        # coverage nonzero, everything else drains first-checks.
+        period = 50
+    elif n_urgent >= 40:
         period = 16
     elif n_urgent >= 20:
         period = 6

@@ -1707,3 +1707,80 @@ def retention_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE-shaped)
+# ---------------------------------------------------------------------------
+@query(
+    "events_sequence_match",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'c[^p]*?p')) AS INT)
+             AS n_click_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'e')) AS INT) AS n_errors,
+           CASE WHEN seq LIKE 's%' THEN 1 ELSE 0 END AS signup_first
+    FROM s
+    WHERE regexp_matches(seq, 'c[^p]*?p')
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-SEQUENCE PATTERN MATCHING — the MATCH_RECOGNIZE shape
+    (Flink CEP / Trino MATCH_RECOGNIZE) expressed Spark-first: each
+    user's event stream becomes an ordered initial-letter string (one
+    char per event, total-ordered by (ts, event_id)), and sequence
+    patterns are then ordinary regexes — here the conversion pattern
+    `c[^p]*?p` (a click leading to the NEXT purchase; non-greedy, so
+    back-to-back conversions count separately), error incidence, and a
+    signup-first flag. Regex-over-sequence-string is the standard CEP
+    reduction when patterns are per-key and streams fit a row (here ≤
+    a few hundred events/user).
+
+    Scale: one groupBy(user_id) building the sequence string
+    (partial-agg'd collect_list of 16-byte structs, then sorted
+    in-memory PER USER — bounded by max events/user, not corpus), and
+    a codegen regex projection. Users with pathological event counts
+    would cap the string (slice the sorted array) — the per-key-bounded
+    state assumption every CEP engine makes. No self-joins, no window
+    over events."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("ch"),
+                    )
+                )
+            ),
+            lambda s: s["ch"],
+        ),
+        "",
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq"))
+    n_conv = F.size(
+        F.expr(r"regexp_extract_all(seq, 'c[^p]*?p', 0)")
+    ).cast("int")
+    return (
+        s.where(F.col("seq").rlike("c[^p]*?p"))
+        .select(
+            "user_id",
+            F.length("seq").cast("int").alias("n_events"),
+            n_conv.alias("n_click_to_purchase"),
+            F.size(F.expr("regexp_extract_all(seq, 'e', 0)"))
+            .cast("int")
+            .alias("n_errors"),
+            F.when(F.col("seq").startswith("s"), 1)
+            .otherwise(0)
+            .alias("signup_first"),
+        )
+    )
