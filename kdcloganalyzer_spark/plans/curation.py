@@ -1624,3 +1624,86 @@ def text_ngram_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         novel.cast("bigint").alias("n_novel"),
         F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (sampling-with-replacement epochs)
+# ---------------------------------------------------------------------------
+_POIS1_CDF = [
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+    (0.9999167588507119, 6),
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    """CASE ladder mapping a uniform [0,1) value to Poisson(1) count —
+    identical text on both engines, so the draw is cross-engine exact."""
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for c, k in _POIS1_CDF
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('boot7#' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source, {_pois_case_sql('u')} AS n_copies FROM d
+    )
+    SELECT source,
+           count(*) AS n_input,
+           CAST(sum(n_copies) AS BIGINT) AS n_resampled,
+           CAST(count(*) FILTER (n_copies = 0) AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (n_copies >= 2) AS BIGINT) AS n_dup,
+           CAST(max(n_copies) AS INT) AS max_copies
+    FROM k GROUP BY source
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP — sampling WITH replacement, the
+    primitive behind bagged models and multi-epoch data schedules: each
+    doc independently draws its copy count from Poisson(1) (the n→∞
+    limit of n-choose-with-replacement), so one scan materializes a
+    bootstrap resample. The draw is the inverse-CDF of a SEEDED md5
+    uniform (the cross-engine 60-bit idiom over 'boot7#'||doc_id), so
+    the resample is an exact function of (corpus, seed): reproducible
+    across engines, restarts, and partitionings — Spark's own
+    rdd.sample can't promise that under repartitioning. Output is the
+    per-source resample audit (kept/dropped/duplicated mass); the
+    resampled corpus itself is `explode(sequence(1, n_copies))` on the
+    same expression — map-only either way.
+
+    Scale: pure map + one tiny source-keyed agg; no shuffle touches
+    doc content. New epoch = new seed literal. Poisson thinning per
+    source (mixture weights) = scale λ per source before the ladder."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "source",
+        F.expr(_pois_case_sql(
+            "(CAST(conv(substring(md5(concat('boot7#',"
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            " / 1152921504606846976.0)"
+        )).alias("n_copies"),
+    )
+    return k.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.sum("n_copies").cast("bigint").alias("n_resampled"),
+        F.count(F.when(F.col("n_copies") == 0, 1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.count(F.when(F.col("n_copies") >= 2, 1))
+        .cast("bigint")
+        .alias("n_dup"),
+        F.max("n_copies").cast("int").alias("max_copies"),
+    )
