@@ -1454,6 +1454,40 @@ def registry_query(qid: str):
 # ---------------------------------------------------------------------------
 # N-gram novelty (dataset-order memorization/novelty signal)
 # ---------------------------------------------------------------------------
+# Distinct (doc_id, 3-gram) table shared by the novelty family — the same
+# per-(session, sf) amortized-index contract as the MinHash signature and
+# edge caches: both the global and the incremental form read it, so the
+# corpus is exploded once per session.
+_NOVELTY_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _novelty_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kdcloganalyzer_spark import appcache
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_NOVELTY_GRAM_CACHE, spark)
+    if key not in _NOVELTY_GRAM_CACHE:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        ws = F.split(F.lower(F.col("text")), " ")
+        grams = (
+            docs.where(F.size(ws) >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(lower(text),"
+                        " ' ')) - 2),"
+                        " i -> concat_ws(' ',"
+                        "  slice(split(lower(text), ' '), i, 3)))"
+                    )
+                ).alias("gram"),
+            )
+            .dropDuplicates(["doc_id", "gram"])
+        )
+        _NOVELTY_GRAM_CACHE[key] = grams.localCheckpoint(eager=False)
+    return _NOVELTY_GRAM_CACHE[key]
+
+
 @query(
     "text_ngram_novelty",
     oracle="""
@@ -1497,22 +1531,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate grams); nothing pairwise. On a growing corpus the
     first_seen table is the standing index, maintained incrementally
     per ingest batch (new grams insert, existing ones win by min)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    ws = F.split(F.lower(F.col("text")), " ")
-    grams = (
-        docs.where(F.size(ws) >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(lower(text), ' ')) - 2),"
-                    " i -> concat_ws(' ',"
-                    "  slice(split(lower(text), ' '), i, 3)))"
-                )
-            ).alias("gram"),
-        )
-        .dropDuplicates(["doc_id", "gram"])
-    )
+    grams = _novelty_grams(spark, sf_dir)
     first_seen = grams.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc")
     )
@@ -1591,26 +1610,14 @@ def text_ngram_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     new grams to (insert-if-absent = the same anti join). The doc_id
     midpoint is a 1-row aggregate collected driver-side (sanctioned
     bounded control scalar)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     thr = (int(lo) + int(hi)) // 2
-    ws = F.split(F.lower(F.col("text")), " ")
-    gram_expr = F.explode(
-        F.expr(
-            "transform(sequence(1, size(split(lower(text), ' ')) - 2),"
-            " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
-        )
-    ).alias("gram")
+    grams = _novelty_grams(spark, sf_dir)
     base_index = (
-        docs.where((F.col("doc_id") <= thr) & (F.size(ws) >= 3))
-        .select(gram_expr)
-        .distinct()
+        grams.where(F.col("doc_id") <= thr).select("gram").distinct()
     )
-    delta_grams = (
-        docs.where((F.col("doc_id") > thr) & (F.size(ws) >= 3))
-        .select("doc_id", gram_expr)
-        .dropDuplicates(["doc_id", "gram"])
-    )
+    delta_grams = grams.where(F.col("doc_id") > thr)
     unseen = delta_grams.join(base_index, "gram", "left_anti")
     delta_first = unseen.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc")
