@@ -68,6 +68,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             relational.DRIVER_MLJSON,
             relational.multiline_json_path_for_sf(sf_dir),
         )
+        .replace(
+            relational.DRIVER_COMMITLOG,
+            relational.commit_log_path_for_sf(sf_dir),
+        )
     )
 
 

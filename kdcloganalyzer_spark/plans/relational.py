@@ -4149,3 +4149,102 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nonspace"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-log table snapshot (lakehouse commit-log mechanics)
+# ---------------------------------------------------------------------------
+def commit_log_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged path for the commit-log table (a minimal
+    Delta/Iceberg-shaped layout: data files + an ordered JSON log of
+    add/remove actions)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/commit_log_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_COMMITLOG = commit_log_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_commit_log",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM read_parquet(['{DRIVER_COMMITLOG}/data/s1/*.parquet',
+                       '{DRIVER_COMMITLOG}/data/s2/*.parquet'])
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-LOG TABLE SNAPSHOT — the lakehouse (Delta/Iceberg)
+    read protocol in miniature, with no table-format dependency: a
+    table is (immutable data files + an ordered metadata log of
+    add/remove actions), and a snapshot read replays the log to the
+    live file set, then scans ONLY those files. The staged table
+    commits three versions: v0 adds slice s0, v1 adds s1, v2 COMPACTS
+    s0 into s2 (remove+add — the rewrite every lakehouse does), so the
+    correct snapshot is {{s1, s2}} and a reader that globbed the data
+    directory instead of replaying the log would double-count s0's
+    rows — the bug this protocol exists to prevent.
+
+    Scale: the log is METADATA — replayed driver-side (sanctioned
+    bounded control data; Delta's own reader does exactly this, with
+    checkpointed log segments once versions grow) — while the data
+    scan is an ordinary parquet read of the live files with full
+    pushdown/pruning. Snapshot isolation at 100 TB = this same replay
+    pinned at a version number; time travel = truncating the replay.
+    Oracle reads the same live files directly."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    base = commit_log_path_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        build = f"{base}.build-{os.getpid()}"
+        for i, pred in enumerate(("0", "1")):
+            orders.where(F.col("o_orderkey") % 3 == int(pred)).write.mode(
+                "overwrite"
+            ).parquet(f"{build}/data/s{i}")
+        # v2 compaction: s0's rows rewritten into s2 (1 output file).
+        spark.read.parquet(f"{build}/data/s0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{build}/data/s2")
+        os.makedirs(f"{build}/_log", exist_ok=True)
+        log = [
+            [{"op": "add", "path": "data/s0"}],
+            [{"op": "add", "path": "data/s1"}],
+            [
+                {"op": "remove", "path": "data/s0"},
+                {"op": "add", "path": "data/s2"},
+            ],
+        ]
+        for v, actions in enumerate(log):
+            with open(f"{build}/_log/{v:05d}.json", "w") as f:
+                for a in actions:
+                    f.write(_json.dumps({"version": v, **a}) + "\n")
+        try:
+            os.rename(build, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    # Snapshot read: replay the ordered log (driver-side metadata).
+    live: set[str] = set()
+    for p in sorted(_glob.glob(f"{base}/_log/*.json")):
+        with open(p) as f:
+            for line in f:
+                a = _json.loads(line)
+                (live.add if a["op"] == "add" else live.discard)(a["path"])
+    snap = spark.read.parquet(*[f"{base}/{d}" for d in sorted(live)])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
