@@ -4248,3 +4248,31 @@ def scan_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM {orders}
+    GROUP BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL.format(orders="orders"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL dialect surface (Spark 4 ⇄ DuckDB, identical SQL
+    text): the analyst shorthand that derives the grouping key set from
+    the non-aggregate select items — same Catalyst plan as the explicit
+    two-key groupBy (one partial-agg'd shuffle), purely a binder
+    feature, pinned here so dialect parity is a verified fact rather
+    than an assumption."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_gba_orders"
+    )
+    return spark.sql(_GROUP_BY_ALL_SQL.format(orders="v_gba_orders"))
