@@ -93,3 +93,76 @@ def test_novelty_incremental_touches_only_delta(spark, sf_dir):
     )
     assert out.exceptAll(glob).count() == 0
     assert glob.exceptAll(out).count() == 0
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    out = registry.QUERIES["pipeline_global_shuffle"](spark, sf_dir)
+    n = out.count()
+    stats = out.agg(
+        F.min("pos"), F.max("pos"), F.countDistinct("pos")
+    ).collect()[0]
+    assert stats[0] == 0 and stats[1] == n - 1 and stats[2] == n
+    # Deterministic: two independent constructions agree exactly.
+    again = registry.QUERIES["pipeline_global_shuffle"](spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_train_val_test_fractions_exact_per_stratum(spark, sf_dir):
+    out = registry.QUERIES["pipeline_train_val_test"](spark, sf_dir)
+    per = (
+        out.groupBy("lang", "source")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .fillna(0)
+        .collect()
+    )
+    for r in per:
+        n = r["train"] + r["val"] + r["test"]
+        assert r["train"] == n * 8 // 10
+        assert r["train"] + r["val"] == n * 9 // 10
+
+
+def test_poisson_bootstrap_laws(spark, sf_dir):
+    rows = {
+        r["source"]: r
+        for r in registry.QUERIES["sample_poisson_bootstrap"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows
+    n = sum(r["n_input"] for r in rows.values())
+    resampled = sum(r["n_resampled"] for r in rows.values())
+    dropped = sum(r["n_dropped"] for r in rows.values())
+    # Laws hold on corpus totals (per-source n is ~25 at the smoke SF —
+    # pure binomial noise): E[N] = n within 5 sigma (Var = n for
+    # Poisson(1)), P(k=0) = e^-1 within 5 sigma of the binomial.
+    assert abs(resampled - n) <= 5 * n**0.5 + 5
+    p0 = 0.36787944117144233
+    assert abs(dropped - p0 * n) <= 5 * (n * p0 * (1 - p0)) ** 0.5 + 5
+    assert all(r["max_copies"] <= 7 for r in rows.values())
+    # Deterministic: a second construction returns identical rows.
+    again = {
+        r["source"]: r
+        for r in registry.QUERIES["sample_poisson_bootstrap"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_commit_log_snapshot_excludes_compacted_file(spark, sf_dir):
+    from kdcloganalyzer_spark.plans.relational import (
+        commit_log_path_for_sf,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    out = registry.QUERIES["scan_commit_log"](spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    orders = load_table(spark, sf_dir, "orders")
+    expect = orders.where(F.col("o_orderkey") % 3 != 2).count()
+    # Replaying the log yields each surviving row ONCE; a naive glob of
+    # the data dir would also read the compacted-away s0 (double count).
+    assert total == expect
+    base = commit_log_path_for_sf(sf_dir)
+    naive = spark.read.parquet(f"{base}/data/*").count()
+    assert naive > total
