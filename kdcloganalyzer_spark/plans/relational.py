@@ -4276,3 +4276,176 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_gba_orders"
     )
     return spark.sql(_GROUP_BY_ALL_SQL.format(orders="v_gba_orders"))
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events
+    ),
+    anch AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+      FROM d
+    ),
+    isl AS (
+      SELECT user_id, anchor,
+             CAST(count(*) AS INT) AS streak_days,
+             min(day) AS first_day, max(day) AS last_day
+      FROM anch GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(streak_days) AS INT) AS n_active_days,
+           CAST(count(*) AS INT) AS n_islands,
+           CAST(max(streak_days) AS INT) AS longest_streak,
+           CAST(min(first_day) AS DATE) AS first_active,
+           CAST(max(last_day) AS DATE) AS last_active
+    FROM isl
+    GROUP BY user_id
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS — consecutive-activity-run detection, the classic
+    analytic pattern (streak length, island count) the reference's
+    fixed dataflow cannot express but any per-entity activity report
+    needs. Implementation is the canonical row_number anchor trick:
+    `day - row_number()` is constant within a consecutive-day run, so
+    one groupBy per (user, anchor) materializes the islands and a second
+    per-user rollup summarizes them — no self-join, no iteration.
+
+    Scale: the distinct (user, day) projection partial-aggregates
+    map-side before one shuffle; the anchor window and BOTH groupBys all
+    hash-partition by user_id, so AQE plans a single exchange for the
+    window + islands + rollup chain. State per user is bounded by the
+    calendar (days), not event volume — at 100 TB the distinct step is
+    the only data-sized stage and it reduces early. Identical arithmetic
+    on both engines: DATE - INT day arithmetic, integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anch = d.withColumn(
+        "anchor",
+        F.date_sub("day", F.row_number().over(w).cast("int")),
+    )
+    isl = anch.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("int").alias("streak_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+    return isl.groupBy("user_id").agg(
+        F.sum("streak_days").cast("int").alias("n_active_days"),
+        F.count("*").cast("int").alias("n_islands"),
+        F.max("streak_days").cast("int").alias("longest_streak"),
+        F.min("first_day").cast("date").alias("first_active"),
+        F.max("last_day").cast("date").alias("last_active"),
+    )
+
+
+@query(
+    "fn_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '(s\\w+)', 1) AS first_s_word,
+           CAST(len(regexp_extract_all(text, '\\bb\\w+')) AS INT)
+             AS n_b_words,
+           regexp_replace(text, 'batch', 'B', 'g') AS batch_collapsed,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS INT)
+             AS n_tokens,
+           CASE WHEN regexp_matches(text, 'stream\\s+spark')
+                THEN 1 ELSE 0 END AS has_stream_spark,
+           regexp_extract(text, '(\\w+)\\s+\\w*$', 1) AS penultimate
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX FUNCTION MATRIX — regexp_extract / regexp_count /
+    regexp_replace / split / rlike on one codegen projection,
+    completing the scalar-function surface next to scalar_fn_suite and
+    fn_string_suite. Patterns stay in the Java-regex ∩ RE2 common
+    subset (no backreferences or lookaround) so the identical pattern
+    text means the identical language on both engines; both return ''
+    on a no-match extract.
+
+    Scale: pure map-side projection over the pruned (doc_id, text,
+    lang) columns — predicate and column pruning reach the parquet
+    scan, no shuffle at all; regex evaluation is per-row JVM work that
+    scales embarrassingly with splits (the 100 TB cost is the scan)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"(s\w+)", 1).alias("first_s_word"),
+        F.expr(r"regexp_count(text, '\\bb\\w+')").cast("int").alias(
+            "n_b_words"
+        ),
+        F.regexp_replace("text", "batch", "B").alias("batch_collapsed"),
+        F.size(F.split("text", r"\s+")).cast("int").alias("n_tokens"),
+        F.when(F.col("text").rlike(r"stream\s+spark"), 1)
+        .otherwise(0)
+        .alias("has_stream_spark"),
+        F.regexp_extract("text", r"(\w+)\s+\w*$", 1).alias("penultimate"),
+    )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, u.pos,
+             CASE WHEN (doc_id + u.pos) % 3 = 0 THEN upper(u.word)
+                  ELSE u.word END AS word
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) u
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_cs,
+           CAST(count(DISTINCT lower(word)) AS BIGINT) AS n_distinct_ci,
+           CAST(count(*) FILTER (WHERE lower(word) = 'spark') AS BIGINT)
+             AS n_spark_ci
+    FROM w
+    GROUP BY source
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION SURFACE (Spark 4 `collate(..., 'UTF8_LCASE')`) —
+    case-insensitive distinct counting and equality under a collated
+    comparator, verified against the classic lower()-normalization
+    oracle. The corpus is deterministically case-mangled (upper every
+    3rd (doc_id+pos)) so the case-sensitive and case-insensitive
+    distinct counts genuinely diverge. Only deterministic outputs are
+    compared — a collated GROUP BY key's representative case is
+    first-encountered and engine-specific, exactly why the collated
+    key itself stays out of the projection.
+
+    Scale: posexplode is a flatMap (no shuffle); the multi-distinct
+    aggregate is Catalyst's expand+two-phase plan hash-partitioned by
+    source — same shape as agg_multi_distinct, corpus-sized only at
+    the expand stage. Collation comparisons stay in codegen (ICU-free
+    UTF8_LCASE is a JVM binary comparator, not a UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "raw"),
+    ).select(
+        "source",
+        F.when(
+            (F.col("doc_id") + F.col("pos0") + 1) % 3 == 0,
+            F.upper("raw"),
+        )
+        .otherwise(F.col("raw"))
+        .alias("word"),
+    )
+    ci = F.expr("collate(word, 'UTF8_LCASE')")
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.count_distinct(F.col("word")).alias("n_distinct_cs"),
+        F.count_distinct(ci).alias("n_distinct_ci"),
+        F.count(F.when(ci == F.lit("spark"), 1)).alias("n_spark_ci"),
+    )
