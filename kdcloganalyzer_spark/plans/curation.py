@@ -1714,3 +1714,77 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup"),
         F.max("n_copies").cast("int").alias("max_copies"),
     )
+
+
+@query(
+    "quality_hashed_linear_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(u.word), 1, 15))::BIGINT % 1024)
+               AS bucket
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((bucket * 31 + 7) % 2001 - 1000) AS BIGINT)
+               AS w_sum
+      FROM w GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(w_sum) AS BIGINT) AS sum_score,
+           CAST(min(w_sum) AS BIGINT) AS min_score,
+           CAST(max(w_sum) AS BIGINT) AS max_score
+    FROM scored
+    GROUP BY source
+    """,
+)
+def quality_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHED LINEAR QUALITY MODEL — the fastText-shaped scorer every
+    production quality gate actually runs: feature-hash each token into
+    a fixed bucket space (here 1024 via the cross-engine 60-bit md5
+    idiom), look up an integer weight per bucket (deterministic
+    pseudo-weights here; a trained model would broadcast its weight
+    array), sum per document, threshold. All integer arithmetic, so the
+    per-source score distribution hash-verifies exactly.
+
+    Scale: tokenize-explode is a flatMap; the per-doc sum partial-
+    aggregates map-side before ONE shuffle on doc_id, then the tiny
+    per-source rollup. A real model swaps the closed-form weight for
+    `weights[bucket]` against a broadcast 2^18-float array — same plan,
+    same single shuffle; hashing-trick inference is embarrassingly
+    parallel at any corpus size. Feature hashing (Weinberger et al.
+    2009) is what makes vocabulary size a non-problem at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)"
+            " % 1024"
+        ).alias("bucket"),
+    )
+    scored = w.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_words"),
+        F.sum((F.col("bucket") * 31 + 7) % 2001 - 1000)
+        .cast("bigint")
+        .alias("w_sum"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("w_sum") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("w_sum").cast("bigint").alias("sum_score"),
+        F.min("w_sum").alias("min_score"),
+        F.max("w_sum").alias("max_score"),
+    )

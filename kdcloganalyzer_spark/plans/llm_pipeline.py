@@ -1619,3 +1619,80 @@ def embed_centroid_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-affinity matrix from exact integer centroid sums
+# ---------------------------------------------------------------------------
+@query(
+    "embed_label_affinity",
+    oracle="""
+    WITH x AS (
+      SELECT label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding,
+                    v -> CAST(round(v::DOUBLE * 1000000) AS BIGINT))) AS s
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos, CAST(sum(s) AS BIGINT) AS sv,
+             count(*) AS n_vecs
+      FROM x GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(a.sv * b.sv) AS BIGINT) AS dot_scaled,
+           CAST(max(a.n_vecs) AS BIGINT) AS n_a,
+           CAST(max(b.n_vecs) AS BIGINT) AS n_b
+    FROM c a JOIN c b ON a.pos = b.pos AND a.label <= b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def embed_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-AFFINITY MATRIX — pairwise dot products between per-class
+    centroid SUM vectors (diagonal = squared norms), the geometry
+    report behind class-overlap audits and semantic-space drift
+    monitoring. Built entirely in exact scaled integers (the
+    embed_centroid_int accumulation), so all |L|·(|L|+1)/2 entries
+    hash-verify; cosine(a,b) = dot/(√diag_a·√diag_b·scale²) is left to
+    the consumer — exactness beats pre-dividing.
+
+    Scale: corpus-sized work is ONE partial-agg'd groupBy(label, pos)
+    (the centroid reduction, map-combined before its single shuffle);
+    the pairwise stage then joins the |labels|·dim SUMMARY table with
+    itself on pos — 640 rows here, |L|²·dim products at any corpus
+    size, independent of row count. This is the two-level reduce that
+    makes an all-pairs statistic scale: reduce data to sketches first,
+    make the quadratic pass on sketches only. Spark broadcasts the
+    self-join side automatically (tiny stats)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+    )
+    c = (
+        emb.select("label", F.posexplode(scaled).alias("pos", "s"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("s").cast("bigint").alias("sv"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") <= F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(F.col("a.sv") * F.col("b.sv"))
+            .cast("bigint")
+            .alias("dot_scaled"),
+            F.max(F.col("a.n_vecs")).alias("n_a"),
+            F.max(F.col("b.n_vecs")).alias("n_b"),
+        )
+    )
