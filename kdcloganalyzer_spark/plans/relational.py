@@ -4523,3 +4523,162 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ov_days).cast("int").alias("max_overlap_days"),
         F.sum(ov_days).cast("bigint").alias("total_overlap_days"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    r AS (
+      SELECT event_type, hr, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hr ASC) AS rk
+      FROM h
+    )
+    SELECT r.event_type,
+           r.hr AS mode_hour,
+           r.n AS mode_count,
+           t.n_hours
+    FROM r JOIN (SELECT event_type,
+                        CAST(count(*) AS INT) AS n_hours
+                 FROM h GROUP BY event_type) t
+      ON r.event_type = t.event_type
+    WHERE r.rk = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT MODE with a total tie-break — most-frequent hour-of-day per
+    event type, tie broken toward the smallest hour. Spark 4 ships a
+    native `mode()` aggregate but documents it NON-deterministic on
+    ties (engine- and order-dependent winner), so the verified form is
+    the count + row_number reduction — the same answer every run on
+    every engine, which is what lets the driver hash it.
+
+    Scale: the value domain collapses FIRST (groupBy(type, hour) is a
+    partial-agg'd shuffle producing ≤ |types|·24 rows); the ranking
+    window and the distinct-hour rollup both run on that summary, so
+    the mode of a 100 TB column costs one aggregation over the data and
+    two operators over a few hundred rows. Mode over an unbounded
+    domain (user_id) would swap the exact summary for the
+    count-min-sketch + heavy-hitter pass already in agg_count_min_sketch
+    / agg_approx_topk_sharded."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr"))
+    r = h.withColumn("rk", F.row_number().over(w))
+    t = h.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_hours")
+    )
+    return (
+        r.where(F.col("rk") == 1)
+        .join(t, "event_type")
+        .select(
+            "event_type",
+            F.col("hr").alias("mode_hour"),
+            F.col("n").alias("mode_count"),
+            "n_hours",
+        )
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL — the named-parameter binding API
+    (`spark.sql(text, args={...})`, Spark 3.4+): `:status` /
+    `:min_price` markers bind as typed literals at parse time, the
+    injection-safe templating surface a query service exposes instead
+    of string interpolation. The oracle is the same query with the
+    literals inlined — identical results by definition of binding.
+
+    Scale: parameters are parse-time literals, so Catalyst constant-
+    folds and pushes them down exactly like hand-written predicates —
+    the parquet scan carries PushedFilters on BOTH bound parameters;
+    a plan cache keyed on the template (not the bound values) is what
+    parameterization buys a multi-tenant endpoint at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_param_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM v_param_orders
+        WHERE o_orderstatus = :status
+          AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 1000.0},
+    )
+
+
+@query(
+    "scan_commit_log_time_travel",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM read_parquet(['{DRIVER_COMMITLOG}/data/s0/*.parquet',
+                       '{DRIVER_COMMITLOG}/data/s1/*.parquet'])
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_commit_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the commit-log table — the same snapshot
+    protocol as scan_commit_log, with the replay TRUNCATED at a pinned
+    version (`VERSION AS OF 1`): versions 0-1 added slices s0 and s1,
+    so the as-of-v1 live set is {s0, s1} — including s0, which the
+    CURRENT snapshot no longer contains (v2 compacted it away into s2).
+    Reading a state the latest snapshot cannot see is the actual test
+    of time travel; the two queries' different file sets over one
+    shared staging prove version pinning, snapshot isolation, and
+    compaction invisibility in one pair.
+
+    Scale: identical to the snapshot read — version resolution is a
+    driver-side metadata replay truncated at the pinned version (Delta
+    checkpoints make it O(log tail) not O(versions)); the data scan is
+    a plain pruned parquet read of the pinned files. Retention is the
+    one extra contract at 100 TB: time travel reaches only versions
+    whose removed files a VACUUM hasn't physically deleted yet."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    base = commit_log_path_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        scan_commit_log(spark, sf_dir)  # stage via the snapshot query
+    as_of = 1
+    live: set[str] = set()
+    for p in sorted(_glob.glob(f"{base}/_log/*.json")):
+        if int(os.path.basename(p).split(".")[0]) > as_of:
+            break
+        with open(p) as f:
+            for line in f:
+                a = _json.loads(line)
+                (live.add if a["op"] == "add" else live.discard)(a["path"])
+    snap = spark.read.parquet(*[f"{base}/{d}" for d in sorted(live)])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

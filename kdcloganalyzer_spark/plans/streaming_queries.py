@@ -230,3 +230,19 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch GROUP BY — the checkpoint-audit / state-rehydration
     surface (streaming/stream_queries.py:state_store_counts)."""
     return SQ.state_store_counts(spark, sf_dir)
+
+
+@query(
+    "stream_union_two_sources",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS feed,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two file streams unioned into one windowed aggregation (bounded
+    run ≡ the batch per-day × parity-feed aggregation)."""
+    return SQ.union_two_sources_agg(spark, sf_dir)

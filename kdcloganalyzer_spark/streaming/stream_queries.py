@@ -819,3 +819,58 @@ def state_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+_UNION_SPLIT_CACHE: dict[str, str] = {}
+
+
+def union_two_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE streaming query over TWO independent file sources — the
+    multi-source DAG every consolidation pipeline runs (two ingest
+    feeds, one unified aggregation). The events table is split by
+    user-id parity into two source directories; each side becomes its
+    own readStream (own FileStreamSource, own offset log entry in the
+    shared checkpoint), the union is tagged per side, and one per-day
+    window aggregation consumes both.
+
+    Scale: Structured Streaming tracks per-source offsets in a single
+    checkpoint, so the two scans advance atomically per micro-batch —
+    this is the mechanism that makes N-feed consolidation exactly-once;
+    the union itself is a no-shuffle operator, and the windowed agg
+    shuffles once on (window, feed) exactly as the single-source form
+    does. Feeds of wildly different rates are the practical caveat at
+    scale (one empty source never blocks AvailableNow)."""
+    import os
+
+    if sf_dir not in _UNION_SPLIT_CACHE:
+        from kdcloganalyzer_spark.sources.tables import load_table
+
+        ev_batch = load_table(spark, sf_dir, "events")
+        d = appcache.tempdir(prefix="events_union2_")
+        for name, half in (
+            ("even", ev_batch.filter(F.col("user_id") % 2 == 0)),
+            ("odd", ev_batch.filter(F.col("user_id") % 2 == 1)),
+        ):
+            half.write.mode("overwrite").parquet(f"{d}/{name}")
+        _UNION_SPLIT_CACHE[sf_dir] = d
+    d = _UNION_SPLIT_CACHE[sf_dir]
+    schema = spark.read.parquet(f"{d}/even").schema
+
+    def side(name: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(d, name))
+            .withColumn("feed", F.lit(name))
+        )
+
+    ev = side("even").unionByName(side("odd")).withWatermark("ts", "1 hour")
+    out = ev.groupBy(
+        F.window("ts", "1 day").alias("win"), "feed"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    res = _run_to_memory(out)
+    return res.select(
+        F.col("win.start").alias("win_start"), "feed", "n", "sum_value"
+    )
