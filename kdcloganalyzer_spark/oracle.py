@@ -72,6 +72,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             relational.DRIVER_COMMITLOG,
             relational.commit_log_path_for_sf(sf_dir),
         )
+        .replace(
+            relational.DRIVER_BINFILES,
+            relational.binfiles_path_for_sf(sf_dir),
+        )
     )
 
 

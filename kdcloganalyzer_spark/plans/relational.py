@@ -4682,3 +4682,228 @@ def scan_commit_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@query(
+    "analytics_period_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents, n_orders,
+           rev_cents - lag(rev_cents, 1) OVER (ORDER BY month) AS mom_delta,
+           rev_cents - lag(rev_cents, 12) OVER (ORDER BY month) AS yoy_delta
+    FROM m
+    """,
+)
+def analytics_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD GROWTH — the reporting staple: monthly revenue
+    with month-over-month and year-over-year (lag 12) deltas. Money in
+    exact integer cents end-to-end, so the deltas hash-verify; the
+    NULL first-month/first-year rows are part of the contract (no
+    growth baseline exists yet).
+
+    Scale: the corpus collapses to one row per month in a single
+    partial-agg'd shuffle; the lag windows then run over the ~80-row
+    summary. An unpartitioned window over a SUMMARY is sanctioned —
+    the single-partition sort the plan sweep hunts for only matters
+    when it sorts DATA (the calendar can't outgrow an executor).
+    Calendar gaps would need a month spine (rollup_gap_fill's
+    sequence-generate pattern) before lag is trustworthy — the
+    synthetic orderdates are gap-free, asserted by the oracle match."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        (F.col("rev_cents") - F.lag("rev_cents", 1).over(w)).alias(
+            "mom_delta"
+        ),
+        (F.col("rev_cents") - F.lag("rev_cents", 12).over(w)).alias(
+            "yoy_delta"
+        ),
+    )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST((SELECT count(DISTINCT e2.event_type) FROM events e2
+                 WHERE e2.user_id = e.user_id
+                   AND (e2.ts < e.ts OR (e2.ts = e.ts
+                        AND e2.event_id <= e.event_id))) AS INT)
+             AS n_types_seen
+    FROM events e
+    WHERE e.user_id < 30
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING COUNT-DISTINCT — per user, how many distinct event types
+    have been seen up to each event (the vocabulary-discovery /
+    feature-coverage curve). SQL windows cannot express COUNT(DISTINCT)
+    OVER; Spark's collect_set over a running row frame CAN — the state
+    is the per-key distinct SET (bounded by the type domain, not the
+    event count), which is exactly why this is expressible at scale
+    when the domain is small. The DuckDB oracle pays the quadratic
+    correlated-subquery form instead — the cost asymmetry is the point:
+    set-valued window state is the scalable formulation.
+
+    Scale: one shuffle+sort on (user_id, ts) shared by the window; per-
+    row state is the distinct set (≤ |event types|). An unbounded
+    domain (distinct URLS seen) would swap the exact set for a per-row
+    HLL merge — the users_few_services_approx pattern. The ts tie-break
+    (event_id) makes the running count deterministic under equal
+    timestamps on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("n_types_seen"),
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT source,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           CAST(count(DISTINCT lang) AS INT) AS n_langs,
+           string_agg(DISTINCT CAST(doc_id % 7 AS VARCHAR), '|'
+                      ORDER BY CAST(doc_id % 7 AS VARCHAR)) AS residues
+    FROM documents
+    GROUP BY source
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED STRING AGGREGATION — LISTAGG(DISTINCT … ORDER BY), the
+    SQL:2016 surface Spark 4 finally ships natively (⇄ DuckDB
+    string_agg with the same modifiers). Deterministic BY CONSTRUCTION
+    — distinct + an explicit total order — which is the only way a
+    concatenation aggregate can hash-verify; bare listagg inherits
+    partial-aggregation arrival order and is a cross-engine trap.
+
+    Scale: Catalyst plans distinct-listagg like a multi-distinct
+    aggregate (expand + two-phase); state per group is the DISTINCT
+    value set, so it is safe exactly when the domain is bounded (langs,
+    enum codes) and a deliberate OOM when it is not — concatenating an
+    unbounded column belongs in the sink, not the aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        (F.col("doc_id") % 7).cast("string").alias("residue"),
+    )
+    # One listagg(DISTINCT) per aggregation: Spark 4.1's multi-distinct
+    # rewrite ClassCastExceptions (AttributeReference→SortOrder) when a
+    # listagg(DISTINCT) shares an Aggregate with ANY second distinct
+    # aggregate over a different child — two single-distinct aggs joined
+    # on the tiny group key dodge the planner bug at the cost of one
+    # extra pass.
+    langs = docs.groupBy("source").agg(
+        F.expr("listagg(DISTINCT lang, ',') WITHIN GROUP (ORDER BY lang)")
+        .alias("langs"),
+    )
+    residues = docs.groupBy("source").agg(
+        F.expr(
+            "listagg(DISTINCT residue, '|') WITHIN GROUP (ORDER BY residue)"
+        ).alias("residues"),
+    )
+    return langs.join(residues, "source").select(
+        "source",
+        "langs",
+        F.size(F.split("langs", ",")).cast("int").alias("n_langs"),
+        "residues",
+    )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: whole-file ingestion (model shards / raw assets)
+# ---------------------------------------------------------------------------
+def binfiles_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged directory of small raw files for the
+    binaryFile-source scan (one .txt per low-id document)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/binfiles_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_BINFILES = binfiles_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_binaryfile_source",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(length(content) AS BIGINT) AS n_bytes,
+           md5(content) AS content_md5
+    FROM read_text('{DRIVER_BINFILES}/*.txt')
+    """,
+)
+def scan_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-FILE BINARY INGESTION — the `binaryFile` source: one row
+    per FILE (path, modificationTime, length, content) instead of one
+    per record, the entry point for raw assets (images, audio, model
+    shards) that have no record structure. Output is the manifest a
+    downstream decode stage consumes: name, size, content digest —
+    digest computed Spark-side over the bytes, verified against DuckDB
+    hashing the same staged files.
+
+    Scale: parallelism = files (each file is one task — the source
+    cannot split a file, by definition of whole-file semantics), so
+    millions-of-small-files is a driver-listing problem first; the
+    production mitigations are exactly the ones this repo stages
+    elsewhere — consolidate small blobs into parquet binary columns
+    (multimodal_dedup_binary's layout) or list via a manifest
+    (scan_manifest_pruned). Column pruning is real: selecting only
+    path/length skips content reads entirely."""
+    import os
+
+    base = binfiles_path_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 24)
+            .select("doc_id", "text")
+            .collect()
+        )
+        build = f"{base}.build-{os.getpid()}"
+        os.makedirs(build, exist_ok=True)
+        for r in docs:
+            with open(f"{build}/doc_{r['doc_id']:04d}.txt", "w") as f:
+                f.write(r["text"])
+        try:
+            os.rename(build, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    bf = spark.read.format("binaryFile").load(f"{base}/*.txt")
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
