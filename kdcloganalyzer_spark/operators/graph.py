@@ -236,3 +236,58 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("tri_n"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame, seed: str, max_hops: int = 4
+) -> DataFrame:
+    """Frontier BFS from ``seed`` over a SYMMETRIC edge list, returning
+    (node, dist) with the MINIMUM hop distance, capped at ``max_hops``.
+
+    The Pregel-shaped loop every distributed BFS runs: per round, join
+    the frontier against the edge list, drop already-visited nodes
+    (anti-join), stamp the hop counter. Deterministic by construction —
+    min-distance is order-free — so the result is oracle-checkable
+    against a depth-bounded recursive CTE.
+
+    Scale shape: the frontier is broadcast explicitly each round
+    (checkpointed frames carry NO stats, AQE would never pick the
+    broadcast on its own); rounds execute eagerly via localCheckpoint
+    so lineage stays O(1) and the early-exit on an empty frontier is a
+    cheap driver-side count. A frontier beyond broadcast size falls
+    back to the co-partitioned shuffle join exactly like pagerank's
+    big-graph path; hop-bounded traversals keep the visited table at
+    O(reachable), the property that makes BFS tractable at 100 TB where
+    transitive closure is not."""
+    sess = edges.sparkSession
+    e = edges.select("src", "dst")
+    parallelism = sess.sparkContext.defaultParallelism
+    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "4")
+    del parallelism
+    try:
+        visited = sess.createDataFrame(
+            [(seed, 0)], "node string, dist int"
+        ).localCheckpoint()
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = (
+                e.join(
+                    F.broadcast(
+                        frontier.select(F.col("node").alias("src"))
+                    ),
+                    "src",
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(h))
+                .localCheckpoint()
+            )
+            if nxt.count() == 0:
+                break
+            visited = visited.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -1784,3 +1784,270 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("signup_first"),
         )
     )
+
+
+@query(
+    "events_ab_test_report",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('exp1#' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS spend_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           sum(converted) * 1000000 // count(*) AS conv_rate_micro,
+           CAST(sum(spend_cents) AS BIGINT) AS revenue_cents
+    FROM a GROUP BY variant
+    """,
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT REPORT — the experimentation readout: users are
+    assigned to control/treatment by a SEEDED HASH of their id (the
+    industry-standard deterministic bucketing — same user, same arm,
+    any engine, any day; the cross-engine 60-bit md5 idiom makes the
+    assignment itself hash-verified), then per-arm exposure,
+    conversion, rate (exact integer micro-units — a float rate is the
+    midpoint trap), and revenue are rolled up. Significance testing
+    needs only these four integers per arm (the z-statistic is a
+    driver-side formula over them).
+
+    Scale: per-user conversion collapses in ONE partial-agg'd shuffle
+    on user_id (the assignment hash is a map-side projection, never a
+    join against an assignment table — that is the point of hashed
+    bucketing); the per-arm rollup is 2 rows. Multi-experiment
+    dashboards fan the same scan out over exp-id salt values."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.expr(
+            "CAST(conv(substring(md5(concat('exp1#',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    per_user = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    return per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr("sum(converted) * 1000000 div count(*)").alias(
+            "conv_rate_micro"
+        ),
+        F.sum("spend_cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(sum(dau) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d GROUP BY 1
+    ),
+    mu AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT m.month, mu.mau, m.sum_dau, m.n_days,
+           m.sum_dau * 1000000 // (m.n_days * mu.mau)
+             AS stickiness_micro
+    FROM m JOIN mu ON m.month = mu.month
+    """,
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS — the engagement ratio every consumer product
+    tracks: average daily actives over monthly actives, per month. The
+    ratio is exact integer micro-units of (Σdau · 1e6) / (days · mau) —
+    both distinct counts are exact, so the metric hash-verifies (an
+    approx_count_distinct swap changes only the two count nodes).
+
+    Scale: two distinct-aggregates over different grains share the one
+    events scan; per-day and per-month distincts are the partial-agg +
+    expand plan Catalyst already uses for multi-distinct. At true 100 TB
+    the per-day exact distinct is the heavy node — the documented swap
+    is HLL sketches per (day) merged upward to (month), which this
+    repo's agg_hll_sketch_merge / users_few_services_approx already
+    exhibit; the report shape here stays identical."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    m = d.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count("*").alias("n_days"),
+    )
+    mu = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return m.join(mu, "month").select(
+        "month",
+        "mau",
+        "sum_dau",
+        "n_days",
+        F.expr("sum_dau * 1000000 div (n_days * mau)").alias(
+            "stickiness_micro"
+        ),
+    )
+
+
+@query(
+    "analytics_pareto_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+             count(*) OVER () AS n_cust,
+             sum(spend) OVER () AS total,
+             sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           max(cum) * 1000000 // max(total) AS cum_share_micro
+    FROM (SELECT cum, total, rk * 10 // n_cust AS decile
+          FROM r WHERE rk * 10 % n_cust = 0 OR rk = n_cust) x
+    GROUP BY decile
+    """,
+)
+def analytics_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARETO / REVENUE-CONCENTRATION CURVE — "the top 10% of customers
+    carry X% of revenue": customers ranked by exact-cents spend, the
+    cumulative share read off at each decile boundary (the Lorenz-curve
+    points a Gini coefficient integrates). All integer arithmetic:
+    cents sums, row_number ranks, micro-unit shares via integer
+    division — the whole curve hash-verifies.
+
+    Scale: per-customer spend collapses in one partial-agg'd shuffle;
+    the ranking then runs over the CUSTOMER summary (1/40th of order
+    rows here; bounded by entity count generally). The unpartitioned
+    rank-over-summary is the sanctioned pattern — at true
+    billions-of-entities scale the decile boundaries come from
+    approx_percentile over spend (the events_rfm_segmentation_approx
+    swap) instead of a global rank, and the curve is read off the same
+    way."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend")
+    )
+    w_rank = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_cust"),
+        F.sum("spend").over(w_all).alias("total"),
+        F.sum("spend")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    x = r.where(
+        ((F.col("rk") * 10) % F.col("n_cust") == 0)
+        | (F.col("rk") == F.col("n_cust"))
+    ).select(
+        (F.col("rk") * 10 / F.col("n_cust")).cast("int").alias("decile"),
+        "cum",
+        "total",
+    )
+    return x.groupBy("decile").agg(
+        F.max("cum").cast("bigint").alias("cum_cents"),
+        F.expr("max(cum) * 1000000 div max(total)").alias(
+            "cum_share_micro"
+        ),
+    )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+    walk AS (
+      SELECT 'c' || (SELECT min(o_custkey) FROM orders) AS node, 0 AS dist
+      UNION
+      SELECT e.dst, walk.dist + 1
+      FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.dist < 4
+    ),
+    d AS (SELECT node, CAST(min(dist) AS INT) AS dist
+          FROM walk GROUP BY node)
+    SELECT dist, substr(node, 1, 1) AS side,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY dist, side
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS HOP DISTANCE from a seed entity over the customer–supplier
+    co-order graph — reachability rings ("how far is everything from
+    this account"), the traversal primitive behind blast-radius and
+    influence analyses. Spark side runs the Pregel-shaped frontier loop
+    (operators/graph.py:bfs_distances — broadcast frontier, anti-join
+    visited, eager rounds, early exit); the oracle is the depth-bounded
+    recursive CTE with a min-dist rollup — two formulations, one
+    deterministic answer, which is the point: the iterative form is the
+    one that scales (frontier-bounded state), the recursive SQL form is
+    the one DuckDB can check.
+
+    Scale: see bfs_distances. Output is the per-ring census (dist ×
+    node side), not per-node rows — ring sizes are what the analyses
+    consume. Seed = min ordering customer, collected as a sanctioned
+    1-row control scalar (a lazy 1-row join would plan as BNLJ)."""
+    from kdcloganalyzer_spark.operators import graph as G
+
+    edges = _coorder_edges(spark, sf_dir)
+    seed_key = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_custkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    d = G.bfs_distances(edges, f"c{seed_key}", max_hops=4)
+    return d.groupBy(
+        "dist", F.substring("node", 1, 1).alias("side")
+    ).agg(F.count("*").alias("n_nodes"))
