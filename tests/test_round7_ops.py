@@ -166,3 +166,77 @@ def test_commit_log_snapshot_excludes_compacted_file(spark, sf_dir):
     base = commit_log_path_for_sf(sf_dir)
     naive = spark.read.parquet(f"{base}/data/*").count()
     assert naive > total
+
+
+def test_bfs_min_dist_on_cycle_and_early_exit(spark):
+    """bfs_distances returns MINIMUM hop distance on a graph with a
+    shorter and a longer path to the same node (cycle a-b-c-d-a: d is
+    dist 1, not 3), and early-exits cleanly when the frontier empties
+    before max_hops; an unreachable island never appears."""
+    from kdcloganalyzer_spark.operators.graph import bfs_distances
+
+    ed = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("x", "y"),  # unreachable island
+    ]
+    sym = ed + [(t, s) for s, t in ed]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, "a", max_hops=6).collect()
+    }
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_hop_cap_truncates(spark):
+    """max_hops bounds the traversal: on a 5-node path graph rooted at
+    one end, cap 2 reaches exactly 3 nodes."""
+    from kdcloganalyzer_spark.operators.graph import bfs_distances
+
+    ed = [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5")]
+    sym = ed + [(t, s) for s, t in ed]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, "n1", max_hops=2).collect()
+    }
+    assert got == {"n1": 0, "n2": 1, "n3": 2}
+
+
+def test_ab_assignment_is_deterministic_and_disjoint(spark, sf_dir):
+    """The hashed A/B arms partition the user population: n_users sums
+    to the corpus user count and both arms are non-empty (seeded-hash
+    bucketing, not sampling)."""
+    rep = {
+        r["variant"]: r
+        for r in registry.QUERIES["events_ab_test_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rep) == {"control", "treatment"}
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rep["control"]["n_users"] + rep["treatment"]["n_users"] == n_users
+    for r in rep.values():
+        assert 0 <= r["n_converted"] <= r["n_users"]
+        assert r["conv_rate_micro"] == r["n_converted"] * 1_000_000 // r["n_users"]
+
+
+def test_pareto_curve_is_monotone_and_ends_at_total(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["analytics_pareto_concentration"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    shares = [r["cum_share_micro"] for r in rows]
+    assert shares == sorted(shares)  # Lorenz curve is non-decreasing
+    assert rows[-1]["decile"] == 10 and shares[-1] == 1_000_000
+    # concentration: top decile carries strictly more than 1/10 of total
+    assert shares[0] > 100_000
