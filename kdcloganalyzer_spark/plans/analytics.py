@@ -2051,3 +2051,159 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         "dist", F.substring("node", 1, 1).alias("side")
     ).agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "rollup_weighted_moving_avg",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT day, cents,
+           16 * cents
+             + 8 * coalesce(lag(cents, 1) OVER w, 0)
+             + 4 * coalesce(lag(cents, 2) OVER w, 0)
+             + 2 * coalesce(lag(cents, 3) OVER w, 0)
+             + 1 * coalesce(lag(cents, 4) OVER w, 0) AS wma_num,
+           16 + 8 * CASE WHEN lag(cents, 1) OVER w IS NULL
+                         THEN 0 ELSE 1 END
+              + 4 * CASE WHEN lag(cents, 2) OVER w IS NULL
+                         THEN 0 ELSE 1 END
+              + 2 * CASE WHEN lag(cents, 3) OVER w IS NULL
+                         THEN 0 ELSE 1 END
+              + 1 * CASE WHEN lag(cents, 4) OVER w IS NULL
+                         THEN 0 ELSE 1 END AS wma_den
+    FROM d
+    WINDOW w AS (ORDER BY day)
+    """,
+)
+def rollup_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MOVING AVERAGE — the exponential-shaped smoother
+    (weights 16/8/4/2/1 over the trailing 5 days — a truncated
+    EWMA with α=1/2) computed entirely in integers: per-day cents,
+    integer weight products, and the numerator/denominator emitted
+    SEPARATELY so the smoothed series hash-verifies (a float
+    wma_num/wma_den division is the one step engines round apart;
+    the consumer divides once). Warm-up days shrink the denominator
+    instead of biasing toward zero — the standard partial-window
+    convention.
+
+    Scale: the corpus collapses to one row per day in one shuffle;
+    the lag window runs over the calendar-sized summary (the
+    analytics_period_growth argument). A true infinite-memory EWMA is
+    inherently sequential — the truncated-window form is WHY this
+    smoother parallelizes: each output row depends on a bounded
+    lookback, so the window operator streams it."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    num = F.lit(16) * F.col("cents")
+    den = F.lit(16)
+    for i, wt in enumerate((8, 4, 2, 1), start=1):
+        lagged = F.lag("cents", i).over(w)
+        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0))
+        den = den + F.when(lagged.isNull(), 0).otherwise(wt)
+    return d.select(
+        "day",
+        "cents",
+        num.cast("bigint").alias("wma_num"),
+        den.cast("bigint").alias("wma_den"),
+    )
+
+
+@query(
+    "analytics_segment_migration",
+    oracle="""
+    WITH half AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate <
+                       (SELECT min(o_orderdate)
+                          + (max(o_orderdate) - min(o_orderdate)) / 2
+                        FROM orders)
+                  THEN 'h1' ELSE 'h2' END AS period,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    spend AS (
+      SELECT o_custkey, period,
+             CAST(sum(cents) AS BIGINT) AS spend
+      FROM half GROUP BY 1, 2
+    ),
+    tiered AS (
+      SELECT o_custkey, period,
+             CASE WHEN spend >= 40000000 THEN 'gold'
+                  WHEN spend >= 20000000 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM spend
+    )
+    SELECT coalesce(a.tier, 'none') AS tier_h1,
+           coalesce(b.tier, 'none') AS tier_h2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT o_custkey, tier FROM tiered WHERE period = 'h1') a
+    FULL JOIN (SELECT o_custkey, tier FROM tiered WHERE period = 'h2') b
+      ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-MIGRATION MATRIX — where did each customer's tier go
+    between two halves of the observation window (gold/silver/bronze by
+    exact-cents spend against fixed thresholds, 'none' for customers
+    absent from a half)? The churn/upgrade transition matrix every
+    lifecycle team reports. The half-split midpoint is derived from the
+    data (min+span/2) identically on both engines in timestamp
+    arithmetic.
+
+    Scale: one scan → per-(customer, half) spend in a single
+    partial-agg'd shuffle; the FULL self-join is co-partitioned on
+    customer (Catalyst reuses the groupBy partitioning) and the output
+    is the ≤ 4×4 matrix. Fixed thresholds make tiers embarrassingly
+    parallel; percentile tiers would go through the RFM approx-cutoff
+    pattern instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).collect()[0]
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    spend = (
+        orders.select(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < F.lit(mid), "h1")
+            .otherwise("h2")
+            .alias("period"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.sum("cents").cast("bigint").alias("spend"))
+    )
+    tiered = spend.select(
+        "o_custkey",
+        "period",
+        F.when(F.col("spend") >= 40000000, "gold")
+        .when(F.col("spend") >= 20000000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    a = tiered.where(F.col("period") == "h1").select(
+        "o_custkey", F.col("tier").alias("tier_a")
+    )
+    b = tiered.where(F.col("period") == "h2").select(
+        "o_custkey", F.col("tier").alias("tier_b")
+    )
+    return (
+        a.join(b, "o_custkey", "full")
+        .groupBy(
+            F.coalesce("tier_a", F.lit("none")).alias("tier_h1"),
+            F.coalesce("tier_b", F.lit("none")).alias("tier_h2"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )

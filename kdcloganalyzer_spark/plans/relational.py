@@ -4907,3 +4907,100 @@ def scan_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "analytics_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS part_orders
+      FROM items GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           support * n.n_orders * 1000000
+             // (ca.part_orders * cb.part_orders) AS lift_micro
+    FROM pairs, n
+    JOIN pc ca ON ca.l_partkey = part_a
+    JOIN pc cb ON cb.l_partkey = part_b
+    WHERE support >= 3
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET AFFINITY — the frequent-itemset / association-rule
+    primitive (A-priori's support counting + lift): part pairs
+    co-purchased in one order, support-thresholded, lift in exact
+    integer micro-units against the independence baseline. Top-20 under
+    a total order (support desc, then pair) so the report
+    hash-verifies.
+
+    Scale: pair enumeration is a SELF-JOIN ON THE BASKET KEY — bounded
+    by items-per-order (~7 ⇒ ~21 pairs), the same per-key-bounded
+    argument as join_interval_overlap, never corpus². The distinct
+    (order, part) projection partial-aggregates first; per-part counts
+    and the order total are broadcast (dimension-sized); the support
+    threshold prunes the pair table before the joins. At retail scale
+    the classic refinement is frequency-sorted A-priori pruning —
+    drop parts below min-support BEFORE pairing (the same
+    document-frequency ordering dedup_ngram_jaccard_dford uses)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count("*").alias("part_orders")
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    ca = F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                               F.col("part_orders").alias("orders_a")))
+    cb = F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                               F.col("part_orders").alias("orders_b")))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support") * F.lit(n_orders) * 1000000
+            ).cast("bigint").alias("_num"),
+            (F.col("orders_a") * F.col("orders_b")).alias("_den"),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("_num div _den").alias("lift_micro"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
