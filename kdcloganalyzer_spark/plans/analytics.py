@@ -2207,3 +2207,163 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click_24h', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase_24h', (SELECT count(*) FROM p)
+    )
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED FUNNEL — view → click → purchase where each step
+    must land within 24 HOURS of the previous step's completion (the
+    attribution-window semantics real conversion funnels use; the
+    unbounded events_funnel counts a purchase a month later, this one
+    does not). Same min-timestamp chaining as the unbounded form with
+    an upper bound per hop — the earliest-qualifying-event convention
+    makes the count deterministic.
+
+    Scale: per-stage min() collapses per user before each hop's join,
+    so every join is entity-sized and co-partitioned on user_id (three
+    stages = the same shuffle key reused; Catalyst plans one exchange
+    lineage). Windowing changes no plan shape — only the residual
+    predicate — which is exactly why funnels generalize to K stages ×
+    arbitrary windows at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1000000
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.unix_micros("ts")
+                <= F.unix_micros("t1") + F.lit(day_us)
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.unix_micros("ts")
+                <= F.unix_micros("t2") + F.lit(day_us)
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "view", v),
+        (2, "click_24h", c),
+        (3, "purchase_24h", p),
+    ]
+    out = None
+    for stage, name, df in rows:
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+@query(
+    "events_forecast_seasonal_naive",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS forecast,
+             lag(cents, 1) OVER (ORDER BY day) AS naive
+      FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(cents - forecast)) AS BIGINT)
+             AS seasonal_abs_err,
+           CAST(sum(abs(cents - naive)) AS BIGINT) AS naive_abs_err,
+           sum(abs(cents - forecast)) * 1000000
+             // sum(abs(cents - naive)) AS mase_micro
+    FROM j WHERE forecast IS NOT NULL AND naive IS NOT NULL
+    """,
+)
+def events_forecast_seasonal_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORECAST BACKTEST (seasonal-naive vs naive) — the baseline every
+    forecasting system must beat, evaluated the way M-competitions do:
+    forecast(d) = actual(d−7) (weekly seasonality), error vs the
+    1-day-naive benchmark, summarized as MASE in exact integer
+    micro-units (cents errors are integers; one integer division at
+    the end). mase_micro < 1e6 ⇔ weekly seasonality is real signal.
+
+    Scale: the corpus collapses to the per-day series in one shuffle;
+    both lag forecasts and the error rollup run over the calendar
+    summary. Per-series forecasting at scale partitions the same plan
+    by series key (the window gains a partitionBy and nothing else
+    changes) — millions of independent series parallelize trivially;
+    it is long single series that do not."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    j = d.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("forecast"),
+        F.lag("cents", 1).over(w).alias("naive"),
+    ).where(F.col("forecast").isNotNull() & F.col("naive").isNotNull())
+    return j.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("forecast")))
+        .cast("bigint")
+        .alias("seasonal_abs_err"),
+        F.sum(F.abs(F.col("cents") - F.col("naive")))
+        .cast("bigint")
+        .alias("naive_abs_err"),
+        F.expr(
+            "sum(abs(cents - forecast)) * 1000000"
+            " div sum(abs(cents - naive))"
+        ).alias("mase_micro"),
+    )

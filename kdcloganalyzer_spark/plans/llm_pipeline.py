@@ -1696,3 +1696,85 @@ def embed_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("b.n_vecs")).alias("n_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer design input)
+# ---------------------------------------------------------------------------
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+    ),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, word) AS rk,
+             sum(n) OVER () AS total,
+             sum(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT CAST(vocab_size AS INT) AS vocab_size,
+           CAST(max(cum) AS BIGINT) AS tokens_covered,
+           max(cum) * 1000000 // max(total) AS coverage_micro
+    FROM (SELECT cum, total,
+                 CASE WHEN rk <= 8 THEN 8
+                      WHEN rk <= 16 THEN 16
+                      WHEN rk <= 32 THEN 32
+                      ELSE NULL END AS vocab_size
+          FROM ranked) x
+    WHERE vocab_size IS NOT NULL
+    GROUP BY vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — what fraction of all corpus tokens
+    the top-K most frequent words cover (K ∈ {8, 16, 32} against this
+    synthetic ~40-word vocabulary; 8k/16k/32k against a real corpus) —
+    the Zipf report that sizes tokenizer vocabularies and predicts
+    UNK/byte-fallback rates before a single BPE merge is trained.
+    Integer token counts and micro-unit coverage shares, totally
+    ordered by (freq desc, word) so boundary ties are deterministic —
+    the whole curve hash-verifies.
+
+    Scale: tokenize-explode flatMaps into ONE partial-agg'd word count
+    (the corpus-sized stage); ranking then runs over the VOCABULARY
+    (Heaps-law-bounded, millions of rows at web scale — still one
+    executor's work). This is the same collapse-then-rank shape as
+    analytics_pareto_concentration, applied to the token distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("word"))
+    w_all = Window.partitionBy()
+    ranked = freq.select(
+        "n",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("n").over(w_all).alias("total"),
+        F.sum("n")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    sized = ranked.select(
+        "cum",
+        "total",
+        F.when(F.col("rk") <= 8, 8)
+        .when(F.col("rk") <= 16, 16)
+        .when(F.col("rk") <= 32, 32)
+        .alias("vocab_size"),
+    ).where(F.col("vocab_size").isNotNull())
+    return sized.groupBy(
+        F.col("vocab_size").cast("int").alias("vocab_size")
+    ).agg(
+        F.max("cum").cast("bigint").alias("tokens_covered"),
+        F.expr("max(cum) * 1000000 div max(total)").alias(
+            "coverage_micro"
+        ),
+    )
