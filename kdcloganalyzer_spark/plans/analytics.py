@@ -2367,3 +2367,77 @@ def events_forecast_seasonal_naive(
             " div sum(abs(cents - naive))"
         ).alias("mase_micro"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    fw AS (
+      SELECT user_id, min(week) AS first_week FROM uw GROUP BY user_id
+    ),
+    flags AS (
+      SELECT a.user_id, a.week,
+             CASE WHEN f.first_week = a.week THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END
+               AS is_retained
+      FROM uw a
+      JOIN fw f ON f.user_id = a.user_id
+      LEFT JOIN uw b ON b.user_id = a.user_id AND b.week = a.week - 7
+    )
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(sum(is_retained) AS BIGINT) AS n_retained,
+           CAST(count(*) - sum(is_new) - sum(is_retained) AS BIGINT)
+             AS n_resurrected
+    FROM flags
+    GROUP BY week
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the weekly active-user ledger (Social
+    Capital's framework): every active user is exactly one of NEW
+    (first-ever week), RETAINED (also active the prior week), or
+    RESURRECTED (returning after a gap); churn falls out as
+    active(w−1) − retained(w). The three classes partition the actives,
+    so the ledger cross-foots — and being pure integer counts, it
+    hash-verifies.
+
+    Scale: the corpus collapses to distinct (user, week) FIRST (one
+    partial-agg'd shuffle — everything downstream is entity-week
+    sized); first-week is a groupBy on the same key; the prior-week
+    probe is a self-join co-partitioned on user_id. Three operators,
+    one partitioning, no window over raw events. The same ledger at
+    daily grain just swaps the truncation unit."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = uw.select(
+        "user_id", F.date_add("week", 7).alias("week"), F.lit(1).alias("was_prev")
+    )
+    flags = (
+        uw.join(fw, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("first_week") == F.col("week"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+            F.coalesce("was_prev", F.lit(0)).alias("is_retained"),
+        )
+    )
+    return flags.groupBy("week").agg(
+        F.count("*").alias("n_active"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_retained").cast("bigint").alias("n_retained"),
+        (F.count("*") - F.sum("is_new") - F.sum("is_retained"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kdcloganalyzer_spark.plans.analytics import CMS_ORACLE
+from kdcloganalyzer_spark.plans.relational import DRIVER_BINFILES
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
 from kdcloganalyzer_spark.streaming import stream_queries as SQ
@@ -246,3 +247,19 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two file streams unioned into one windowed aggregation (bounded
     run ≡ the batch per-day × parity-feed aggregation)."""
     return SQ.union_two_sources_agg(spark, sf_dir)
+
+
+@query(
+    "stream_binaryfile_manifest",
+    oracle=f"""
+    SELECT regexp_extract(filename, 'doc_(\\d\\d)', 1) AS prefix,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length(content)) AS BIGINT) AS total_bytes
+    FROM read_text('{DRIVER_BINFILES}/*.txt')
+    GROUP BY prefix
+    """,
+)
+def stream_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming binaryFile intake manifest (bounded run ≡ the batch
+    per-prefix file/byte census over the same staged assets)."""
+    return SQ.binaryfile_manifest_stream(spark, sf_dir)

@@ -874,3 +874,49 @@ def union_two_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("win.start").alias("win_start"), "feed", "n", "sum_value"
     )
+
+
+def binaryfile_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WHOLE-FILE ingestion — readStream over a binaryFile
+    source (one row per file as it lands: the raw-asset intake feed),
+    aggregated into the running manifest (files, bytes) per name
+    prefix. The streaming twin of scan_binaryfile_source's batch read.
+
+    Scale: file discovery is the micro-batch unit (maxFilesPerTrigger
+    bounds intake); selecting only path/length prunes content reads
+    entirely (the binaryFile source honors column pruning), so the
+    manifest costs directory listings, not data bytes. The
+    schema-spelled-out requirement is a readStream quirk pinned here:
+    binaryFile streams do NOT infer."""
+    from kdcloganalyzer_spark.plans.relational import (
+        binfiles_path_for_sf,
+        scan_binaryfile_source,
+    )
+
+    base = binfiles_path_for_sf(sf_dir)
+    import os
+
+    if not os.path.isdir(base):
+        scan_binaryfile_source(spark, sf_dir)  # stage once
+    sdf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(f"{base}/*.txt")
+    )
+    out = (
+        sdf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d\d)", 1).alias(
+                "prefix"
+            ),
+            "length",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("length").cast("bigint").alias("total_bytes"),
+        )
+    )
+    return _run_to_memory(out)
