@@ -2441,3 +2441,159 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_resurrected"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy, min(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT epoch_us(t_buy) - epoch_us(t_view) AS us FROM p
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(us) AS BIGINT) AS min_us,
+           CAST(round(2 * quantile_cont(us, 0.5)) AS BIGINT)
+             AS median_us_x2,
+           CAST(round(10 * quantile_cont(us, 0.9)) AS BIGINT)
+             AS p90_us_x10,
+           CAST(max(us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT DISTRIBUTION — latency from first view to first
+    subsequent purchase per user, summarized as min / median / p90 /
+    max in exact integer microseconds (quantiles shipped scaled —
+    2×median, 10×p90 — so linear interpolation of integers stays exact
+    across engines, the sessionize_stats_rollup idiom). The metric
+    funnel counts leave out: not whether users convert but how long
+    they take.
+
+    Scale: two per-user min() collapses share the user_id partitioning
+    (the funnel argument); the latency list then reduces to ONE summary
+    row. Exact percentile holds per-group values in memory — fine for
+    one group of entity-sized latencies; a per-segment breakdown at
+    billions of entities swaps in approx_percentile exactly as
+    events_rfm_segmentation_approx does."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.min("t_view").alias("t_view2"))
+    )
+    lat = p.select(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view2")).alias("us")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.min("us").cast("bigint").alias("min_us"),
+        F.round(2 * F.expr("percentile(us, 0.5)"))
+        .cast("bigint")
+        .alias("median_us_x2"),
+        F.round(10 * F.expr("percentile(us, 0.9)"))
+        .cast("bigint")
+        .alias("p90_us_x10"),
+        F.max("us").cast("bigint").alias("max_us"),
+    )
+
+
+@query(
+    "events_anomaly_seasonal_residual",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, cents,
+             cents - lag(cents, 7) OVER (ORDER BY day) AS resid
+      FROM d
+    ),
+    med AS (
+      SELECT CAST(round(2 * quantile_cont(resid, 0.5)) AS BIGINT) AS m2
+      FROM r WHERE resid IS NOT NULL
+    ),
+    mad AS (
+      SELECT CAST(round(4 * quantile_cont(abs(2 * resid - m2), 0.5))
+                  AS BIGINT) AS mad4
+      FROM r, med WHERE resid IS NOT NULL
+    )
+    SELECT day, cents, CAST(resid AS BIGINT) AS resid,
+           CAST(abs(2 * resid - med.m2) AS BIGINT) AS dev2
+    FROM r, med, mad
+    WHERE resid IS NOT NULL
+      AND abs(2 * resid - med.m2) * 2 > 7 * mad.mad4
+    """,
+)
+def events_anomaly_seasonal_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALITY-AWARE ANOMALY DETECTION — the composition the two
+    existing detectors (z-score, MAD) skip: remove the weekly pattern
+    FIRST (residual = today − same-weekday-last-week, the seasonal-
+    naive forecast), then flag residuals beyond 3.5 robust deviations
+    (|2r − 2·median| · 2 > 7 · 4·MAD — every quantity pre-scaled to an
+    exact integer so the inequality is integer-exact: ×2 keeps the
+    interpolated median exact, ×4 the MAD, and cross-multiplying
+    replaces the 3.5 float threshold with 7/2). A raw-value detector
+    fires every weekend; a residual detector only on pattern BREAKS.
+
+    Scale: corpus → calendar summary in one shuffle (the period_growth
+    argument); the two quantiles and the flag scan run over ~30 rows.
+    The median and MAD are CONTROL SCALARS — collected driver-side and
+    embedded as literals (the sanctioned pattern; a lazy 1-row join
+    would plan as BroadcastNestedLoopJoin, the shape the plan sweep
+    rejects). Two bounded collects over a calendar-sized summary."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    r = d.select(
+        "day",
+        "cents",
+        (F.col("cents") - F.lag("cents", 7).over(w)).alias("resid"),
+    ).where(F.col("resid").isNotNull())
+    r = r.localCheckpoint(eager=False)  # reused by both collects + flags
+    m2 = int(
+        r.agg(
+            F.round(2 * F.expr("percentile(resid, 0.5)")).cast("bigint")
+        ).collect()[0][0]
+    )
+    mad4 = int(
+        r.agg(
+            F.round(
+                4 * F.expr(f"percentile(abs(2 * resid - {m2}), 0.5)")
+            ).cast("bigint")
+        ).collect()[0][0]
+    )
+    return r.where(
+        F.abs(2 * F.col("resid") - F.lit(m2)) * 2 > 7 * F.lit(mad4)
+    ).select(
+        "day",
+        "cents",
+        F.col("resid").cast("bigint").alias("resid"),
+        F.abs(2 * F.col("resid") - F.lit(m2))
+        .cast("bigint")
+        .alias("dev2"),
+    )
