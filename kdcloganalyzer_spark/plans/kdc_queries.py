@@ -869,3 +869,93 @@ def q_enctype_downgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_downgraded") > 0)
     )
+
+
+@query(
+    "kdc_ip_roaming",
+    oracle=f"""
+    WITH o AS (
+      SELECT client, client_ip, ts,
+             lag(client_ip) OVER w AS prev_ip,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s
+      FROM {_R}
+      WHERE valid AND req_type = 'AUTH'
+      WINDOW w AS (PARTITION BY client ORDER BY ts, client_ip)
+    ),
+    sw AS (
+      SELECT client,
+             CASE WHEN prev_ip IS NOT NULL AND prev_ip <> client_ip
+                       AND gap_s <= 600 THEN 1 ELSE 0 END AS rapid_switch
+      FROM o
+    )
+    SELECT s.client,
+           CAST(sum(s.rapid_switch) AS BIGINT) AS n_rapid_switches,
+           CAST(d.n_ips AS BIGINT) AS n_ips,
+           CAST(count(*) AS BIGINT) AS n_auths
+    FROM sw s
+    JOIN (SELECT client, count(DISTINCT client_ip) AS n_ips
+          FROM {_R} WHERE valid AND req_type = 'AUTH'
+          GROUP BY client) d
+      ON d.client = s.client
+    GROUP BY s.client, d.n_ips
+    HAVING sum(s.rapid_switch) >= 1
+    """,
+)
+def kdc_ip_roaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-ROAMING DETECTION ("impossible travel" at LAN scale) —
+    clients whose successive valid AUTH requests arrive from DIFFERENT
+    source IPs within 10 minutes: the credential-sharing /
+    ticket-theft signal the reference's per-user and per-host keyspaces
+    (UserTimeMapper.java:27-49, kdcmapred2.pl's host dimension) each
+    see half of but never correlate. Ordered per client with an
+    (ts, ip) total order so the lag comparison is deterministic on
+    second-resolution timestamp ties.
+
+    Scale: the AUTH filter prunes first; ONE shuffle on client shared
+    by the lag window and the rollup; the distinct-IP count joins back
+    co-partitioned on the same key. Per-client state is one previous
+    row — the streaming form is the same expression under
+    applyInPandasWithState (stream_sessionize's machinery)."""
+    r = kdc_records(spark, sf_dir).filter(
+        F.col("valid") & (F.col("req_type") == "AUTH")
+    )
+    w = Window.partitionBy("client").orderBy("ts", "client_ip")
+    o = r.select(
+        "client",
+        "client_ip",
+        F.lag("client_ip").over(w).alias("prev_ip"),
+        (
+            F.unix_timestamp("ts")
+            - F.lag(F.unix_timestamp("ts")).over(w)
+        ).alias("gap_s"),
+    )
+    sw = o.select(
+        "client",
+        F.when(
+            F.col("prev_ip").isNotNull()
+            & (F.col("prev_ip") != F.col("client_ip"))
+            & (F.col("gap_s") <= 600),
+            1,
+        )
+        .otherwise(0)
+        .alias("rapid_switch"),
+    )
+    d = r.groupBy("client").agg(
+        F.count_distinct("client_ip").alias("n_ips")
+    )
+    return (
+        sw.groupBy("client")
+        .agg(
+            F.sum("rapid_switch").cast("bigint").alias("n_rapid_switches"),
+            F.count("*").alias("n_auths"),
+        )
+        .where(F.col("n_rapid_switches") >= 1)
+        .join(d, "client")
+        .select(
+            "client",
+            "n_rapid_switches",
+            F.col("n_ips").cast("bigint").alias("n_ips"),
+            "n_auths",
+        )
+    )
