@@ -596,3 +596,40 @@ def lsh_eval_oracle_sql(n_queries: int = 5, k: int = 10) -> str:
              AS recall_at_k
     FROM j GROUP BY q_id
     """
+
+
+def range_cosine_exact(
+    emb: DataFrame, n_queries: int = 5, tau: float = 0.25
+) -> DataFrame:
+    """RADIUS (range) retrieval: every corpus vector with cosine ≥ tau
+    of each query — the other retrieval mode (top-k answers "best k",
+    range answers "all sufficiently similar": dedup thresholds, policy
+    filters, near-duplicate sweeps). Same normalized-dot scoring and
+    determinism contract as topk_cosine_exact; per query also emits the
+    match count so empty-radius queries are visible.
+
+    Scale: identical broadcast shape to the exact top-k (queries
+    broadcast over the corpus scan, no corpus shuffle) — but unlike
+    top-k the result size is data-dependent, so the production form
+    bounds it (LIMIT per query or an IVF cell prefilter as in
+    sim_search_ivf); the threshold pushes into the scan as a plain
+    filter, which is why range queries compose with ANN indexes better
+    than top-k does."""
+    unit = with_unit_vector(
+        spread(emb).select("vec_id", "embedding"), "embedding"
+    ).drop("embedding")
+    queries = unit.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_unit")
+    )
+    corpus = unit.select("vec_id", "unit")
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
+    hits = joined.select("q_id", "vec_id", cos.alias("cos")).filter(
+        F.col("cos") >= tau
+    )
+    n = hits.groupBy("q_id").agg(F.count("*").cast("int").alias("n_hits"))
+    return hits.join(n, "q_id").select(
+        "q_id", "vec_id", "cos", "n_hits"
+    )

@@ -1778,3 +1778,114 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_micro"
         ),
     )
+
+
+@query(
+    "sim_search_range",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6)
+               AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    ),
+    hits AS (SELECT * FROM scored WHERE cos >= 0.25)
+    SELECT h.q_id, h.vec_id, h.cos,
+           CAST(n.n_hits AS INT) AS n_hits
+    FROM hits h
+    JOIN (SELECT q_id, count(*) AS n_hits FROM hits GROUP BY q_id) n
+      ON n.q_id = h.q_id
+    """,
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) similarity retrieval — all vectors with cosine ≥
+    0.25 of each query (vs top-k's best-k): the retrieval mode dedup
+    thresholds and policy filters actually use. See
+    operators/similarity.py:range_cosine_exact for the scale story
+    (data-dependent result size is the operational difference)."""
+    return similarity.range_cosine_exact(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, tau=0.25
+    )
+
+
+@query(
+    "embed_outlier_distance",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             unnest(list_transform(embedding,
+                    v -> CAST(round(v::DOUBLE * 1000000) AS BIGINT))) AS q
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY label, pos
+    ),
+    d AS (
+      SELECT x.vec_id, x.label,
+             CAST(sum((c.n * x.q - c.s) * (c.n * x.q - c.s)) AS BIGINT)
+               AS score
+      FROM x JOIN c ON c.label = x.label AND c.pos = x.pos
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT label, vec_id, score, rank FROM (
+      SELECT label, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY score DESC, vec_id) AS INT)
+               AS rank
+      FROM d
+    ) WHERE rank <= 3
+    """,
+)
+def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER AUDIT — the top-3 vectors FARTHEST from their
+    own class centroid, per label: the mislabeled-example / junk-vector
+    sweep every embedding pipeline runs before training. The distance
+    is computed EXACTLY in integers by clearing denominators:
+    n²·‖x − S/n‖² = Σ_pos (n·x_p − S_p)² over the micro-unit quantized
+    components — no float mean, no ulp drift, so the outlier ranking
+    hash-verifies (n is constant within a label, making scores
+    comparable exactly where they need to be).
+
+    Scale: reuses the embed_centroid_int reduction (one partial-agg'd
+    (label, pos) shuffle for S); the per-vector score joins components
+    against the label×dim SUMMARY (broadcast-sized) and collapses back
+    to one row per vector — two shuffles total, both on bounded keys.
+    Overflow headroom documented at the centroid op; here the squared
+    terms cap at (n·q)² ≈ 1e17·dim — BIGINT-safe through ~1e4 vectors
+    per label at dim 64, DECIMAL(38) beyond."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+    )
+    x = emb.select(
+        "vec_id", "label", F.posexplode(scaled).alias("pos", "q")
+    )
+    c = x.groupBy("label", "pos").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count("*").alias("n"),
+    )
+    d = (
+        x.join(F.broadcast(c), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            (
+                (F.col("n") * F.col("q") - F.col("s"))
+                * (F.col("n") * F.col("q") - F.col("s"))
+            ).alias("term"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", "score", "rank")
+    )
