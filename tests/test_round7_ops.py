@@ -240,3 +240,108 @@ def test_pareto_curve_is_monotone_and_ends_at_total(spark, sf_dir):
     assert rows[-1]["decile"] == 10 and shares[-1] == 1_000_000
     # concentration: top decile carries strictly more than 1/10 of total
     assert shares[0] > 100_000
+
+
+def test_growth_accounting_cross_foots(spark, sf_dir):
+    """new + retained + resurrected partition the weekly actives, and
+    week-1 actives are all new (nobody precedes the first week)."""
+    rows = sorted(
+        registry.QUERIES["events_growth_accounting"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["week"],
+    )
+    for r in rows:
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+        assert min(r["n_new"], r["n_retained"], r["n_resurrected"]) >= 0
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+
+
+def test_bitmap_distinct_handles_id_zero(spark):
+    """The bucketed bitmap reduction counts value 0 correctly (0 lives
+    in bucket 0 at position 0 under the 1-based coordinates — the
+    collision the per-value bucketing exists to avoid)."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (32768,), (0,), (63,)], "v long"
+    )
+    pages = df.groupBy(F.expr("bitmap_bucket_number(v)").alias("b")).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(v))").alias("bm")
+    )
+    n = pages.agg(F.expr("sum(bitmap_count(bm))").alias("n")).collect()[0]["n"]
+    assert n == 4  # {0, 1, 63, 32768}
+
+
+def test_interval_overlap_counts_match_brute_force(spark, sf_dir):
+    """The co-partitioned interval self-join equals a brute-force pair
+    check on a sampled customer set."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    out = {
+        r["custkey"]: r["n_concurrent_pairs"]
+        for r in registry.QUERIES["join_interval_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_cust = defaultdict(list)
+    for r in orders:
+        st = r["o_orderdate"].date()
+        en = st + timedelta(days=int(r["o_orderpriority"][0]) * 5)
+        by_cust[r["o_custkey"]].append((r["o_orderkey"], st, en))
+    brute = {}
+    for ck, ivs in by_cust.items():
+        n = sum(
+            1
+            for i, (ka, sa, ea) in enumerate(ivs)
+            for kb, sb, eb in ivs[i + 1 :]
+            if sa <= eb and sb <= ea
+        )
+        if n:
+            brute[ck] = n
+    assert out == brute
+
+
+def test_seasonal_residual_flags_injected_spike(spark, tmp_path):
+    """A clean weekly pattern with one injected spike day yields exactly
+    that day as the anomaly."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in range(28):
+        day = dt.datetime(2024, 3, 4) + dt.timedelta(days=d)
+        base = [100.0, 110.0, 120.0, 130.0, 140.0, 300.0, 310.0][d % 7]
+        if d == 17:
+            base += 5000.0  # the spike
+        rows.append((eid, day, 1, "view", base, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p)
+    import shutil, glob, os
+
+    d2 = tmp_path / "sfX"
+    os.makedirs(d2)
+    shutil.move(glob.glob(p + "/part-*.parquet")[0], str(d2 / "events.parquet"))
+    out = registry.QUERIES["events_anomaly_seasonal_residual"](
+        spark, str(d2)
+    ).collect()
+    # The spike flags itself AND its +7d echo (the echo's forecast IS
+    # the spiked value) — the known seasonal-naive property; production
+    # stacks suppress echoes by forecasting from a trimmed median of
+    # prior same-weekday values.
+    assert sorted(r["day"].isoformat() for r in out) == [
+        "2024-03-21",
+        "2024-03-28",
+    ]
