@@ -5058,3 +5058,134 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct("user_id", "n_users").join(
         bitmap_distinct("user_id % 64", "n_residues"), "event_type"
     )
+
+
+@query(
+    "fn_array_hof_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(0,
+                  list_transform(ws, w -> len(w))),
+                (a, x) -> a + x) AS BIGINT) AS total_chars,
+           CAST(list_reduce(list_prepend(0,
+                  list_transform(ws, w -> len(w))),
+                (a, x) -> greatest(a, x)) AS INT)
+             AS longest,
+           array_to_string(
+             list_transform(list_zip(ws[1:3], ws[2:4]),
+                            p -> p[1] || '>' || p[2]), ',') AS bigram_head,
+           CASE WHEN len(list_filter(ws, w -> w = 'spark')) > 0
+                THEN 1 ELSE 0 END AS has_spark,
+           CASE WHEN len(list_filter(ws, w -> len(w) >= 3)) = len(ws)
+                THEN 1 ELSE 0 END AS all_ge3
+    FROM t
+    """,
+)
+def fn_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER-FUNCTION MATRIX — aggregate (fold), transform,
+    zip_with, exists, forall: the lambda-expression tier the dedup /
+    MinHash / packing operators lean on internally, exposed as one
+    verified projection (DuckDB twins: list_reduce over a 0-prepended
+    list ≡ aggregate with a zero initial accumulator; list_zip +
+    list_transform ≡ zip_with; filter-length tests ≡ exists/forall —
+    spelled as the filter forms in BOTH engines' SQL so the compared
+    expressions are literally the same function of the list). The
+    fold lambda must stay BRANCH-FREE on the DuckDB side: a CASE
+    inside list_reduce cross-contaminates rows within a vectorized
+    chunk in DuckDB 1.0 (26/200 rows wrong, reproduced) — greatest()
+    computes the same max without the bug.
+
+    Scale: all row-local, zero shuffles — but NOT codegen: Spark
+    evaluates higher-order lambdas interpreted (the documented HOF
+    cliff, verify skill §lambdas), which is WHY this repo's hot paths
+    (n-gram shingles, signature folds) pre-shift with arrays_zip
+    instead of per-position lambdas. This suite pins the semantics;
+    the perf discipline lives in the operators."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    t = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    lens = F.transform("ws", lambda w: F.length(w))
+    return t.select(
+        "doc_id",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.aggregate(
+            lens,
+            F.lit(0),
+            lambda a, x: F.when(x > a, x).otherwise(a),
+        )
+        .cast("int")
+        .alias("longest"),
+        F.array_join(
+            F.zip_with(
+                F.slice("ws", 1, 3),
+                F.slice("ws", 2, 3),
+                lambda a, b: F.concat(a, F.lit(">"), b),
+            ),
+            ",",
+        ).alias("bigram_head"),
+        F.when(F.exists("ws", lambda w: w == F.lit("spark")), 1)
+        .otherwise(0)
+        .alias("has_spark"),
+        F.when(F.forall("ws", lambda w: F.length(w) >= 3), 1)
+        .otherwise(0)
+        .alias("all_ge3"),
+    )
+
+
+@query(
+    "set_ops_multiset",
+    oracle="""
+    WITH c AS (SELECT o_custkey % 100 AS k FROM orders
+               WHERE o_orderstatus = 'F'),
+         s AS (SELECT o_custkey % 100 AS k FROM orders
+               WHERE o_orderstatus = 'O')
+    SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s)
+    GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, CAST(count(*) AS BIGINT)
+    FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s)
+    GROUP BY k
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET (bag-semantics) SET OPERATIONS — INTERSECT ALL / EXCEPT
+    ALL, the duplicate-PRESERVING tier set_union_intersect_except's
+    distinct forms skip: per key the intersection keeps min(n_a, n_b)
+    copies and the difference max(n_a − n_b, 0) — the reconciliation
+    arithmetic (inventory vs ledger, emitted vs acked) that distinct
+    set ops silently destroy. Output is the per-key multiplicity table,
+    so the min/max-difference laws are the verified content.
+
+    Scale: Catalyst plans both as a single aggregate computing per-key
+    counts on each side then replicating rows — one shuffle per
+    operand, co-partitioned on the full row key; no sort, no pairwise
+    matching. The grouped multiplicity output keeps the compared
+    surface at |keys| rows regardless of duplication depth."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.where(F.col("o_orderstatus") == "F").select(
+        (F.col("o_custkey") % 100).alias("k")
+    )
+    s = orders.where(F.col("o_orderstatus") == "O").select(
+        (F.col("o_custkey") % 100).alias("k")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)
