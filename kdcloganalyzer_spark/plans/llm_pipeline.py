@@ -1889,3 +1889,79 @@ def embed_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("label", "vec_id", "score", "rank")
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    posting AS (
+      SELECT word,
+             CAST(count(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id))[1:5], ',')
+               AS posting_head,
+             CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM w GROUP BY word
+    )
+    SELECT word, df, posting_head, first_doc,
+           CAST((SELECT count(*) FROM w a JOIN w b
+                 ON a.doc_id = b.doc_id
+                 AND a.word = posting.word AND b.word = 'spark')
+                AS BIGINT) AS n_and_spark
+    FROM posting
+    WHERE df >= 50
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED INDEX + CONJUNCTIVE QUERY — the search primitive: per
+    term, its document frequency, the head of its sorted posting list,
+    and the size of its AND-intersection with the posting of a probe
+    term ('spark') — i.e., a boolean retrieval evaluated posting-vs-
+    posting, not document-vs-query. Restricted to terms with df ≥ 50
+    (stopword tier) so the compared surface is the index STRUCTURE,
+    not a long tail of singletons.
+
+    Scale: the distinct (doc, word) projection partial-aggregates
+    before ONE shuffle on word — the posting-list build IS a groupBy,
+    which is why Spark builds inverted indexes well; posting heads are
+    capped (slice 5) so no unbounded collect_list ships whole postings
+    through the plan. The AND-count is a co-partitioned self-join on
+    doc_id with the probe posting broadcast — the standard
+    smallest-posting-first intersection, df-ordered at real scale.
+    Sharded term partitioning (term → shard files) is the serving-side
+    continuation (sink_partitioned_parquet's layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    posting = w.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("posting_head"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    probe = w.where(F.col("word") == "spark").select(
+        F.col("doc_id").alias("p_doc")
+    )
+    and_counts = (
+        w.join(F.broadcast(probe), w["doc_id"] == probe["p_doc"])
+        .groupBy("word")
+        .agg(F.count("*").alias("n_and_spark"))
+    )
+    return (
+        posting.where(F.col("df") >= 50)
+        .join(and_counts, "word", "left")
+        .select(
+            "word",
+            "df",
+            "posting_head",
+            "first_doc",
+            F.coalesce("n_and_spark", F.lit(0))
+            .cast("bigint")
+            .alias("n_and_spark"),
+        )
+    )
