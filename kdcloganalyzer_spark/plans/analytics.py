@@ -2597,3 +2597,93 @@ def events_anomaly_seasonal_residual(
         .cast("bigint")
         .alias("dev2"),
     )
+
+
+@query(
+    "sessionize_entry_exit",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ),
+    ee AS (
+      SELECT user_id, sess_id,
+             first_value(event_type) OVER ws AS entry_type,
+             last_value(event_type) OVER ws AS exit_type,
+             count(*) OVER ws AS n_events
+      FROM s
+      WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+      QUALIFY row_number() OVER (PARTITION BY user_id, sess_id
+                                 ORDER BY ts, event_id) = 1
+    )
+    SELECT entry_type, exit_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_single_event
+    FROM ee GROUP BY entry_type, exit_type
+    """,
+)
+def sessionize_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTRY/EXIT REPORT — the landing-page/exit-page table: for every
+    gap session, its first and last event type under a (ts, event_id)
+    TOTAL order (bare ts ties would make entry/exit nondeterministic),
+    aggregated into the (entry, exit) transition counts plus the
+    single-event-session (bounce) column. Composes the gap sessionizer
+    with frame-bounded first_value/last_value — the DuckDB twin is the
+    same windows plus QUALIFY to keep one row per session.
+
+    Scale: ONE shuffle on user_id serves the gap window, the running
+    session-id sum, and the per-session frame (same partitioning,
+    exchanges reused); the (entry, exit) rollup is |types|² rows. No
+    joins at all — the whole report is window algebra over one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > _GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy(
+        "ts", "event_id"
+    )
+    wf = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ee = (
+        s.select(
+            "user_id",
+            "sess_id",
+            F.first("event_type").over(wf).alias("entry_type"),
+            F.last("event_type").over(wf).alias("exit_type"),
+            F.count("*").over(wf).alias("n_events"),
+            F.row_number().over(ws).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return ee.groupBy("entry_type", "exit_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+    )

@@ -1965,3 +1965,64 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_and_spark"),
         )
     )
+
+
+@query(
+    "multimodal_shard_pack",
+    oracle="""
+    WITH a AS (
+      SELECT ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT % 16 AS shard,
+             CAST(length(text) AS BIGINT) AS nb
+      FROM documents
+    ),
+    s AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(nb) AS BIGINT) AS shard_bytes
+      FROM a GROUP BY shard
+    )
+    SELECT shard, n_assets, shard_bytes,
+           shard_bytes * 16000000
+             // (SELECT sum(shard_bytes) FROM s) AS load_factor_micro
+    FROM s
+    """,
+)
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD PACKING — webdataset-style shard assignment for
+    raw assets: each payload hashes to one of 16 shards (seeded
+    cross-engine md5 — same asset, same shard, any engine/rerun), and
+    the report is the per-shard manifest (count, bytes) plus the load
+    factor (shard bytes ÷ perfect share, in micro-units — 1e6 ≡
+    perfectly balanced). Hashed placement is the scalable answer;
+    greedy bin packing is sequential and unstable under re-runs.
+
+    Scale: assignment is a map-side projection (no assignment table,
+    no shuffle for placement); the manifest is one 16-row groupBy. The
+    actual byte movement is a partitionBy("shard") write — exactly
+    sink_partitioned_parquet's layout — and the load factor printed
+    here is the skew check you run BEFORE paying for it. The md5 gives
+    ~1/√(N/16) imbalance; size-stratified salting is the fix if asset
+    sizes are heavy-tailed."""
+    docs = multimodal.with_binary_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    a = docs.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('shard#',"
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 16"
+        ).alias("shard"),
+        F.length("payload").cast("bigint").alias("nb"),
+    )
+    s = a.groupBy("shard").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("nb").cast("bigint").alias("shard_bytes"),
+    )
+    total = s.agg(F.sum("shard_bytes")).collect()[0][0]
+    return s.select(
+        "shard",
+        "n_assets",
+        "shard_bytes",
+        F.expr(f"shard_bytes * 16000000 div {total}").alias(
+            "load_factor_micro"
+        ),
+    )
