@@ -16,6 +16,7 @@ registry.load_all()
 # broadcast frame by construction (query sets, 1-row grand totals):
 BNLJ_OK = {
     "sim_search_cosine",  # broadcast 5-query set x corpus (the exact baseline)
+    "sim_search_range",   # same broadcast query-set cross join, radius filter
     "sim_search_pq",      # broadcast per-query ADC LUTs
     "text_tfidf",         # broadcast 1-row corpus-size aggregate
     "quality_bigram_lm",  # broadcast 1-row vocabulary-size aggregate
