@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kdcloganalyzer_spark.plans.analytics import CMS_ORACLE
+from kdcloganalyzer_spark.plans.kdc_queries import DRIVER_RECORDS_GLOB
 from kdcloganalyzer_spark.plans.relational import DRIVER_BINFILES
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
@@ -263,3 +264,28 @@ def stream_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming binaryFile intake manifest (bounded run ≡ the batch
     per-prefix file/byte census over the same staged assets)."""
     return SQ.binaryfile_manifest_stream(spark, sf_dir)
+
+
+@query(
+    "stream_kdc_failed_auth_alert",
+    oracle=f"""
+    SELECT client, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS n_failures
+    FROM read_parquet('{DRIVER_RECORDS_GLOB}')
+    WHERE valid AND NOT success AND req_type = 'AUTH'
+    GROUP BY client, date_trunc('hour', ts)
+    HAVING count(*) >= 3
+    """,
+)
+def stream_kdc_failed_auth_alert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming failed-AUTH hourly alert over the KDC log stream
+    (bounded run ≡ the batch count over the materialized records —
+    associative partial counts make file-granular batching invisible)."""
+    from kdcloganalyzer_spark.plans.kdc_queries import kdc_records_parquet
+
+    kdc_records_parquet(spark, sf_dir)  # oracle twin
+    return SQ.kdc_failed_auth_alert_stream(
+        spark, synth_dir_for_sf(sf_dir)
+    )

@@ -920,3 +920,78 @@ def binaryfile_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out)
+
+
+def kdc_failed_auth_alert_stream(
+    spark: SparkSession, log_dir: str
+) -> DataFrame:
+    """STREAMING KDC SECURITY MONITOR — the reference's whole reason to
+    exist, run as a live alert: log files arrive in micro-batches (the
+    stream_sessionize_kdc discovery shape — binaryFile rows, content
+    pruned), each batch sessionizes ONLY its files and appends that
+    batch's per-(client, hour) failed-AUTH partial counts to a counter
+    sink; the alert table is the rollup of the accumulated partials —
+    clients reaching ≥3 failures inside an hour. Partial-count append +
+    final merge is the idempotent streaming-counter pattern
+    (foreachBatch upsert tier); counts are associative, so file-
+    granular batching cannot change the alert set.
+
+    Scale: per batch, only new files are parsed (cost tracks the
+    delta); the counter sink stays (clients × hours)-sized, not
+    event-sized. A production monitor replaces the final batch rollup
+    with the same aggregation maintained incrementally (foreachBatch
+    MERGE into a keyed store) and an eviction horizon on closed
+    hours — the alert predicate is unchanged."""
+    from kdcloganalyzer_spark.operators.sessionize import sessionize
+    from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+    sink = appcache.tempdir(prefix="stream_kdc_alert_", fast=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = [r["path"] for r in batch_df.select("path").collect()]
+        if not files:
+            return
+        recs = sessionize(read_log_lines_raw(spark, files))
+        part = (
+            recs.filter(
+                F.col("valid")
+                & ~F.col("success")
+                & (F.col("req_type") == "AUTH")
+            )
+            .groupBy(
+                "client",
+                F.date_trunc("hour", "ts").alias("hour"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        part.write.mode("append").parquet(sink)
+
+    with _state_sized_shuffle(spark, 16):
+        q = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", 20)
+            .load(log_dir)
+            .writeStream.foreachBatch(process_batch)
+            .option(
+                "checkpointLocation",
+                appcache.tempdir(prefix="stream_kdc_alert_ck_", fast=True),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("client", "hour")
+        .agg(F.sum("n").cast("bigint").alias("n_failures"))
+        .where(F.col("n_failures") >= 3)
+        .select(
+            "client",
+            F.col("hour").cast("timestamp").alias("hour"),
+            "n_failures",
+        )
+    )
