@@ -76,6 +76,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             relational.DRIVER_BINFILES,
             relational.binfiles_path_for_sf(sf_dir),
         )
+        .replace(
+            relational.DRIVER_NESTED,
+            relational.nested_path_for_sf(sf_dir),
+        )
     )
 
 

@@ -2687,3 +2687,65 @@ def sessionize_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_single_event"),
     )
+
+
+@query(
+    "events_velocity_features",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 40
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w1h AS BIGINT) AS n_1h,
+           CAST(count(*) OVER w24h AS BIGINT) AS n_24h,
+           CAST(sum(cents) OVER w24h AS BIGINT) AS spend_24h_cents,
+           CAST(count(*) OVER w7d AS BIGINT) AS n_7d
+    FROM e
+    WINDOW
+      w1h AS (PARTITION BY user_id ORDER BY sec
+              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+      w24h AS (PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW),
+      w7d AS (PARTITION BY user_id ORDER BY sec
+              RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VELOCITY FEATURES — the point-in-time feature-engineering
+    pattern behind fraud/abuse models: for EVERY event, the actor's
+    trailing activity counts and spend over 1 h / 24 h / 7 d windows,
+    computed AS OF that event (no leakage — range frames end at the
+    current row, which is the property a feature store certifies).
+    Whole-second epoch range frames and integer cents keep every
+    feature exact across engines. Equal-timestamp events share a
+    RANGE frame (peer rows) identically in both engines — the frame
+    is time-defined, so no tie-break is needed.
+
+    Scale: all three frames share ONE shuffle+sort on (user_id, sec) —
+    Catalyst fuses same-spec windows, so adding horizons is free; state
+    per key is the trailing 7-day buffer (bounded by actor rate, not
+    corpus). This is the batch twin of the streaming feature pipeline
+    (sliding windows + state store); training-set backfill runs THIS
+    form because it replays history exactly."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    base = Window.partitionBy("user_id").orderBy("sec")
+    w1h = base.rangeBetween(-3599, 0)
+    w24h = base.rangeBetween(-86399, 0)
+    w7d = base.rangeBetween(-604799, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w1h).alias("n_1h"),
+        F.count("*").over(w24h).alias("n_24h"),
+        F.sum("cents").over(w24h).cast("bigint").alias("spend_24h_cents"),
+        F.count("*").over(w7d).alias("n_7d"),
+    )

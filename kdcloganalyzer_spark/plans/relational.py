@@ -5189,3 +5189,87 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return ia.unionByName(ea)
+
+
+# ---------------------------------------------------------------------------
+# Nested-struct parquet: schema nesting + subfield pruning
+# ---------------------------------------------------------------------------
+def nested_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged path for the nested-struct events table."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/nested_events_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_NESTED = nested_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_nested_struct",
+    oracle=f"""
+    SELECT what.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT who.user_id) AS BIGINT) AS n_users,
+           CAST(sum(what.cents) AS BIGINT) AS sum_cents
+    FROM read_parquet('{DRIVER_NESTED}/*.parquet')
+    WHERE who.segment = 'even'
+    GROUP BY what.event_type
+    """,
+)
+def scan_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-STRUCT PARQUET — deep schemas (who.{{user_id, segment}},
+    what.{{event_type, cents}}) read with SUBFIELD pruning and a
+    nested-field predicate: the shape every telemetry/protobuf-derived
+    lake table has. The staged table is written nested by this query
+    (atomic build-dir + rename, the commit-log idiom); the aggregation
+    touches three leaves and filters on a fourth — the scan's
+    ReadSchema must carry only those leaves and PushedFilters the
+    segment predicate (Spark's nestedSchemaPruning +
+    parquet.filterPushdown on nested columns, pinned in
+    tests/test_plans.py).
+
+    Scale: subfield pruning is THE bytes-read lever on wide nested
+    schemas (a 400-leaf telemetry row where a query reads 3 leaves);
+    nested predicate pushdown prunes row groups by leaf statistics
+    exactly as flat columns do. Both engines address leaves by the
+    same dotted paths over the same files."""
+    import os
+
+    base = nested_path_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        ev = load_table(spark, sf_dir, "events")
+        nested = ev.select(
+            "event_id",
+            "ts",
+            F.struct(
+                "user_id",
+                F.when((F.col("user_id") % 2) == 0, "even")
+                .otherwise("odd")
+                .alias("segment"),
+            ).alias("who"),
+            F.struct(
+                "event_type",
+                F.round(F.col("value") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ).alias("what"),
+        )
+        build = f"{base}.build-{os.getpid()}"
+        nested.write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, base)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    df = spark.read.parquet(base)
+    return (
+        df.where(F.col("who.segment") == "even")
+        .groupBy(F.col("what.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.col("who.user_id")).alias("n_users"),
+            F.sum(F.col("what.cents")).cast("bigint").alias("sum_cents"),
+        )
+    )

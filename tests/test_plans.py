@@ -202,3 +202,15 @@ def test_doc_chunks_zero_exchange(spark, sf_dir):
     allowed is the spread() round-robin, never a hash exchange."""
     plan = _plan(registry.QUERIES["pipeline_doc_chunks"](spark, sf_dir))
     assert "hashpartitioning" not in plan, plan
+
+
+def test_nested_struct_scan_prunes_subfields(spark, sf_dir):
+    """scan_nested_struct: ReadSchema carries only the touched leaves
+    (nestedSchemaPruning) and the nested segment predicate reaches the
+    parquet scan as a pushed filter."""
+    plan = _plan(registry.QUERIES["scan_nested_struct"](spark, sf_dir))
+    scan = plan[plan.index("FileScan parquet") :]
+    schema = scan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "who" in schema and "what" in schema, schema
+    assert "ts:timestamp" not in schema and "event_id" not in schema, schema
+    assert "EqualTo(who.segment,even)" in scan, scan
