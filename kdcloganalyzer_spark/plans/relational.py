@@ -5273,3 +5273,65 @@ def scan_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("what.cents")).cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "sink_csv_quoted_roundtrip",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             p_name || ',"' || chr(10) || 'x""y,' AS tricky
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(('0x' || substr(md5(tricky), 1, 11))::BIGINT)
+                AS BIGINT) AS md5_sum,
+           CAST(sum(length(tricky)) AS BIGINT) AS total_chars
+    FROM t
+    """,
+)
+def sink_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV QUOTING TORTURE ROUND-TRIP — every value is adversarial
+    (embedded delimiter, double quote, AND newline), written with
+    standard RFC-4180 quoting and read back with multiLine (quoted
+    newlines make records span physical lines — the option every naive
+    CSV reader gets wrong). The compared surface is an order-free
+    content fingerprint of the read-back values (count, Σ 44-bit md5,
+    Σ length) against the oracle computing the same fingerprint from
+    the ORIGINAL strings — so the check is byte-exact value
+    preservation through the quoting layer, not just row counts.
+
+    Scale: the write/read are embarrassingly parallel EXCEPT that
+    multiLine CSV files are NOT splittable (a reader cannot start
+    mid-file inside a quoted newline — the same physics as
+    scan_text_splittable's multi-line records); production keeps
+    quoted-newline CSV in many small files or re-encodes to parquet at
+    the edge, both noted here because this query is the proof of WHY."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_quoted_")
+    part = load_table(spark, sf_dir, "part")
+    tricky = F.concat(
+        F.col("p_name"), F.lit(',"'), F.lit("\n"), F.lit('x""y,')
+    )
+    part.select("p_partkey", tricky.alias("tricky")).write.mode(
+        "overwrite"
+    ).option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("p_partkey long, tricky string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substring(md5(tricky), 1, 11), 16, 10)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("md5_sum"),
+        F.sum(F.length("tricky")).cast("bigint").alias("total_chars"),
+    )
