@@ -633,3 +633,159 @@ def range_cosine_exact(
     return hits.join(n, "q_id").select(
         "q_id", "vec_id", "cos", "n_hits"
     )
+
+
+def topk_cosine_lsh_multiprobe(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """MULTI-PROBE LSH (Lv et al., VLDB 2007): instead of more hash
+    tables, each query ALSO probes the buckets one bit-flip away from
+    its own (n_planes + 1 probes per table) — the memory/recall trade
+    that makes LSH deployable: HALF the tables of topk_cosine_lsh
+    (2 vs 4) with the recall recovered from probing, i.e. index size
+    shrinks 2× while the probe count (cheap, query-side) grows.
+    Candidates re-rank exactly, same as the single-probe form.
+
+    Scale: the corpus-side index is n_tables bucket entries per vector
+    (the expensive, stored half — now halved); probe expansion happens
+    only on the |Q|-sized query side before the broadcast, so the
+    bucket equi-join shape is unchanged. Deterministic for the same
+    reason as topk_cosine_lsh: seeded literal planes, order-identical
+    float folds."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
+    ]
+    all_planes = [row for t in tables for row in t]
+    unit = with_unit_vector(
+        spread(emb).select("vec_id", "embedding"), "embedding"
+    )
+    with_bits = unit.select(
+        "vec_id",
+        "unit",
+        _sign_bits_expr(F.col("unit"), all_planes).alias("bits"),
+    )
+    bucketed = with_bits.select(
+        "vec_id",
+        "unit",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _pack_bucket(
+                            F.col("bits"), t * n_planes, n_planes
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "unit", "tb.table", "tb.bucket")
+    # Query-side probe expansion: own bucket + every single-bit flip.
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ {1 << j}").cast("long")
+            for j in range(n_planes)
+        ],
+    )
+    q = (
+        bucketed.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("unit").alias("q_unit"),
+            "table",
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_unit", "vec_id", "unit")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    cos = F.round(_dot(F.col("q_unit"), F.col("unit")), 6)
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def lsh_multiprobe_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of topk_cosine_lsh_multiprobe — the lsh_oracle_sql
+    construction with the query buckets expanded by single-bit XOR
+    probes (generate_series over plane indexes)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=100 + t) for t in range(n_tables)
+    ]
+    rows = []
+    for t, tb in enumerate(tables):
+        for j, p in enumerate(tb):
+            lst = "[" + ",".join(f"{float(x):.6e}" for x in p) + "]"
+            rows.append(f"({t}, {j}, {lst}::DOUBLE[])")
+    planes_values = ",\n".join(rows)
+    return f"""
+    WITH planes(tbl, idx, p) AS (VALUES {planes_values}),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x /
+               sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      FROM e
+    ),
+    bits AS (
+      SELECT vec_id, tbl, idx,
+             CASE WHEN {_DUCK_DOT.format(a="u", b="p")} >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM unit CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, CAST(sum(bit * power(2, idx)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id, tbl
+    ),
+    q0 AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets
+           WHERE vec_id < {n_queries}),
+    q AS (
+      SELECT q_id, tbl, bucket FROM q0
+      UNION
+      SELECT q0.q_id, q0.tbl,
+             xor(q0.bucket, CAST(power(2, f.j) AS BIGINT)) AS bucket
+      FROM q0, (SELECT unnest(generate_series(0, {n_planes - 1})) AS j) f
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, b.vec_id
+      FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      WHERE b.vec_id <> q.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             round({_DUCK_DOT.format(a="qu.u", b="bu.u")}, 6) AS cos
+      FROM cand c
+      JOIN unit qu ON qu.vec_id = c.q_id
+      JOIN unit bu ON bu.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

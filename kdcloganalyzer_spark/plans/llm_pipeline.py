@@ -2026,3 +2026,20 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_factor_micro"
         ),
     )
+
+
+@query(
+    "sim_search_lsh_multiprobe",
+    oracle=similarity.lsh_multiprobe_oracle_sql(),
+)
+def sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): half the hash tables of
+    sim_search_lsh, recall recovered by probing each query's
+    single-bit-flip neighbor buckets — the index-size/probe-count
+    trade that makes LSH memory-deployable. Hash-verified like its
+    single-probe sibling: seeded literal planes, XOR probe expansion
+    reproduced in the DuckDB twin
+    (operators/similarity.py:topk_cosine_lsh_multiprobe)."""
+    return similarity.topk_cosine_lsh_multiprobe(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    )
