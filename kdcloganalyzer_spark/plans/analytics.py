@@ -2749,3 +2749,89 @@ def events_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w24h).cast("bigint").alias("spend_24h_cents"),
         F.count("*").over(w7d).alias("n_7d"),
     )
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hour, n_total, n_err,
+             sum(n_err) OVER w6 AS err_6h,
+             sum(n_total) OVER w6 AS tot_6h
+      FROM h
+      WINDOW w6 AS (ORDER BY hour
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ),
+    base AS (
+      SELECT sum(n_err) AS be, sum(n_total) AS bt FROM h
+    )
+    SELECT hour,
+           CAST(n_err AS BIGINT) AS n_err,
+           n_err * 1000000 // n_total AS share_1h_micro,
+           CAST(err_6h AS BIGINT) AS err_6h,
+           err_6h * 1000000 // tot_6h AS share_6h_micro
+    FROM w, base
+    WHERE n_err * bt * 2 > n_total * be * 3
+      AND err_6h * bt * 2 > tot_6h * be * 3
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO BURN-RATE ALERT — the SRE multi-window pattern (Google SRE
+    workbook ch. 5): page only when the error share exceeds 1.5× the
+    corpus baseline in BOTH the fast window (1 h — catches it quickly)
+    AND the slow window (6 h — proves it is sustained, suppressing
+    blips). Every comparison is integer cross-multiplication
+    (err·total_base·2 > total·err_base·3 ⇔ share > 1.5× baseline) —
+    no float ratio ever materializes, so the alert set hash-verifies;
+    the reported shares are integer micro-units.
+
+    Scale: the corpus collapses to the hourly grid in one shuffle; the
+    6-hour rolling sums and both alert predicates run over ~720
+    rows/month. The baseline is a 1-row summary-over-summary cross
+    join — summary×summary, the sanctioned BNLJ tier — kept lazy here
+    (unlike the anomaly query's collected scalars) to exhibit BOTH
+    sanctioned control-scalar forms. Per-service fan-out adds the
+    service key to every partition list and nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = h.select(
+        "hour",
+        "n_total",
+        "n_err",
+        F.sum("n_err").over(w6).alias("err_6h"),
+        F.sum("n_total").over(w6).alias("tot_6h"),
+    )
+    base = h.agg(
+        F.sum("n_err").alias("be"), F.sum("n_total").alias("bt")
+    )
+    return (
+        w.join(base)
+        .where(
+            (F.col("n_err") * F.col("bt") * 2
+             > F.col("n_total") * F.col("be") * 3)
+            & (F.col("err_6h") * F.col("bt") * 2
+               > F.col("tot_6h") * F.col("be") * 3)
+        )
+        .select(
+            "hour",
+            F.col("n_err").cast("bigint").alias("n_err"),
+            F.expr("n_err * 1000000 div n_total").alias("share_1h_micro"),
+            F.col("err_6h").cast("bigint").alias("err_6h"),
+            F.expr("err_6h * 1000000 div tot_6h").alias("share_6h_micro"),
+        )
+    )

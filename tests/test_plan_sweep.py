@@ -27,6 +27,8 @@ BNLJ_OK = {
                             # broadcast query-set cross join
     "events_audience_overlap_hll",  # broadcast 5-row sketch-table pair
                                     # enumeration (tiny dimensional cross)
+    "events_slo_burn_rate",  # 1-row corpus-baseline x hourly summary
+                             # (summary x summary, never data-sized)
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or
