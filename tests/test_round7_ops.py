@@ -345,3 +345,66 @@ def test_seasonal_residual_flags_injected_spike(spark, tmp_path):
         "2024-03-21",
         "2024-03-28",
     ]
+
+
+def test_multiprobe_widens_candidates_at_equal_tables(spark, sf_dir):
+    """With the SAME two hash tables, multi-probe's candidate top-k
+    cosine mass is ≥ single-probe's for every query (probing only adds
+    buckets, never removes), and both rank deterministically."""
+    from kdcloganalyzer_spark.operators import similarity as S
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = S.topk_cosine_lsh(emb, n_queries=5, k=10, n_tables=2)
+    multi = S.topk_cosine_lsh_multiprobe(emb, n_queries=5, k=10, n_tables=2)
+
+    def best(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], []).append((r["vec_id"], r["cos"]))
+        return out
+
+    s, m = best(single), best(multi)
+    for q in s:
+        s_pairs = dict(s[q])
+        m_pairs = dict(m.get(q, []))
+        # every single-probe hit is findable by multi-probe (superset
+        # candidates => anything ranked by single-probe is present or
+        # displaced only by a >= cosine)
+        m_floor = min(m_pairs.values()) if m_pairs else -1.0
+        for vid, cos in s_pairs.items():
+            assert vid in m_pairs or cos <= m_floor + 1e-9, (q, vid)
+
+
+def test_velocity_features_are_point_in_time(spark, sf_dir):
+    """No leakage: recomputing the features on the corpus truncated at
+    an event's timestamp reproduces that event's feature row exactly."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    full = registry.QUERIES["events_velocity_features"](spark, sf_dir)
+    probe = full.orderBy(F.desc("n_24h")).limit(1).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    cut_ts = (
+        ev.where(F.col("event_id") == probe["event_id"])
+        .select("ts")
+        .collect()[0]["ts"]
+    )
+    from pyspark.sql import Window
+
+    trunc = ev.where((F.col("ts") <= cut_ts) & (F.col("user_id") < 40))
+    again = (
+        trunc.select(
+            "event_id", "user_id", F.unix_timestamp("ts").alias("sec")
+        )
+        .withColumn(
+            "n_24h",
+            F.count("*").over(
+                Window.partitionBy("user_id")
+                .orderBy("sec")
+                .rangeBetween(-86399, 0)
+            ),
+        )
+        .where(F.col("event_id") == probe["event_id"])
+        .collect()[0]
+    )
+    assert again["n_24h"] == probe["n_24h"]
