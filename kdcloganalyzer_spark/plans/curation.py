@@ -1788,3 +1788,81 @@ def quality_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("w_sum").alias("min_score"),
         F.max("w_sum").alias("max_score"),
     )
+
+
+@query(
+    "text_source_drift",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (
+      SELECT word,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM w GROUP BY word
+    ),
+    t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c)
+    SELECT word, c_a, c_b,
+           (c_a * t.n_b - c_b * t.n_a) * (c_a * t.n_b - c_b * t.n_a)
+             // ((c_a + c_b) * t.n_a * t.n_b) AS drift_stat
+    FROM c, t
+    WHERE c_a + c_b >= 20
+    ORDER BY drift_stat DESC, word
+    LIMIT 15
+    """,
+)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT REPORT — which words most distinguish two
+    corpus slices (here sources 'src0' vs 'src1'): the χ²-style
+    per-word statistic (c_a·N_b − c_b·N_a)² / ((c_a+c_b)·N_a·N_b),
+    computed in exact integer cross-multiplications (one integer
+    division per word at the end — the ranking is division-stable
+    because numerators are exact). Top-15 under a total order. The
+    same report between a training corpus and an incoming crawl is the
+    drift monitor every data pipeline runs before mixing.
+
+    Scale: one tokenize-explode feeding ONE partial-agg'd word count
+    with both slice counters as conditional sums (a single shuffle —
+    never one count per slice); the corpus totals are a 1-row summary
+    cross-joined onto the VOCABULARY table (summary×vocabulary — the
+    sanctioned tier, and vocabulary is Heaps-bounded); top-15 is
+    TakeOrdered. Integer guard: c·N ≤ 1e6·1e8 = 1e14, squared ≈ 1e28 —
+    EXCEEDS BIGINT at web scale, so the production form divides by
+    (c_a+c_b) BEFORE squaring or moves to DECIMAL(38); at driver SFs
+    the exact form holds (≤ 4e17, asserted by ANSI overflow checks)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    c = w.groupBy("word").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    tot = c.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    ).collect()[0]
+    n_a, n_b = int(tot["n_a"]), int(tot["n_b"])
+    return (
+        c.where(F.col("c_a") + F.col("c_b") >= 20)
+        .select(
+            "word",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"(c_a * {n_b} - c_b * {n_a}) * (c_a * {n_b} - c_b * {n_a})"
+                f" div ((c_a + c_b) * {n_a} * {n_b})"
+            ).alias("drift_stat"),
+        )
+        .orderBy(F.desc("drift_stat"), "word")
+        .limit(15)
+    )

@@ -5335,3 +5335,140 @@ def sink_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("md5_sum"),
         F.sum(F.length("tricky")).cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "analytics_gini_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS t
+      FROM s
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(t) AS BIGINT) AS total_cents,
+           CAST(2 * sum(i * spend) - (max(n) + 1) * max(t) AS BIGINT)
+             AS gini_num,
+           CAST(max(n) * max(t) AS BIGINT) AS gini_den
+    FROM r
+    """,
+)
+def analytics_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT GINI COEFFICIENT — the single-number inequality summary of
+    the analytics_pareto_concentration curve, via the rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over spend sorted ascending
+    with a key tie-break. Numerator and denominator emitted as exact
+    BIGINTs (one division left to the consumer — the repo's standard
+    exactness contract); Σ i·x at 1e5 customers × 1e7 cents ≈ 1e17
+    stays in BIGINT headroom.
+
+    Scale: per-customer collapse first (one shuffle), rank over the
+    entity summary — identical shape to the Pareto curve, so the two
+    share every scaling argument; at billions of entities the rank sum
+    decomposes per partition (offset arithmetic, the
+    pipeline_global_shuffle trick) instead of one global window."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend")
+        )
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    wa = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wa).alias("n"),
+        F.sum("spend").over(wa).alias("t"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("t").cast("bigint").alias("total_cents"),
+        (2 * F.sum(F.col("i") * F.col("spend"))
+         - (F.max("n") + 1) * F.max("t"))
+        .cast("bigint")
+        .alias("gini_num"),
+        (F.max("n") * F.max("t")).cast("bigint").alias("gini_den"),
+    )
+
+
+@query(
+    "events_benford_screen",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      WHERE value > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total FROM d)
+    SELECT digit, n,
+           n * 1000000 // t.total AS share_micro,
+           CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      ELSE 45757 END AS benford_micro
+    FROM d, t
+    """,
+)
+def events_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW SCREEN — the forensic-accounting first-digit test:
+    leading-digit shares of the value column against Benford's
+    log10(1+1/d) expectation (as fixed micro-unit literals, identical
+    constants both engines — no runtime log). Fabricated or clamped
+    numbers flunk it; the output is the per-digit observed-vs-expected
+    table an auditor thresholds. The digit comes from the DECIMAL
+    STRING of integer cents — no float log10, no engine divergence.
+
+    Scale: a map-side digit projection and one 9-row groupBy — the
+    cheapest possible full-corpus screen; per-segment screens add the
+    segment key to the groupBy. (The synthetic uniform-ish values are
+    EXPECTED to deviate from Benford — the query reports, thresholds
+    are the consumer's.)"""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    d = (
+        ev.select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = d.agg(F.sum("n").alias("total")).collect()[0]["total"]
+    benford = (
+        F.when(F.col("digit") == 1, 301030)
+        .when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124939)
+        .when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181)
+        .when(F.col("digit") == 6, 66947)
+        .when(F.col("digit") == 7, 57992)
+        .when(F.col("digit") == 8, 51153)
+        .otherwise(45757)
+    )
+    return d.select(
+        "digit",
+        "n",
+        F.expr(f"n * 1000000 div {t}").alias("share_micro"),
+        benford.alias("benford_micro"),
+    )
