@@ -5472,3 +5472,202 @@ def events_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"n * 1000000 div {t}").alias("share_micro"),
         benford.alias("benford_micro"),
     )
+
+
+@query(
+    "fn_datetime_interval_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE)
+                + to_months(CAST(o_custkey % 12 AS INT)) AS DATE)
+             AS plus_months,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+             AS month_end,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (1995 * 12 + 1) AS INT) AS month_index,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def fn_datetime_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-INTERVAL FUNCTION MATRIX — the month-arithmetic tier
+    fn_datetime_suite's day-level functions skip: add_months (both
+    engines clamp 31st + 1 month to the month end — verified
+    semantics, not assumed), last_day, a linear month index (the
+    integer-safe replacement for fractional months_between — engines
+    disagree on its day-fraction denominator, so the verified surface
+    is the index), quarter, ISO week truncation, and the
+    day-of-week shift (Spark dayofweek is 1=Sunday ⇄ DuckDB dow
+    0=Sunday — the documented +1 equivalence).
+
+    Scale: pure codegen projection over a pruned, pushed-down scan —
+    calendar functions are the classic partition-pruning keys, and
+    every one here folds to the same integer arithmetic Catalyst
+    prunes partitions with."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 400
+    )
+    return orders.select(
+        "o_orderkey",
+        F.add_months(
+            F.to_date("o_orderdate"), (F.col("o_custkey") % 12).cast("int")
+        ).alias("plus_months"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        (
+            F.year("o_orderdate") * 12
+            + F.month("o_orderdate")
+            - (1995 * 12 + 1)
+        )
+        .cast("int")
+        .alias("month_index"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias(
+            "week_start"
+        ),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    )
+
+
+@query(
+    "analytics_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             CAST((year(max(o_orderdate)) * 12 + month(max(o_orderdate)))
+                  - (year(min(o_orderdate)) * 12 + month(min(o_orderdate)))
+                  AS INT) AS months_active
+      FROM orders GROUP BY o_custkey
+    ),
+    k AS (
+      SELECT unnest(generate_series(0, months_active)) AS month_k
+      FROM span
+    ),
+    t AS (SELECT count(*) AS n_cust FROM span)
+    SELECT CAST(month_k AS INT) AS month_k,
+           CAST(count(*) AS BIGINT) AS n_surviving,
+           count(*) * 1000000 // t.n_cust AS survival_micro
+    FROM k, t
+    GROUP BY month_k, t.n_cust
+    """,
+)
+def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOMER SURVIVAL CURVE — S(k) = share of customers whose
+    observed lifetime (months between first and last order) reaches k:
+    the Kaplan-Meier shape under complete observation (no censoring
+    term — every lifetime here is fully observed; the censored
+    extension divides by the at-risk count instead of the cohort
+    total). Computed by exploding each lifetime into its survived
+    month indexes — counting "≥ k" for all k in ONE aggregation pass
+    instead of one filtered scan per k. Integer month indexes and
+    micro-unit shares hash-verify.
+
+    Scale: per-customer span collapses first (one shuffle); the
+    explode is bounded by max lifetime in months (≤ ~80 here), so the
+    exploded table is |customers|·avg-lifetime — entity-sized × a
+    small constant, then a ≤ 80-row rollup. The curve over a billion
+    customers costs one groupBy and one bounded flatMap."""
+    span = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                (F.year(F.max("o_orderdate")) * 12
+                 + F.month(F.max("o_orderdate")))
+                - (F.year(F.min("o_orderdate")) * 12
+                   + F.month(F.min("o_orderdate")))
+            )
+            .cast("int")
+            .alias("months_active")
+        )
+    )
+    n_cust = span.count()
+    k = span.select(
+        F.explode(F.sequence(F.lit(0), F.col("months_active"))).alias(
+            "month_k"
+        )
+    )
+    return k.groupBy(F.col("month_k").cast("int").alias("month_k")).agg(
+        F.count("*").alias("n_surviving"),
+        F.expr(f"count(*) * 1000000 div {n_cust}").alias(
+            "survival_micro"
+        ),
+    )
+
+
+@query(
+    "analytics_order_backlog_curve",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS open_m,
+             CAST(date_trunc('month',
+                  CAST(o_orderdate AS DATE)
+                  + CAST(substr(o_orderpriority, 1, 1) AS INT) * 5)
+                  AS DATE) AS close_m
+      FROM orders
+    ),
+    delta AS (
+      SELECT open_m AS month, 1 AS d FROM iv
+      UNION ALL
+      SELECT CAST(close_m + to_months(1) AS DATE), -1 FROM iv
+    ),
+    g AS (
+      SELECT month, CAST(sum(d) AS BIGINT) AS net FROM delta
+      GROUP BY month
+    )
+    SELECT month, net,
+           CAST(sum(net) OVER (ORDER BY month
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_backlog
+    FROM g
+    """,
+)
+def analytics_order_backlog_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPEN-ORDER BACKLOG TIME SERIES — how many orders are concurrently
+    open each month, by the sweep-line reduction: every interval emits
+    +1 at its opening month and −1 the month after it closes, and the
+    running sum of net deltas IS the backlog curve. The O(N·span)
+    explode-a-grid alternative (rollup_gap_fill's shape) and the
+    O(N²) self-join are both dominated: the event-delta form is O(N)
+    plus a calendar-sized prefix sum — the standard trick for
+    interval-count-over-time (concurrent sessions, open tickets,
+    active loans).
+
+    Scale: the delta projection is map-side (2 rows per interval,
+    map-combined into the month groupBy's single shuffle); the running
+    sum is a window over the ~80-row calendar summary. Months with no
+    events are absent (no backlog CHANGE) — join a month spine for a
+    dense curve; the curve value is still correct at every emitted
+    point."""
+    iv = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("open_m"),
+        F.date_trunc(
+            "month",
+            F.date_add(
+                F.to_date("o_orderdate"),
+                F.substring("o_orderpriority", 1, 1).cast("int") * 5,
+            ),
+        )
+        .cast("date")
+        .alias("close_m"),
+    )
+    delta = iv.select(
+        F.col("open_m").alias("month"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select(
+            F.add_months("close_m", 1).alias("month"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    g = delta.groupBy("month").agg(F.sum("d").cast("bigint").alias("net"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "month",
+        "net",
+        F.sum("net").over(w).cast("bigint").alias("open_backlog"),
+    )
