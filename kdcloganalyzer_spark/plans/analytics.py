@@ -2835,3 +2835,75 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("err_6h * 1000000 div tot_6h").alias("share_6h_micro"),
         )
     )
+
+
+@query(
+    "agg_incremental_moments_merge",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 < 8 THEN 'base' ELSE 'delta' END
+               AS slice,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type, slice,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM c GROUP BY event_type, slice
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(s1) AS BIGINT) AS s1,
+           CAST(sum(s2) AS BIGINT) AS s2,
+           (sum(n) * sum(s2) - sum(s1) * sum(s1))
+             // (sum(n) * (sum(n) - 1)) AS var_c2
+    FROM parts GROUP BY event_type
+    """,
+)
+def agg_incremental_moments_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL STATS MERGE — the mergeability claim agg_exact_moments
+    makes, exhibited as a verified computation: the corpus is split into
+    a base slice and a delta slice (hash-deterministic 80/20), each
+    reduces to its own sufficient statistics (n, Σc, Σc²), and the
+    published statistics come ONLY from adding the two partial tuples —
+    never from re-scanning the union. The oracle computes the same
+    two-phase merge; both equal the direct full-corpus moments by the
+    monoid law, and the variance derived from merged sums is exact
+    integer arithmetic end-to-end.
+
+    Scale: THIS is the nightly-stats pattern at 100 TB — yesterday's
+    sufficient statistics are a tiny table; today's delta reduces
+    map-side; the merge is per-group integer adds. Any statistic
+    expressible as a monoid over per-row terms (moments, counts,
+    min/max, sketches) gets incremental maintenance for free; medians
+    and exact distincts do NOT — they need the sketch tier
+    (agg_quantile_sketch / agg_hll_sketch_merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 < 8, "base")
+        .otherwise("delta")
+        .alias("slice"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    parts = c.groupBy("event_type", "slice").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return parts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.expr(
+            "(sum(n) * sum(s2) - sum(s1) * sum(s1))"
+            " div (sum(n) * (sum(n) - 1))"
+        ).alias("var_c2"),
+    )
