@@ -5671,3 +5671,74 @@ def analytics_order_backlog_curve(
         "net",
         F.sum("net").over(w).cast("bigint").alias("open_backlog"),
     )
+
+
+@query(
+    "window_reset_running_sum",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_reset
+      FROM events WHERE user_id < 30
+    ),
+    seg AS (
+      SELECT user_id, ts, event_id, cents, is_reset,
+             sum(is_reset) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS epoch
+      FROM o
+    )
+    SELECT event_id, user_id, CAST(epoch AS INT) AS epoch,
+           CAST(sum(cents) OVER (PARTITION BY user_id, epoch
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_since_reset
+    FROM seg
+    """,
+)
+def window_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL-RESET RUNNING SUM — a running accumulation that
+    restarts at marker rows ("spend since last signup", counters since
+    deploy, mileage since service): SQL windows cannot express a reset
+    directly, so the island-anchor trick runs twice — a running count
+    of markers assigns each row an EPOCH, and the running sum
+    re-partitioned by (key, epoch) restarts exactly at each marker.
+    The same two-window reduction as gaps-and-islands and the gap
+    sessionizer, aimed at accumulation instead of segmentation.
+
+    Scale: both windows order by the same (ts, event_id) key, and the
+    second's (user, epoch) partitioning refines the first's (user) —
+    one shuffle+sort serves the pair (Catalyst reuses the exchange;
+    the refined partition needs no re-shuffle because epoch is a
+    function of the sort prefix). Per-row state is one accumulator."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "signup", 1)
+        .otherwise(0)
+        .alias("is_reset"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = o.withColumn(
+        "epoch",
+        F.sum("is_reset")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.sum("cents").over(w2).cast("bigint").alias(
+            "running_since_reset"
+        ),
+    )
