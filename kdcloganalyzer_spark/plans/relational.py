@@ -5742,3 +5742,112 @@ def window_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_since_reset"
         ),
     )
+
+
+@query(
+    "sql_union_by_name_missing_cols",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    u AS (
+      SELECT o_orderkey, o_orderstatus, cents, NULL AS o_orderpriority
+      FROM a
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority FROM b
+    )
+    SELECT coalesce(o_orderstatus, '?') AS status,
+           coalesce(o_orderpriority, '?') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents
+    FROM u GROUP BY 1, 2
+    """,
+)
+def sql_union_by_name_missing_cols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNION BY NAME with MISSING COLUMNS — the heterogeneous-batch
+    append every evolving pipeline needs: two slices with different
+    column sets union by NAME (not position), absent columns
+    NULL-filled (`unionByName(allowMissingColumns=True)` ⇄ DuckDB
+    `UNION ALL BY NAME`). Positional UNION would silently misalign the
+    moment schemas drift — name-based resolution is the
+    schema-evolution-safe form, and the scan_schema_evolution reader
+    is this same rule applied at the file level.
+
+    Scale: union is a no-shuffle operator; NULL-fill is a zero-cost
+    projection. The practical caveat at scale is TYPE drift on
+    same-named columns (int→long promotions union fine; string→int
+    does not) — the mergeSchema rules, enforced at analysis time, not
+    runtime."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("o_orderstatus", F.lit("?")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("?")).alias("priority"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce("cents", F.lit(0))).cast("bigint").alias("cents"),
+    )
+
+
+@query(
+    "agg_histogram_equi_depth",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    b AS (
+      SELECT cents,
+             ntile(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+      FROM c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH HISTOGRAM — 8 buckets of (near-)equal population with
+    their value boundaries: the optimizer-statistics form (selectivity
+    estimation wants equal-mass buckets; agg_histogram_fixed's
+    equal-WIDTH form starves in the tails of skewed money data).
+    ntile with a total tie-break makes bucket membership deterministic,
+    so boundaries and counts hash-verify exactly.
+
+    Scale: ntile over a global order is summary-appropriate here
+    (entity-scale input); the production form at corpus scale computes
+    the 7 cut values via approx_percentile (the
+    events_rfm_segmentation_approx swap, broadcast as literals) and
+    buckets by comparison — same report, no global sort. Both forms'
+    boundaries converge as the sketch accuracy rises; this exact form
+    is also the oracle for that swap."""
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    b = c.select("cents", F.ntile(8).over(w).alias("bucket"))
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
