@@ -5851,3 +5851,77 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS total
+      FROM x
+    )
+    SELECT flag,
+           CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN — the quantity-weighted middle price per return
+    flag: the statistic inventory/pricing teams want when a 100-unit
+    line should pull the median 100× harder than a 1-unit line (no
+    engine ships it natively; percentile() weights rows equally). The
+    lower-weighted-median definition — smallest value whose cumulative
+    weight reaches half the total — is pure integer arithmetic over a
+    totally-ordered cumulative sum, so it hash-verifies exactly; any
+    weighted quantile q swaps the 2·cw ≥ total comparison for
+    q-cross-multiplication.
+
+    Scale: ONE shuffle on the group key serves the cumulative window
+    and the total; the threshold filter + min collapse the group
+    without materializing ranks. At extreme per-group cardinality the
+    sort is the cost — the sketch path is a weighted KLL/t-digest
+    (each value inserted with multiplicity), the same exact-to-sketch
+    ladder as the unweighted percentile family."""
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("flag")
+    cum = x.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("total").cast("bigint").alias("total_weight"),
+        )
+    )
