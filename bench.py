@@ -70,6 +70,15 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial job so q1 isn't charged for startup.
     spark.range(100000).selectExpr("sum(id)").collect()
 
+    # Second idle check AFTER registry+JVM startup (~20-40 s of wall time
+    # in which an ambient load tail keeps decaying): BENCH_r07 started at
+    # loadavg 1.7 because the driver truncated the pre-start wait at 40 s
+    # (VERDICT r7 item 7) — re-checking here converts that truncated wait
+    # into an attributable number, and `loadavg_mid` records what the box
+    # looked like when the first timed query actually ran.
+    idle_wait_mid = _wait_for_idle(max_wait_sec=120.0)
+    load_mid = _loadavg()
+
     load_start = _loadavg()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -137,8 +146,10 @@ def main() -> None:
         "medians": medians,
         "median_total": round(sum(medians.values()), 3),
         "loadavg_start": load_start,
+        "loadavg_mid": load_mid,
         "loadavg_end": _loadavg(),
         "idle_wait_sec": idle_wait,
+        "idle_wait_mid_sec": idle_wait_mid,
         "errors": errors,
         "sf": sf,
     }
@@ -161,8 +172,10 @@ def main() -> None:
         "n_errors": len(errors),
         "median_total": round(sum(medians.values()), 3),
         "loadavg_start": load_start,
+        "loadavg_mid": load_mid,
         "loadavg_end": _loadavg(),
         "idle_wait_sec": idle_wait,
+        "idle_wait_mid_sec": idle_wait_mid,
         "queries": {},
         "queries_file": "BENCH_LOCAL.json",
     }

@@ -614,6 +614,8 @@ def minhash_dedup(
     n_bands: int = 4,
     rows_per_band: int = 8,
     sig: DataFrame | None = None,
+    word_hash=_seeded_word_hash,
+    string_band_key: bool = False,
 ) -> DataFrame:
     """Scalable MinHash dedup: per-doc duplicate-representative assignment.
 
@@ -627,6 +629,11 @@ def minhash_dedup(
     transitive clusters would add an iterative connected-components pass
     over these star edges; representatives here are per-bucket, which is
     the standard first-pass dedup decision.)
+
+    ``word_hash`` / ``string_band_key`` mirror minhash_lsh_pairs: the
+    xxhash64 family is the production default; the md5 family plus
+    literal band-tuple keys makes the whole representative assignment
+    reproducible in a DuckDB twin (the hash-verified configuration).
     """
     from pyspark.sql import Window
 
@@ -635,7 +642,17 @@ def minhash_dedup(
         d = spread(docs).select(
             "doc_id", word_set(F.col("text")).alias("words")
         ).filter(F.size("words") > 0)
-        sig = _minhash_signature(d, k)
+        sig = _minhash_signature(d, k, word_hash)
+
+    def band_key(b: int):
+        cols = [
+            F.col("sig")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if string_band_key:
+            return F.concat_ws(",", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     bands = sig.select(
         "doc_id",
         "sig",
@@ -644,12 +661,7 @@ def minhash_dedup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("key"),
+                        band_key(b).alias("key"),
                     )
                     for b in range(n_bands)
                 ]

@@ -238,6 +238,12 @@ def triangle_counts(
     )
 
 
+#: Frontier rows at/under this broadcast each BFS round (~32 B/node-id
+#: row → ~8 MB at the cap, inside the 10 MB autoBroadcastJoinThreshold
+#: default); larger frontiers take the shuffle-join path.
+_BROADCAST_FRONTIER_MAX = 250_000
+
+
 def bfs_distances(
     edges: DataFrame, seed: str, max_hops: int = 4
 ) -> DataFrame:
@@ -250,44 +256,40 @@ def bfs_distances(
     min-distance is order-free — so the result is oracle-checkable
     against a depth-bounded recursive CTE.
 
-    Scale shape: the frontier is broadcast explicitly each round
-    (checkpointed frames carry NO stats, AQE would never pick the
-    broadcast on its own); rounds execute eagerly via localCheckpoint
-    so lineage stays O(1) and the early-exit on an empty frontier is a
-    cheap driver-side count. A frontier beyond broadcast size falls
-    back to the co-partitioned shuffle join exactly like pagerank's
-    big-graph path; hop-bounded traversals keep the visited table at
-    O(reachable), the property that makes BFS tractable at 100 TB where
-    transitive closure is not."""
+    Scale shape: each round's frontier join is SIZE-GATED — a frontier
+    at or under ``_BROADCAST_FRONTIER_MAX`` rows (its exact count is
+    free: the previous round's early-exit count) is broadcast
+    explicitly (checkpointed frames carry NO stats, AQE would never
+    pick the broadcast on its own), and a larger frontier falls back
+    to the plain co-partitioned shuffle join exactly like pagerank's
+    big-graph path. Rounds execute eagerly via localCheckpoint so
+    lineage stays O(1); AQE coalesces the small per-round shuffles
+    (no session-global shuffle.partitions mutation — that setting is
+    shared by concurrent queries on the session). Hop-bounded
+    traversals keep the visited table at O(reachable), the property
+    that makes BFS tractable at 100 TB where transitive closure is
+    not."""
     sess = edges.sparkSession
     e = edges.select("src", "dst")
-    parallelism = sess.sparkContext.defaultParallelism
-    old_parts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "4")
-    del parallelism
-    try:
-        visited = sess.createDataFrame(
-            [(seed, 0)], "node string, dist int"
-        ).localCheckpoint()
-        frontier = visited
-        for h in range(1, max_hops + 1):
-            nxt = (
-                e.join(
-                    F.broadcast(
-                        frontier.select(F.col("node").alias("src"))
-                    ),
-                    "src",
-                )
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(visited, "node", "left_anti")
-                .withColumn("dist", F.lit(h))
-                .localCheckpoint()
-            )
-            if nxt.count() == 0:
-                break
-            visited = visited.unionAll(nxt).localCheckpoint()
-            frontier = nxt
-        return visited
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_parts)
+    visited = sess.createDataFrame(
+        [(seed, 0)], "node string, dist int"
+    ).localCheckpoint()
+    frontier, frontier_n = visited, 1
+    for h in range(1, max_hops + 1):
+        probe = frontier.select(F.col("node").alias("src"))
+        if frontier_n <= _BROADCAST_FRONTIER_MAX:
+            probe = F.broadcast(probe)
+        nxt = (
+            e.join(probe, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier, frontier_n = nxt, n
+    return visited

@@ -28,6 +28,20 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # pandas-path values (compare fetches DuckDB via .df()): NaT → None,
+    # numpy scalars unwrap via .item(), arrays behave like lists.
+    if v is None:
+        return None
+    try:
+        if v != v:  # NaT → None; float NaN keeps its "NaN" token
+            return "NaN" if isinstance(v, float) else None
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (AttributeError, ValueError):
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -37,7 +51,7 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, bool):
         return str(bool(v))
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm(x) for x in v)
     return str(v) if v is not None else None
 
@@ -83,16 +97,101 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
     )
 
 
-def compare(spark_df, con, sql: str) -> tuple[bool, str]:
-    cols = sorted(spark_df.columns)
-    spark_rows = [tuple(_norm(r[c]) for c in cols) for r in spark_df.collect()]
+#: Spark type names whose values must stay integral end-to-end; a DuckDB
+#: oracle column that reaches pandas as float64 while the Spark column is
+#: one of these is the HUGEINT/DECIMAL→float64 leak (see docstring of
+#: :func:`compare`) and fails the compare even when the values agree.
+_INTEGRAL_SPARK_TYPES = {"long", "integer", "short", "byte", "decimal"}
 
-    duck = con.execute(sql)
-    duck_cols = [d[0] for d in duck.description]
+
+def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    """Driver-faithful compare: the DuckDB side is fetched via ``.df()``
+    (the pandas path), NOT ``fetchall()``. DuckDB converts HUGEINT (the
+    result type of any uncast integer ``sum()`` arithmetic) and DECIMAL
+    to float64 on the pandas path, so an oracle whose final projection
+    leaves uncast-sum arithmetic hashes as ``2000000.0`` against Spark's
+    ``2000000`` in the driver gate while a ``fetchall()``-based local
+    verify (Python ints) sees no difference. Fetching the same way the
+    driver does — plus an explicit dtype check — makes that leak class
+    locally visible (it shipped 9 red CORRECTNESS_r07 rows unseen)."""
+    cols = sorted(spark_df.columns)
+    # Float columns: the pandas path represents SQL NULL as NaN on both
+    # engines (Spark's toPandas does the same on the driver), so the
+    # NULL/NaN distinction does not survive the gate — normalize both
+    # to the "NaN" token for float-typed columns only.
+    null_as_nan = {
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+
+    def norm_at(c, v):
+        n = _norm(v)
+        if n is None and c in null_as_nan:
+            return "NaN"
+        return n
+
+    spark_rows = [
+        tuple(norm_at(c, r[c]) for c in cols) for r in spark_df.collect()
+    ]
+
+    ddf = con.execute(sql).df()
+    duck_cols = list(ddf.columns)
     if sorted(duck_cols) != cols:
         return False, f"column mismatch: spark={cols} duck={sorted(duck_cols)}"
-    idx = [duck_cols.index(c) for c in cols]
-    duck_rows = [tuple(_norm(row[i]) for i in idx) for row in duck.fetchall()]
+
+    # DuckDB's pandas path renders DATE as datetime64; when the Spark
+    # column is a true DateType, compare date parts (the driver accepts
+    # these — fetchall() used to return datetime.date here).
+    date_cols = {
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() == "date"
+    }
+    for c in date_cols:
+        if str(ddf[c].dtype).startswith("datetime64"):
+            ddf[c] = ddf[c].dt.date
+
+    integral = {
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in _INTEGRAL_SPARK_TYPES
+    }
+    leaks = []
+    for c in cols:
+        if c not in integral or str(ddf[c].dtype) not in (
+            "float64",
+            "float32",
+        ):
+            continue
+        if ddf[c].isna().any():
+            # NULLABLE-int degradation, not a leak: a BIGINT column WITH
+            # NULLs has no int64 representation in numpy, so BOTH engines
+            # degrade it to float64-with-NaN on the driver (Spark's
+            # toPandas does the same) and the gate accepts it. Coerce
+            # back to int/None so the value compare stays exact.
+            import numpy as np
+
+            ddf[c] = np.array(
+                [None if x != x else int(x) for x in ddf[c]],
+                dtype=object,
+            )
+        else:
+            # no NULLs → DuckDB would have kept int64 unless the
+            # expression TYPE itself is HUGEINT/DECIMAL: the leak.
+            leaks.append(c)
+    if leaks:
+        return False, (
+            "oracle type leak: column(s) "
+            f"{leaks} are integral/decimal on the Spark side but float on "
+            "the DuckDB pandas fetch path (uncast HUGEINT sum() arithmetic "
+            "or DECIMAL projection) — wrap the oracle expression in "
+            "CAST(... AS BIGINT)"
+        )
+    duck_rows = [
+        tuple(norm_at(c, row[c]) for c in cols)
+        for row in ddf.to_dict("records")
+    ]
 
     if len(spark_rows) != len(duck_rows):
         return False, f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"

@@ -1805,10 +1805,11 @@ def quality_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS c_b
       FROM w GROUP BY word
     ),
-    t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM c)
+    t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                 CAST(sum(c_b) AS BIGINT) AS n_b FROM c)
     SELECT word, c_a, c_b,
-           (c_a * t.n_b - c_b * t.n_a) * (c_a * t.n_b - c_b * t.n_a)
-             // ((c_a + c_b) * t.n_a * t.n_b) AS drift_stat
+           CAST((c_a * t.n_b - c_b * t.n_a) * (c_a * t.n_b - c_b * t.n_a)
+             // ((c_a + c_b) * t.n_a * t.n_b) AS BIGINT) AS drift_stat
     FROM c, t
     WHERE c_a + c_b >= 20
     ORDER BY drift_stat DESC, word

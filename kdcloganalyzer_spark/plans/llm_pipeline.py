@@ -275,35 +275,88 @@ def _minhash_md5_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MINHASH_MD5_SIG_CACHE[key]
 
 
-@query("dedup_fuzzy_minhash")
+@query(
+    "dedup_fuzzy_minhash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents WHERE doc_id % 3 = 0
+    ), dd AS (
+      SELECT doc_id, words FROM d WHERE len(words) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tok FROM dd
+    ), sigl AS (
+      SELECT doc_id, s,
+             min(('0x' || substr(md5(tok || '#' || s), 1, 15))::BIGINT) AS h
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+      GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY s) AS sig FROM sigl GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b,
+             array_to_string(list_slice(sig, b * 8 + 1, b * 8 + 8), ',') AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b)
+    ), rep AS (
+      SELECT b, key, min(doc_id) AS rep_id,
+             arg_min(sig, doc_id) AS rep_sig
+      FROM bands GROUP BY b, key
+    ), scored AS (
+      SELECT m.doc_id, r.rep_id,
+             round(len(list_filter(range(1, 17),
+                                   i -> m.sig[i] = r.rep_sig[i])) / 16.0,
+                   6) AS est
+      FROM bands m JOIN rep r ON m.b = r.b AND m.key = r.key
+      WHERE m.doc_id <> r.rep_id
+    )
+    SELECT doc_id, CAST(min(rep_id) AS BIGINT) AS dup_of,
+           max(est) AS jaccard_est
+    FROM scored WHERE est >= 0.9 GROUP BY doc_id
+    """,
+)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH dedup at J≥0.9: per-doc representative
     assignment (doc_id, dup_of, jaccard_est) — O(N) output even when
     duplicate clusters are huge, unlike pair enumeration (the synthetic
     corpus has ~half of all pairs above J=0.5, so pair listing is
     inherently quadratic; operators/dedup.py:minhash_lsh_pairs provides
-    it for targeted use). Rows-only — banding uses Spark-internal
-    xxhash64 no external oracle can reproduce."""
+    it for targeted use; dedup_minhash_pairs_md5 is its verified form).
+
+    HASH-VERIFIED END-TO-END (r8 — previously rows-only): the registered
+    configuration uses the cross-engine 60-bit md5 word hash and literal
+    band-tuple keys (the dedup_minhash_pairs_md5 family's k=16, 2×8
+    banding over the same deterministic %3 slice — ONE shared signature
+    scan serves all three md5 queries), so the DuckDB twin rebuilds
+    signatures, elects each band bucket's min-doc representative with
+    arg_min, scores members by signature agreement and reproduces the
+    ENTIRE representative assignment bit-for-bit. The xxhash64
+    production swap is the word_hash=/string_band_key= pair of arguments
+    on operators/dedup.py:minhash_dedup (one line — hash cost ~3× lower;
+    law-pinned by tests/test_dedup_frontends.py), kept out of the
+    registered surface so the id stays oracle-checkable.
+
+    Scale: unchanged — one explode + one window shuffle on (band, key) +
+    one groupBy(doc_id), all O(N·bands), no self-join anywhere."""
     return dedup.minhash_dedup(
-        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 3 == 0
+        ),
         0.9,
-        sig=_minhash_sig(spark, sf_dir),
+        n_bands=2,
+        rows_per_band=8,
+        sig=_minhash_md5_sig(spark, sf_dir),
+        word_hash=dedup._md5_word_hash,
+        string_band_key=True,
     )
 
 
-@query("dedup_minhash_pairs")
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash-LSH near-dup PAIR enumeration at J≥0.9 — the
-    targeted-audit complement to dedup_fuzzy_minhash's O(N)
-    representative output: (id_a, id_b, jaccard_est) for candidate pairs
-    that collide in ≥1 band and whose signature-agreement estimate
-    clears the threshold. Rows-only — estimates derive from
-    Spark-internal xxhash64."""
-    return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        0.9,
-        sig=_minhash_sig(spark, sf_dir),
-    )
+# `dedup_minhash_pairs` (the xxhash64-banded pair enumeration) was
+# RETIRED from the registered query surface in r8: its hash-verified
+# sibling dedup_minhash_pairs_md5 exercises the identical construction
+# (operators/dedup.py:minhash_lsh_pairs) with a cross-engine hash, so
+# the rows-only registration added no verifiable coverage. The xxhash64
+# production configuration remains the operator's default and is
+# law-pinned by tests/test_round4_ops.py (clone-pair recovery on toy
+# docs) — swapping the hash family back is the word_hash= argument.
 
 
 @query(
@@ -341,7 +394,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH pair enumeration whose APPROXIMATE INDEX is
     hash-verified end-to-end — the MinHash sibling of sim_search_lsh's
-    verified plane buckets. Same banding as dedup_minhash_pairs, but the
+    verified plane buckets. Same banding as the xxhash64 production
+    configuration (operators/dedup.py:minhash_lsh_pairs default), but the
     seeded word hash is 60 bits of md5 (operators/dedup.py:_md5_word_hash
     — bit-identical in DuckDB via ('0x'||substr(md5(..),1,15))::BIGINT)
     and the band key is the literal 4-tuple, so the oracle reproduces
@@ -448,11 +502,14 @@ def dedup_minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding + Hamming≤3 pairs (rows-only: xxhash64 word
-    hashes; dedup_simhash_md5 is the hash-verified twin)."""
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"), 3)
+# `dedup_simhash` (64-bit xxhash64 SimHash pairs) was RETIRED from the
+# registered query surface in r8: dedup_simhash_md5 runs Charikar's
+# identical single-fold construction over the same full corpus with the
+# cross-engine 60-bit md5 word hash and is hash-verified end-to-end, so
+# the xxhash64 registration duplicated it as a rows-only id. The 64-bit
+# xxhash64 form stays the operator default (one xxhash64 per word vs one
+# md5 — the production path) and is law-pinned by
+# tests/test_round4_ops.py (clone Hamming≈0 / distinct-doc separation).
 
 
 @query(
@@ -492,14 +549,14 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same signature long, derives the same 4×15-bit band keys, and
     reproduces candidate pairs and Hamming distances exactly — the
     oracle checks Charikar's construction itself (banding lossless for
-    hamming ≤ 3 by pigeonhole), not a similarity bound. The xxhash64
-    sibling (dedup_simhash) stays the production path: one fold per doc
-    beats one md5 per word, and the verification only needs ONE
-    reproducible family.
+    hamming ≤ 3 by pigeonhole), not a similarity bound. The 64-bit
+    xxhash64 configuration stays the operator DEFAULT for production
+    (one xxhash64 per word beats one md5; law-pinned by
+    tests/test_round4_ops.py) — its rows-only registration was retired
+    in r8 since this id verifies the identical construction.
 
-    Scale: identical to dedup_simhash — two codegen projections and a
-    band equi-join; the oracle's O(docs·words·60) bit table exists only
-    DuckDB-side at gate scale."""
+    Scale: two codegen projections and a band equi-join; the oracle's
+    O(docs·words·60) bit table exists only DuckDB-side at gate scale."""
     return dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
         3,
@@ -1169,15 +1226,22 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           'stubbed' AS decode_status
+           CAST(octet_length(encode(text))
+                + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END
+                AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'stubbed' END
+             AS decode_status
     FROM documents
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload metadata extraction via mapInPandas (decode stubbed —
-    see operators/multimodal.py). Oracle checks the payload plumbing
-    (byte counts survive the binary column + Arrow round-trip)."""
+    """Binary-payload metadata extraction via mapInPandas. Even doc_ids
+    carry structurally valid PNG containers and get a GENUINE header
+    decode (signature + IHDR + CRC32 check — operators/multimodal.py);
+    odd doc_ids exercise the documented stub fallback. Oracle checks the
+    container arithmetic (8-byte signature + 25-byte IHDR + 12-byte IDAT
+    framing + 12-byte IEND = 57 bytes of PNG overhead) and that the CRC
+    validation reported 'png', i.e. the bytes round-tripped intact."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs).select(
         "doc_id", "n_bytes", "decode_status"
@@ -1197,19 +1261,31 @@ _B1 = _HEXB.format(a=3, b=4)
     "multimodal_features",
     oracle=f"""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(1 + {_B0} AS INT) AS fake_width,
-           CAST(1 + {_B1} AS INT) AS fake_height,
-           'stubbed' AS decode_status
+           CAST(octet_length(encode(text))
+                + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END
+                AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 1 + octet_length(encode(text)) % 1024
+                     ELSE 1 + {_B0} END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 1 + {_B0}
+                     ELSE 1 + {_B1} END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 END AS INT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 6 END AS INT) AS color_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'stubbed' END
+             AS decode_status
     FROM documents
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full stubbed decode output incl. fake dimensions. Oracle
-    reconstructs the md5-derived fake geometry byte-for-byte (same hex
-    extraction as multimodal_resize), so the entire mapInPandas decode
-    path — binary column, Arrow batches, stub determinism — is
-    hash-checked, not just row-counted."""
+    """Full decode output. Even doc_ids: GENUINE PNG header parse — the
+    oracle recomputes the geometry that with_image_payload embedded
+    (width = 1 + byte-length mod 1024, height = 1 + first md5 byte), so
+    a hash match proves the big-endian IHDR reads and the CRC check ran
+    against real container bytes, not a formula shortcut. Odd doc_ids:
+    the md5-derived stub (same hex extraction as multimodal_resize) with
+    NULL bit_depth/color_type. The whole mapInPandas path — binary
+    column, Arrow batches, typed nullable ints — is hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs)
 
@@ -1720,7 +1796,7 @@ def embed_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(vocab_size AS INT) AS vocab_size,
            CAST(max(cum) AS BIGINT) AS tokens_covered,
-           max(cum) * 1000000 // max(total) AS coverage_micro
+           CAST(max(cum) * 1000000 // max(total) AS BIGINT) AS coverage_micro
     FROM (SELECT cum, total,
                  CASE WHEN rk <= 8 THEN 8
                       WHEN rk <= 16 THEN 16
@@ -1973,7 +2049,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)),
               1, 15))::BIGINT % 16 AS shard,
-             CAST(length(text) AS BIGINT) AS nb
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
       FROM documents
     ),
     s AS (
@@ -1982,8 +2058,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a GROUP BY shard
     )
     SELECT shard, n_assets, shard_bytes,
-           shard_bytes * 16000000
-             // (SELECT sum(shard_bytes) FROM s) AS load_factor_micro
+           CAST(shard_bytes * 16000000
+             // (SELECT CAST(sum(shard_bytes) AS BIGINT) FROM s)
+             AS BIGINT) AS load_factor_micro
     FROM s
     """,
 )

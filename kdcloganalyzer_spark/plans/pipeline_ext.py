@@ -433,7 +433,7 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the canonical scale-killer — so the Spark side composes exact
     global positions WITHOUT any global sort:
 
-      bucket   = hkey >> 52  (top bits of the hash key — order-
+      bucket   = hkey >> 48  (top 12 bits of the 60-bit key — order-
                  preserving range partitioning with pre-known, uniform
                  bounds: md5 bits are i.i.d., no sampling pass needed)
       offsets  = per-bucket counts, cumulated driver-side (≤4096 rows —

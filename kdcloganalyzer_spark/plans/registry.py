@@ -49,5 +49,6 @@ def load_all() -> None:
         llm_pipeline,
         pipeline_ext,
         relational,
+        round8_ops,
         streaming_queries,
     )

@@ -4045,13 +4045,13 @@ def fn_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            printf('%d.%02d', total_c // 100, total_c % 100)
-               ::DECIMAL(28,2) AS total_dec,
+               AS total_dec,
            printf('%d.%02d', min_c // 100, min_c % 100)
-               ::DECIMAL(28,2) AS min_dec,
+               AS min_dec,
            printf('%d.%02d', max_c // 100, max_c % 100)
-               ::DECIMAL(28,2) AS max_dec,
+               AS max_dec,
            printf('%d.%02d', doubled_c // 100, doubled_c % 100)
-               ::DECIMAL(28,2) AS doubled_dec,
+               AS doubled_dec,
            n
     FROM a
     """,
@@ -4061,13 +4061,18 @@ def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact across ENGINE VERSIONS: the per-row DOUBLE is converted once
     with the proven ``round(x*100)`` integer-cents idiom (half-even on
     the binary value, identical everywhere), all aggregation happens on
-    BIGINT cents, and DECIMAL appears only in the final projection via
-    a canonical string — ``'%d.%02d'`` formatting of an integer cannot
-    round, so the decimal cast is exact on both engines. A per-row
-    ``CAST(double AS DECIMAL(18,2))`` is NOT portable: .xx5 midpoints
-    round differently across DuckDB builds (driver r6 hash-fail).
-    Division/average stay out deliberately: engines disagree on decimal
-    result-SCALE rules there.
+    BIGINT cents, and the published money value is the CANONICAL
+    ``'%d.%02d'`` STRING — formatting an integer cannot round, so both
+    engines emit byte-identical text. A DECIMAL output column is NOT
+    portable through the driver's compare: the DuckDB→pandas fetch path
+    renders DECIMAL as float64 (driver r6 AND r7 hash-fails), so the
+    decimal TYPE itself is demonstrated in
+    tests/test_round8_ops.py::test_decimal_arithmetic_exact (Spark-side
+    DECIMAL(28,2) sum/min/max equal these canonical strings), while the
+    cross-engine contract stays on strings. A per-row
+    ``CAST(double AS DECIMAL(18,2))`` is also out: .xx5 midpoints round
+    differently across DuckDB builds. Division/average stay out
+    deliberately: engines disagree on decimal result-SCALE rules.
 
     Scale: integer aggregation is partial-merge mergeable and cheaper
     than 128-bit decimal accumulation; the decimal presentation cast
@@ -4079,7 +4084,7 @@ def fn_decimal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dec(c: str) -> F.Column:
         return F.format_string(
             "%d.%02d", F.expr(f"{c} div 100"), F.col(c) % 100
-        ).cast("decimal(28,2)")
+        )
 
     agg = orders.select("o_orderstatus", cents.alias("cents")).groupBy(
         "o_orderstatus"
@@ -4423,11 +4428,17 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-encountered and engine-specific, exactly why the collated
     key itself stays out of the projection.
 
-    Scale: posexplode is a flatMap (no shuffle); the multi-distinct
-    aggregate is Catalyst's expand+two-phase plan hash-partitioned by
-    source — same shape as agg_multi_distinct, corpus-sized only at
-    the expand stage. Collation comparisons stay in codegen (ICU-free
-    UTF8_LCASE is a JVM binary comparator, not a UDF)."""
+    Scale (two-pass form): the corpus collapses ONCE to per-(source,
+    word) counts — a plain partial-agg'd shuffle, NO expand — and every
+    published statistic then reads the VOCABULARY-sized summary:
+    n_words = Σc, n_distinct_cs = count(*), n_spark_ci = Σc under the
+    collated filter, and the one remaining count_distinct (the collated
+    key) expands only vocabulary rows. The previous registration put
+    both distincts directly on the corpus, whose expand stage tripled
+    the corpus (measured 3.8× per 100× — the r7 verdict's sole
+    perf-weak id); this form is the documented swap, now registered.
+    Collation comparisons stay in codegen (ICU-free UTF8_LCASE is a
+    JVM binary comparator, not a UDF)."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
@@ -4442,12 +4453,17 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("raw"))
         .alias("word"),
     )
+    # pass 1: ONE corpus-sized partial-agg'd shuffle → vocabulary frame
+    vocab = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    # pass 2: all stats over the Heaps-bounded vocabulary summary
     ci = F.expr("collate(word, 'UTF8_LCASE')")
-    return w.groupBy("source").agg(
-        F.count("*").alias("n_words"),
-        F.count_distinct(F.col("word")).alias("n_distinct_cs"),
+    return vocab.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").alias("n_distinct_cs"),
         F.count_distinct(ci).alias("n_distinct_ci"),
-        F.count(F.when(ci == F.lit("spark"), 1)).alias("n_spark_ci"),
+        F.sum(F.when(ci == F.lit("spark"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_spark_ci"),
     )
 
 
@@ -5415,9 +5431,9 @@ def analytics_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n
       FROM c GROUP BY 1
     ),
-    t AS (SELECT sum(n) AS total FROM d)
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d)
     SELECT digit, n,
-           n * 1000000 // t.total AS share_micro,
+           CAST(n * 1000000 // t.total AS BIGINT) AS share_micro,
            CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
                       WHEN 3 THEN 124939 WHEN 4 THEN 96910
                       WHEN 5 THEN 79181 WHEN 6 THEN 66947

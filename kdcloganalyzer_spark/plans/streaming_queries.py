@@ -255,7 +255,8 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT regexp_extract(filename, 'doc_(\\d\\d)', 1) AS prefix,
            CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(length(content)) AS BIGINT) AS total_bytes
+           CAST(sum(octet_length(encode(content))) AS BIGINT)
+             AS total_bytes
     FROM read_text('{DRIVER_BINFILES}/*.txt')
     GROUP BY prefix
     """,

@@ -59,3 +59,36 @@ def test_oracle_compare_detects_mismatches(spark, sf_dir):
     bad_cols = "SELECT * FROM (VALUES (1,'a'),(2,'b')) t(k, wrong)"
     ok, why = compare(df, con, bad_cols)
     assert not ok and "column mismatch" in why
+
+
+def test_oracle_compare_detects_hugeint_type_leak(spark, sf_dir):
+    """The CORRECTNESS_r07 postmortem: DuckDB turns HUGEINT (any uncast
+    integer sum() arithmetic) and DECIMAL into float64 on the pandas
+    fetch path the DRIVER uses, while fetchall() returns Python ints —
+    so a fetchall()-based local verify shipped 9 driver hash-FAILs as
+    green. compare() now fetches via .df() and must FAIL any oracle
+    whose column is float on that path while the Spark side is
+    integral, even when the VALUES agree numerically."""
+    from oracle_compare import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    df = spark.createDataFrame([(1, 2000000)], "k long, v long")
+    leaking = (
+        "SELECT CAST(1 AS BIGINT) AS k, sum(x) * 2 AS v "
+        "FROM (SELECT 1000000 AS x) t"
+    )
+    ok, why = compare(df, con, leaking)
+    assert not ok and "type leak" in why
+    cast_fixed = (
+        "SELECT CAST(1 AS BIGINT) AS k, "
+        "CAST(sum(x) * 2 AS BIGINT) AS v FROM (SELECT 1000000 AS x) t"
+    )
+    ok, why = compare(df, con, cast_fixed)
+    assert ok, why
+    # DECIMAL leaks the same way (it is why fn_decimal_suite emits
+    # canonical money strings instead of a DECIMAL column)
+    dfd = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k", "CAST(1.25 AS DECIMAL(10,2)) AS v"
+    )
+    ok, why = compare(dfd, con, "SELECT CAST(1 AS BIGINT) AS k, 1.25::DECIMAL(10,2) AS v")
+    assert not ok and "type leak" in why

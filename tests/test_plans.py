@@ -59,7 +59,7 @@ def test_hot_path_stays_in_codegen(spark, sf_dir):
 
 
 def test_lsh_band_joins_are_equi_joins(spark, sf_dir):
-    for qid in ("dedup_simhash", "dedup_fuzzy_minhash", "dedup_ngram_jaccard_dford"):
+    for qid in ("dedup_simhash_md5", "dedup_fuzzy_minhash", "dedup_ngram_jaccard_dford"):
         plan = _plan(registry.QUERIES[qid](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, (qid, plan)
         assert "CartesianProduct" not in plan, (qid, plan)
@@ -101,7 +101,7 @@ def test_fanout_operators_spread_before_pair_work(spark, sf_dir):
     its prefix-join frontend localCheckpoints the spread input, which
     truncates the visible plan to `Scan ExistingRDD` (the repartition
     still ran — inside the checkpointed lineage)."""
-    for qid in ("dedup_simhash", "sim_search_lsh"):
+    for qid in ("dedup_simhash_md5", "sim_search_lsh"):
         plan = _plan(registry.QUERIES[qid](spark, sf_dir))
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
             qid,

@@ -29,11 +29,13 @@ def test_audience_overlap_hll_vs_exact(spark, sf_dir):
             spark, sf_dir
         ).collect()
     }
+    from kdcloganalyzer_spark.plans.analytics import (
+        audience_overlap_hll_estimates,
+    )
+
     est = {
         (r["type_a"], r["type_b"]): r
-        for r in registry.QUERIES["events_audience_overlap_hll"](
-            spark, sf_dir
-        ).collect()
+        for r in audience_overlap_hll_estimates(spark, sf_dir).collect()
     }
     assert set(exact) == set(est) and len(exact) == 10
     for k, e in exact.items():
@@ -46,6 +48,13 @@ def test_audience_overlap_hll_vs_exact(spark, sf_dir):
         assert abs(s["est_b"] - e["n_b"]) <= max(2, 0.02 * e["n_b"]), k
         assert abs(s["est_both"] - e["n_both"]) <= max(2, 0.02 * union), k
         assert abs(s["est_jaccard"] - e["jaccard"]) <= 0.02, k
+    # and the registered (driver-hashable) form must report the same
+    # envelope as universally satisfied
+    flags = registry.QUERIES["events_audience_overlap_hll"](
+        spark, sf_dir
+    ).collect()
+    assert len(flags) == 10
+    assert all(r["hll_in_envelope"] for r in flags)
 
 
 def test_rfm_approx_plan_has_no_global_sort(spark, sf_dir):
