@@ -1,22 +1,22 @@
 """Round-8 analytics/pipeline extensions: blocked fuzzy entity matching,
 SCD Type-2 dimension build, Markov transition matrix, per-key OLS trend,
-key-skew profiling, temperature-scaled source mixing, embedding
-dimension statistics, and neighbor-set Jaccard node similarity.
+key-skew profiling, embedding dimension statistics, and neighbor-set
+Jaccard node similarity.
 
 Like plans/curation.py and plans/pipeline_ext.py these extend the
 reference's declared surface (README.md:4-13 stops at log analytics)
 with operations a 100 TB training-data / warehouse pipeline runs daily.
-Every batch query here is DuckDB-oracle hash-checked end-to-end; hot
-paths are whole-stage-codegen expressions — the only Python crossings
-in this module are none.
+Every batch query here is DuckDB-oracle hash-checked end-to-end, and
+every hot path is a whole-stage-codegen expression — this module has NO
+Python-worker crossings at all.
 
 Cross-engine idioms used here (see plans/registry.py conventions):
 - probabilities/shares/slopes as exact integer micro-units
   (``CAST(x * 1000000 // y AS BIGINT)`` with integer x, y) — never a
   bare float division that hashes differently across engines, and never
   an uncast HUGEINT on the DuckDB side (the CORRECTNESS_r07 leak);
-- ``sqrt`` IS cross-engine safe (IEEE 754 requires correct rounding for
-  sqrt, unlike ln/exp/pow) — temperature weights use it directly;
+- exact quantiles scaled to integers (x2/x10/x100) so interpolation
+  lands on representable values (the sessionize_stats_rollup idiom);
 - Levenshtein distance is the textbook DP in both engines — identical
   integers.
 """
@@ -324,3 +324,246 @@ def analytics_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler
+# ---------------------------------------------------------------------------
+
+# Cross-engine 60-bit hash bucket (verify skill: Spark conv(substring(
+# md5..)) == DuckDB ('0x'||substr(md5..))::BIGINT); 32 buckets models the
+# shuffle-partition load a hash exchange on this key would produce.
+_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 32"
+)
+_BUCKET_DUCK = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 32"
+)
+
+
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), buckets AS (
+      SELECT {_BUCKET_DUCK} AS bucket, count(*) AS brows
+      FROM events GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM cnts) AS BIGINT) AS n_keys,
+           CAST((SELECT sum(cnt) FROM cnts) AS BIGINT) AS total_rows,
+           CAST((SELECT max(cnt) FROM cnts) AS BIGINT) AS max_cnt,
+           CAST((SELECT max(cnt) * 1000000 // sum(cnt) FROM cnts)
+                AS BIGINT) AS top1_share_micro,
+           CAST((SELECT quantile_cont(cnt, 0.5) * 2 FROM cnts)
+                AS BIGINT) AS p50_x2,
+           CAST((SELECT quantile_cont(cnt, 0.9) * 10 FROM cnts)
+                AS BIGINT) AS p90_x10,
+           CAST((SELECT quantile_cont(cnt, 0.99) * 100 FROM cnts)
+                AS BIGINT) AS p99_x100,
+           CAST((SELECT max(brows) * 1000000 // sum(brows) FROM buckets)
+                AS BIGINT) AS max_bucket_share_micro
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profiler — the diagnostic you run BEFORE choosing
+    a join/aggregation strategy on a key: cardinality, hottest-key share,
+    exact count quantiles (scaled-integer idiom keeps the interpolated
+    percentile exact: x2/x10/x100 land on representable values), and the
+    max shuffle-partition load share under a 32-bucket hash exchange,
+    modeled with the cross-engine 60-bit md5 bucket so the oracle can
+    replay it. top1_share_micro >> 1/n_keys or max_bucket_share_micro >>
+    1/32 is the quantified trigger for salting / AQE skew-join.
+
+    Scale: two partial-agg'd passes over the fact table (per-key counts,
+    per-bucket counts) that Catalyst runs off one scan each; the profile
+    aggregates |keys| rows to ONE row. At 100 TB this is the cheap scan
+    you pay once to avoid a hot-partition retry storm later; the exact
+    quantiles over per-key counts stay exact because they interpolate
+    between integers (approx_percentile is the swap if |keys| itself
+    explodes)."""
+    ev = load_table(spark, sf_dir, "events")
+    # One fact-table scan: the bucket profile derives from the per-key
+    # counts (bucket is a pure function of the key), and the shared
+    # |keys|-row frame is localCheckpointed so the two consumers below
+    # don't re-run the scan (self-join subtree-reuse gotcha).
+    cnts = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    prof = cnts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("CAST(max(cnt) * 1000000 div sum(cnt) AS BIGINT)").alias(
+            "top1_share_micro"
+        ),
+        F.expr("CAST(percentile(cnt, 0.5) * 2 AS BIGINT)").alias("p50_x2"),
+        F.expr("CAST(percentile(cnt, 0.9) * 10 AS BIGINT)").alias("p90_x10"),
+        F.expr("CAST(percentile(cnt, 0.99) * 100 AS BIGINT)").alias(
+            "p99_x100"
+        ),
+    )
+    buckets = cnts.groupBy(F.expr(_BUCKET_SPARK).alias("bucket")).agg(
+        F.sum("cnt").alias("brows")
+    )
+    bmax = buckets.agg(
+        F.expr("CAST(max(brows) * 1000000 div sum(brows) AS BIGINT)").alias(
+            "max_bucket_share_micro"
+        )
+    )
+    # 1-row x 1-row summary stitch — broadcast keeps it a BNLJ of two
+    # scalars (allowlisted), never a data-sized cartesian
+    return prof.crossJoin(F.broadcast(bmax))
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_dimension_stats",
+    oracle="""
+    WITH q AS (
+      SELECT u.dim, CAST(floor(CAST(u.val AS DOUBLE) * 10000 + 0.5)
+                         AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS dim) u
+    )
+    SELECT CAST(dim - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS min_bp, CAST(max(v) AS BIGINT) AS max_bp,
+           CAST(sum(v) // count(*) AS BIGINT) AS mean_bp,
+           CAST((count(*) * sum(v * v) - sum(v) * sum(v))
+                // (count(*) * (count(*) - 1)) AS BIGINT) AS var_bp2
+    FROM q GROUP BY dim
+    """,
+)
+def embed_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/range over the embedding corpus — the
+    whitening/normalization statistics every vector pipeline computes
+    before indexing (a dimension with variance 0 is dead weight; widely
+    different scales break inner-product search). Floats are quantized
+    to exact basis-point integers (floor(x*1e4 + 0.5) — the
+    pipeline_ext.py cross-engine quantization idiom) so the sums are
+    order-free and the sample variance is an exact integer ratio via
+    sufficient statistics (n*S2 - S1^2) / (n*(n-1)).
+
+    Scale: posexplode fans each vector into |dims| rows, then ONE
+    partial-agg'd groupBy(dim) collapses them — map-side combine means
+    the shuffle carries |dims| x |partitions| rows, not n x |dims|. The
+    bp (1e4) scale keeps n * sum(v^2) under 2^63 up to ~10^10 vectors
+    per dimension; drop to 1e3 beyond that."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(val AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+        ).alias("v"),
+    )
+    return q.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("min_bp"),
+        F.max("v").alias("max_bp"),
+        F.expr("CAST(sum(v) div count(*) AS BIGINT)").alias("mean_bp"),
+        F.expr(
+            "CAST((count(*) * sum(v * v) - sum(v) * sum(v))"
+            " div (count(*) * (count(*) - 1)) AS BIGINT)"
+        ).alias("var_bp2"),
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        "n", "min_bp", "max_bp", "mean_bp", "var_bp2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard node similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), deg AS (
+      SELECT c, count(*) AS d FROM e GROUP BY c
+    ), common AS (
+      SELECT a.c AS c1, b.c AS c2, count(*) AS com
+      FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    ), jac AS (
+      SELECT c1, c2, com,
+             CAST(com * 1000000 // (d1.d + d2.d - com) AS BIGINT)
+               AS jac_micro
+      FROM common
+      JOIN deg d1 ON d1.c = c1
+      JOIN deg d2 ON d2.c = c2
+    )
+    SELECT c1, c2, CAST(com AS BIGINT) AS com, jac_micro
+    FROM jac
+    ORDER BY jac_micro DESC, c1, c2
+    LIMIT 100
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity by neighbor-set Jaccard on the customer-part
+    bipartite graph: |N(u) ∩ N(v)| via wedge enumeration through shared
+    parts, |N(u) ∪ N(v)| from degrees (inclusion-exclusion — never
+    materialize the union), top-100 pairs under a total order. The
+    SimRank-lite primitive behind collaborative filtering and
+    account-linking audits.
+
+    Scale: wedge count is sum_p deg(p)^2 — bounded here because part
+    degree is naturally capped (~50 co-purchasers); on power-law graphs
+    the standard production adjustment is dropping hubs above a degree
+    cap (documented, not needed on this corpus: max deg 53). The wedge
+    join is an equi-self-join on part — shuffle co-partitioned, AQE
+    skew-split eligible — and the degree joins attach a |customers|-row
+    table. Top-100 runs as TakeOrderedAndProject (no global sort
+    materialization)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count("*").alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
+        )
+        .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
+        .agg(F.count("*").alias("com"))
+    )
+    d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("dd1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("dd2"))
+    jac = (
+        common.join(d1, "c1")
+        .join(d2, "c2")
+        .select(
+            "c1",
+            "c2",
+            F.col("com").cast("long").alias("com"),
+            F.expr(
+                "CAST(com * 1000000 div (dd1 + dd2 - com) AS BIGINT)"
+            ).alias("jac_micro"),
+        )
+    )
+    return jac.orderBy(
+        F.col("jac_micro").desc(), "c1", "c2"
+    ).limit(100)

@@ -995,3 +995,31 @@ def kdc_failed_auth_alert_stream(
             "n_failures",
         )
     )
+
+
+def windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day top-3 event types: the tumbling-window count
+    aggregation runs IN the stream (state = |windows x types|, bounded
+    by the 1-hour watermark); the rank-and-cut runs as a batch window
+    function over the materialized per-window counts — streaming append
+    mode cannot rank across rows, so production top-k splits exactly
+    this way (stream the mergeable counts, rank in the serving layer).
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy(
+        F.window("ts", "1 day").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    res = _run_to_memory(out)
+    w = W.partitionBy("win").orderBy(F.desc("n"), "event_type")
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -29,6 +29,7 @@ BNLJ_OK = {
                                     # enumeration (tiny dimensional cross)
     "events_slo_burn_rate",  # 1-row corpus-baseline x hourly summary
                              # (summary x summary, never data-sized)
+    "profile_key_skew",  # 1-row profile x 1-row bucket-max stitch
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or
