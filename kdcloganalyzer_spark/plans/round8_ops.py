@@ -356,12 +356,12 @@ _BUCKET_DUCK = (
            CAST((SELECT max(cnt) FROM cnts) AS BIGINT) AS max_cnt,
            CAST((SELECT max(cnt) * 1000000 // sum(cnt) FROM cnts)
                 AS BIGINT) AS top1_share_micro,
-           CAST((SELECT quantile_cont(cnt, 0.5) * 2 FROM cnts)
-                AS BIGINT) AS p50_x2,
-           CAST((SELECT quantile_cont(cnt, 0.9) * 10 FROM cnts)
-                AS BIGINT) AS p90_x10,
-           CAST((SELECT quantile_cont(cnt, 0.99) * 100 FROM cnts)
-                AS BIGINT) AS p99_x100,
+           CAST((SELECT floor(quantile_cont(cnt, 0.5) * 2 + 5e-1)
+                 FROM cnts) AS BIGINT) AS p50_x2,
+           CAST((SELECT floor(quantile_cont(cnt, 0.9) * 10 + 5e-1)
+                 FROM cnts) AS BIGINT) AS p90_x10,
+           CAST((SELECT floor(quantile_cont(cnt, 0.99) * 100 + 5e-1)
+                 FROM cnts) AS BIGINT) AS p99_x100,
            CAST((SELECT max(brows) * 1000000 // sum(brows) FROM buckets)
                 AS BIGINT) AS max_bucket_share_micro
     """,
@@ -369,8 +369,10 @@ _BUCKET_DUCK = (
 def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution profiler — the diagnostic you run BEFORE choosing
     a join/aggregation strategy on a key: cardinality, hottest-key share,
-    exact count quantiles (scaled-integer idiom keeps the interpolated
-    percentile exact: x2/x10/x100 land on representable values), and the
+    exact count quantiles (scaled-integer idiom: x2/x10/x100 land on
+    mathematical integers, recovered with floor(x + 0.5) because the
+    0.9/0.99 interpolation weights are not representable doubles — a
+    bare CAST truncates the ulp differently across engines), and the
     max shuffle-partition load share under a 32-bucket hash exchange,
     modeled with the cross-engine 60-bit md5 bucket so the oracle can
     replay it. top1_share_micro >> 1/n_keys or max_bucket_share_micro >>
@@ -400,11 +402,15 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(max(cnt) * 1000000 div sum(cnt) AS BIGINT)").alias(
             "top1_share_micro"
         ),
-        F.expr("CAST(percentile(cnt, 0.5) * 2 AS BIGINT)").alias("p50_x2"),
-        F.expr("CAST(percentile(cnt, 0.9) * 10 AS BIGINT)").alias("p90_x10"),
-        F.expr("CAST(percentile(cnt, 0.99) * 100 AS BIGINT)").alias(
-            "p99_x100"
-        ),
+        F.expr(
+            "CAST(floor(percentile(cnt, 0.5) * 2 + 5e-1) AS BIGINT)"
+        ).alias("p50_x2"),
+        F.expr(
+            "CAST(floor(percentile(cnt, 0.9) * 10 + 5e-1) AS BIGINT)"
+        ).alias("p90_x10"),
+        F.expr(
+            "CAST(floor(percentile(cnt, 0.99) * 100 + 5e-1) AS BIGINT)"
+        ).alias("p99_x100"),
     )
     buckets = cnts.groupBy(F.expr(_BUCKET_SPARK).alias("bucket")).agg(
         F.sum("cnt").alias("brows")
@@ -567,3 +573,303 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.orderBy(
         F.col("jac_micro").desc(), "c1", "c2"
     ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Float constants in EXPONENT notation on both sides: plain decimals
+# parse as DECIMAL in Spark SQL (and DuckDB), and mixed decimal/double
+# coercion rules differ across engines; 5e-1/3e-1/9e-1/22e-1 are double
+# literals everywhere, so the whole score expression evaluates in IEEE
+# doubles with identical operation order.
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_term_sql(i: int, n: str, s: str, df: str, tf: str, dl: str) -> str:
+    """One term's BM25 contribution, IDENTICAL text for both engines:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75."""
+    return (
+        f"ln(1e0 + ({n} - {df} + 5e-1) / ({df} + 5e-1))"
+        f" * ({tf} * 22e-1)"
+        f" / ({tf} + 3e-1 + 9e-1 * {dl} * {n} / {s})"
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, len(ws) AS dl,
+             len(list_filter(ws, w -> w = 'spark')) AS tf1,
+             len(list_filter(ws, w -> w = 'merge')) AS tf2,
+             len(list_filter(ws, w -> w = 'window')) AS tf3
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents)
+    ), c AS (
+      SELECT count(*) AS n, sum(dl) AS s,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+             sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      FROM base
+    )
+    SELECT doc_id,
+           round({_bm25_term_sql(1, 'c.n', 'c.s', 'c.df1', 'tf1', 'dl')}
+               + {_bm25_term_sql(2, 'c.n', 'c.s', 'c.df2', 'tf2', 'dl')}
+               + {_bm25_term_sql(3, 'c.n', 'c.s', 'c.df3', 'tf3', 'dl')},
+                 6) AS bm25
+    FROM base, c
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a 3-term query over
+    the document corpus, top-10 under a total order. Per-term
+    contributions are summed in a FIXED written order (t1 + t2 + t3) —
+    never an aggregate over terms — so the double arithmetic is
+    order-identical across engines; ln at 6-decimal rounding is the
+    proven text_tfidf idiom, and dl/avgdl is expressed as dl*N/S (ints
+    into one double division), not a pre-divided average.
+
+    Scale: corpus stats (N, total length, per-term document
+    frequencies) are ONE partial-agg'd pass collapsed to a 1-row
+    control scalar collected driver-side (the sanctioned pattern — a
+    lazy 1-row join would plan BNLJ); scoring is then a pure codegen
+    projection over one scan with TakeOrderedAndProject for the top-k.
+    At 100 TB with open vocabularies the df lookup becomes the
+    broadcast vocabulary join of text_inverted_index; the 3-term
+    literal form here keeps the whole query two scans, zero shuffles
+    (the stats scan and the scoring scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("size(split(lower(text), ' '))").alias("dl"),
+        *[
+            F.expr(
+                f"size(filter(split(lower(text), ' '), w -> w = '{t}'))"
+            ).alias(f"tf{i+1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    st = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("s"),
+        *[
+            F.sum(F.when(F.col(f"tf{i+1}") > 0, 1).otherwise(0)).alias(
+                f"df{i+1}"
+            )
+            for i in range(3)
+        ],
+    ).collect()[0]
+    n, s = int(st["n"]), int(st["s"])
+    dfs = [int(st[f"df{i+1}"]) for i in range(3)]
+    score = " + ".join(
+        _bm25_term_sql(i + 1, str(n), str(s), str(dfs[i]), f"tf{i+1}", "dl")
+        for i in range(3)
+    )
+    return (
+        base.where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", F.expr(f"round({score}, 6)").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded interval-overlap join (the scale form of join_interval_overlap)
+# ---------------------------------------------------------------------------
+
+_BAND_DAYS = 30
+
+
+@query(
+    "join_interval_banded",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) AS st,
+             CAST(o_orderdate AS DATE)
+               + CAST(substr(o_orderpriority, 1, 1) AS INT) * 5 AS en
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_concurrent_pairs,
+           CAST(max(date_diff('day', greatest(a.st, b.st),
+                              least(a.en, b.en))) AS INT)
+             AS max_overlap_days,
+           CAST(sum(date_diff('day', greatest(a.st, b.st),
+                              least(a.en, b.en))) AS BIGINT)
+             AS total_overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.st <= b.en AND b.st <= a.en
+    GROUP BY a.o_custkey
+    """,
+)
+def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED interval-overlap join — the production form that
+    join_interval_overlap's docstring names for hot keys: every interval
+    explodes into the fixed 30-day time bands it covers, pairs equi-join
+    on (custkey, band), and each overlapping pair is counted EXACTLY
+    ONCE by keeping only the band that contains the overlap start
+    (greatest of the two starts) — the standard dedup-free band-join
+    trick (no distinct over pair ids). Output and oracle are IDENTICAL
+    to join_interval_overlap: two plans, one truth, both hash-checked
+    against the same SQL.
+
+    Scale: this trades join_interval_overlap's per-key residual scan
+    for band-local pair work — with B-day bands, a key holding M
+    intervals spread over T days compares ~M*(M*B/T) pairs per band
+    instead of M^2/2, which is the difference between a hot account
+    with millions of long-lived intervals falling over and finishing.
+    Band width tunes fan-out (intervals here span <=25 days, so <=2
+    bands each) against band population; the explode is a bounded
+    generator, the join an AQE-skew-eligible equi-join."""
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("st"),
+            F.expr(
+                "date_add(CAST(o_orderdate AS DATE),"
+                " CAST(substr(o_orderpriority, 1, 1) AS INT) * 5)"
+            ).alias("en"),
+        )
+    )
+    banded = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"floor(datediff(st, DATE'1970-01-01') / {_BAND_DAYS})"),
+                F.expr(f"floor(datediff(en, DATE'1970-01-01') / {_BAND_DAYS})"),
+            )
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (F.col("a.st") <= F.col("b.en"))
+            & (F.col("b.st") <= F.col("a.en"))
+            # count the pair only in the band holding the overlap start
+            & (
+                F.expr(
+                    "floor(datediff(greatest(a.st, b.st),"
+                    f" DATE'1970-01-01') / {_BAND_DAYS})"
+                )
+                == F.col("a.band")
+            )
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.datediff(
+                F.least(F.col("a.en"), F.col("b.en")),
+                F.greatest(F.col("a.st"), F.col("b.st")),
+            ).alias("ov_days"),
+        )
+    )
+    return pairs.groupBy("custkey").agg(
+        F.count("*").cast("long").alias("n_concurrent_pairs"),
+        F.max("ov_days").cast("int").alias("max_overlap_days"),
+        F.sum("ov_days").cast("long").alias("total_overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_winsorized_trimmed",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) * 20 AS v20
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(v20, 0.05) + 5e-1) AS BIGINT)
+               AS lo_x20,
+             CAST(floor(quantile_cont(v20, 0.95) + 5e-1) AS BIGINT)
+               AS hi_x20,
+             count(*) AS n
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, CAST(b.n AS BIGINT) AS n, b.lo_x20, b.hi_x20,
+           CAST(sum(least(greatest(v.v20, b.lo_x20), b.hi_x20))
+                AS BIGINT) AS winsorized_sum_x20,
+           CAST(count(*) FILTER (WHERE v.v20 BETWEEN b.lo_x20 AND b.hi_x20)
+                AS BIGINT) AS trimmed_n,
+           CAST(sum(v.v20) FILTER (WHERE v.v20 BETWEEN b.lo_x20
+                                    AND b.hi_x20) AS BIGINT)
+             AS trimmed_sum_x20
+    FROM v JOIN b ON v.event_type = b.event_type
+    GROUP BY v.event_type, b.n, b.lo_x20, b.hi_x20
+    """,
+)
+def agg_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: per-group 5%/95% winsorized sum (outliers
+    clamped to the exact quantile bounds) and trimmed sum/count
+    (outliers dropped) — the standard outlier-resistant reporting pair.
+    Values are exact cents x 20 integers: the interpolated p05/p95 of
+    integers at 1/20-quantile steps lands on multiples of 1/20, so the
+    x20 scaling makes the bounds themselves exact integers — recovered
+    with floor(x + 0.5) because the INTERPOLATION WEIGHT k/20 is not a
+    representable double, so the computed bound sits within an ulp of
+    the true integer and a bare CAST truncates differently across
+    engines (measured: 287559 vs 287560 at p95) — and every clamp/sum
+    downstream is order-free integer arithmetic.
+
+    Scale: pass 1 computes per-group bounds (percentile over per-group
+    values — swap to approx_percentile when a group's cardinality
+    explodes, stated here because exact percentile buffers the group);
+    pass 2 re-scans with the |groups|-row bounds table broadcast and
+    aggregates with map-side combine. Two scans, one tiny broadcast, no
+    data-sized shuffle beyond the per-group partials."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) * 20").alias("v20"),
+    )
+    b = v.groupBy("event_type").agg(
+        F.expr(
+            "CAST(floor(percentile(v20, 0.05) + 5e-1) AS BIGINT)"
+        ).alias("lo_x20"),
+        F.expr(
+            "CAST(floor(percentile(v20, 0.95) + 5e-1) AS BIGINT)"
+        ).alias("hi_x20"),
+        F.count("*").alias("n"),
+    )
+    j = v.join(F.broadcast(b), "event_type")
+    inb = F.col("v20").between(F.col("lo_x20"), F.col("hi_x20"))
+    return j.groupBy("event_type", "n", "lo_x20", "hi_x20").agg(
+        F.sum(
+            F.least(F.greatest("v20", F.col("lo_x20")), F.col("hi_x20"))
+        )
+        .cast("long")
+        .alias("winsorized_sum_x20"),
+        F.sum(F.when(inb, 1).otherwise(0)).cast("long").alias("trimmed_n"),
+        F.sum(F.when(inb, F.col("v20")).otherwise(0))
+        .cast("long")
+        .alias("trimmed_sum_x20"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "lo_x20",
+        "hi_x20",
+        "winsorized_sum_x20",
+        "trimmed_n",
+        "trimmed_sum_x20",
+    )

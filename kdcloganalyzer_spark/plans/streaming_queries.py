@@ -290,3 +290,32 @@ def stream_kdc_failed_auth_alert(
     return SQ.kdc_failed_auth_alert_stream(
         spark, synth_dir_for_sf(sf_dir)
     )
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day top-3 event types: mergeable counts aggregate
+    in the stream (watermark-bounded state), rank-and-cut runs batch on
+    the materialized per-window counts — the standard split for top-k
+    over streams (append mode cannot rank across rows; the serving
+    layer ranks the tiny summary). Oracle: the bounded stream's final
+    counts must equal the batch GROUP BY, so the ranked cut is
+    deterministic under the (n DESC, event_type) total order."""
+    return SQ.windowed_topk_types(spark, sf_dir)
