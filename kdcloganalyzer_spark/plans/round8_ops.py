@@ -873,3 +873,193 @@ def agg_winsorized_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trimmed_n",
         "trimmed_sum_x20",
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection, fixed rounds)
+# ---------------------------------------------------------------------------
+
+_LP_EDGES_SQL = """
+    ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    )
+"""
+
+
+def _lp_round_sql(prev: str, cur: str) -> str:
+    """One synchronous LP round: adopt the most frequent neighbor label,
+    ties to the lexicographically smallest — fully deterministic."""
+    return f"""
+    {cur} AS (
+      SELECT e.src AS node, l.lab
+      FROM e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.lab
+      QUALIFY row_number() OVER (PARTITION BY e.src
+                                 ORDER BY count(*) DESC, l.lab) = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_LP_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+    {_lp_round_sql('l0', 'l1')},
+    {_lp_round_sql('l1', 'l2')},
+    {_lp_round_sql('l2', 'l3')}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS min_member, max(node) AS max_member
+    FROM l3 GROUP BY lab
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (3 rounds)
+    over the customer-supplier co-order graph: every node adopts its
+    neighbors' most frequent label each round, ties broken to the
+    smallest label — which makes the normally run-order-dependent LP
+    algorithm fully deterministic, so the oracle can replay it as THREE
+    UNROLLED SQL rounds (aggregation inside a recursive CTE is not
+    portable; unrolling is) and hash-check the resulting community
+    histogram end-to-end. Asynchronous LP converges faster but is
+    schedule-dependent — the sync variant is the one a distributed
+    engine actually runs (Pregel supersteps).
+
+    Scale: each round is edges ⋈ labels (both shuffled on the same key
+    — co-partitioned across rounds) + a partial-agg'd vote count + a
+    per-node argmax window. The fused 3-round lazy plan avoids
+    per-round materialization; production iterate-to-convergence swaps
+    to the checkpointed-loop pattern of graph_pagerank (checkpoint
+    every ~5 rounds, broadcast OFF for the label side since it is
+    node-sized). Labels are node ids — width-bounded state, no
+    frontier blowup."""
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+
+    sym = _coorder_edges(spark, sf_dir)
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lab"))
+    )
+    for _ in range(3):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(sym["src"].alias("vnode"), "lab")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("vnode").orderBy(F.desc("votes"), "lab")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "lab")
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE apply (row-level upsert semantics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey < 800
+    ), changes AS (
+      SELECT k, 'U' AS op, name, bal_cents + 10000 AS bal_cents
+      FROM base WHERE k % 10 = 3
+      UNION ALL
+      SELECT k, 'D', name, bal_cents FROM base WHERE k % 10 = 7
+      UNION ALL
+      SELECT k + 1000000, 'I', 'NEW#' || CAST(k AS VARCHAR), 0
+      FROM base WHERE k % 10 = 1
+    )
+    SELECT coalesce(c.k, b.k) AS custkey,
+           CASE c.op WHEN 'U' THEN c.name WHEN 'I' THEN c.name
+                     ELSE b.name END AS name,
+           CAST(CASE c.op WHEN 'U' THEN c.bal_cents WHEN 'I' THEN c.bal_cents
+                     ELSE b.bal_cents END AS BIGINT) AS bal_cents,
+           CASE WHEN c.op IS NULL THEN 'base'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS src
+    FROM base b FULL JOIN changes c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (the lakehouse MERGE INTO / CDC-apply semantics,
+    which vanilla parquet tables lack): a deterministic change batch —
+    updates (+100.00 for keys ending in 3), deletes (keys ending in 7),
+    inserts (cloned keys+1e6 for keys ending in 1) — applied to the
+    base snapshot through ONE full outer join: matched+U → updated
+    row, matched+D → dropped, unmatched change → insert, unmatched
+    base → carried through. Money stays integer cents end-to-end.
+
+    Complements cdc_snapshot_diff (which DERIVES the change set between
+    two versions); this APPLIES one. sink_partition_overwrite_upsert is
+    the partition-granularity rewrite; this is the row-granularity
+    merge a Delta/Iceberg writer performs before rewriting files.
+
+    Scale: MERGE is exactly one equi-shuffle (or broadcast, when the
+    change batch is small — the common CDC case, and what AQE picks
+    here) full outer join plus a projection; at 100 TB the production
+    concern is write amplification, solved by partition/file pruning on
+    the join key ranges before rewriting (scan_manifest_pruned's
+    min/max file-skipping story composes with this operator)."""
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 800)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    upd = base.where(F.col("k") % 10 == 3).select(
+        "k",
+        F.lit("U").alias("op"),
+        "name",
+        (F.col("bal_cents") + 10000).alias("bal_cents"),
+    )
+    dele = base.where(F.col("k") % 10 == 7).select(
+        "k", F.lit("D").alias("op"), "name", "bal_cents"
+    )
+    ins = base.where(F.col("k") % 10 == 1).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("NEW#"), F.col("k").cast("string")).alias("name"),
+        F.lit(0).cast("long").alias("bal_cents"),
+    )
+    changes = upd.unionAll(dele).unionAll(ins)
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = (
+        b.join(c, F.col("b.k") == F.col("c.k"), "full_outer")
+        .where(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.k"), F.col("b.k")).alias("custkey"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.name"))
+            .otherwise(F.col("b.name"))
+            .alias("name"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.bal_cents"))
+            .otherwise(F.col("b.bal_cents"))
+            .cast("long")
+            .alias("bal_cents"),
+            F.when(F.col("c.op").isNull(), "base")
+            .when(F.col("c.op") == "U", "updated")
+            .otherwise("inserted")
+            .alias("src"),
+        )
+    )
+    return merged
