@@ -114,6 +114,33 @@ def _gate_order(ids: list[str]) -> list[str]:
             q in ORACLES and row.get("err") == "no_oracle"
         )
 
+    # First-seen registry-round tracking (VERDICT r8 item 8): the r7/r8
+    # backlogs persisted because urgent ids ran cheapest-first, so ids
+    # ADDED mid-round (also never-certified, often cheap) displaced the
+    # old backlog under the ~50-row gate cap. Persist the round index at
+    # which each id first appeared in the registry and drain
+    # never-certified ids OLDEST-first; a new id can never again outrank
+    # an id that has waited a round longer.
+    fs_path = os.path.join(_HERE, "GATE_FIRST_SEEN.json")
+    first_seen: dict[str, int] = {}
+    try:
+        with open(fs_path) as f:
+            first_seen = json.load(f)
+    except (OSError, ValueError):
+        pass
+    this_round = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    unseen = [q for q in ids if q not in first_seen]
+    if unseen:
+        for q in unseen:
+            first_seen[q] = this_round
+        try:  # best-effort persistence; ordering must never break the gate
+            tmp = fs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(first_seen, f, indent=0, sort_keys=True)
+            os.replace(tmp, fs_path)
+        except OSError:
+            pass
+
     by_cost = sorted(ids, key=lambda q: (cost.get(q, 0.5), q))
     urgent = [q for q in by_cost if needs_first_check(q)]
     # Steady re-checks drain STALEST-first (oldest verifying round, then
@@ -123,31 +150,26 @@ def _gate_order(ids: list[str]) -> list[str]:
         (q for q in by_cost if not needs_first_check(q)),
         key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
     )
-    # Put failed-last-time ids at the very front of the urgent group.
-    urgent.sort(key=lambda q: (not (q in latest and failed(latest[q]))))
-    # Adaptive interleave (VERDICT r5 item 7): while a large first-check
-    # backlog exists, spend nearly every capped slot draining it (one
-    # steady re-check per 16 slots keeps regression coverage nonzero);
-    # once the backlog is small, flip to one re-check every 2nd slot so a
-    # prior pass's latest green row is never more than ~3 rounds stale
-    # across the 164-id registry under the ~50-row gate cap.
-    n_urgent = len(urgent)
-    if n_urgent >= 48:
-        # Backlog ≈ the whole gate cap: one steady slot keeps regression
-        # coverage nonzero, everything else drains first-checks.
-        period = 50
-    elif n_urgent >= 40:
-        period = 16
-    elif n_urgent >= 20:
-        period = 6
-    elif n_urgent >= 8:
-        period = 3
-    else:
-        period = 2
+    # Urgent order: failed-last-time fixes first, then never-certified
+    # ids oldest-registry-round-first (cost only breaks ties WITHIN a
+    # round's cohort).
+    urgent.sort(
+        key=lambda q: (
+            not (q in latest and failed(latest[q])),
+            first_seen.get(q, this_round),
+            cost.get(q, 0.5),
+            q,
+        )
+    )
+    # Interleave (VERDICT r8 item 8): while ANY never-certified id
+    # remains, it is reserved 4 of every 5 slots (>= the contracted 60%)
+    # — one steady re-check per 5 keeps regression coverage nonzero —
+    # and once the urgent set drains, every remaining slot goes to
+    # steady re-checks (stalest-first).
     out: list[str] = []
     ui, si = iter(urgent), iter(steady)
     for q in by_cost:
-        take_steady = len(out) % period == period - 1
+        take_steady = len(out) % 5 == 4
         nxt = next(si if take_steady else ui, None) or next(
             ui if take_steady else si, None
         )
