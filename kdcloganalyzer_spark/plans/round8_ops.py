@@ -152,18 +152,18 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dim_scd2_build",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), flagged AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN prev_type IS NULL OR prev_type <> event_type
                   THEN 1 ELSE 0 END AS chg
       FROM ordered
     ), runs AS (
       SELECT user_id, event_type, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS run_id
       FROM flagged
     ), intervals AS (
