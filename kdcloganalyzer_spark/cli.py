@@ -113,10 +113,14 @@ def main(argv: list[str] | None = None) -> int:
                     n = registry.QUERIES[qid](spark, args.sf_dir).count()
                     print(f"{qid}\tROWS-ONLY ({n} rows)")
                     continue
+                # strict=True: the local verify also cross-checks
+                # NULL-vs-NaN census and DESCRIBE-level type leaks the
+                # driver's pandas-path compare cannot see (ADVICE r8).
                 ok, why = compare(
                     registry.QUERIES[qid](spark, args.sf_dir),
                     con,
                     oracle_sql_for(qid, args.sf_dir),
+                    strict=True,
                 )
             except Exception as e:  # noqa: BLE001 — report, keep going
                 print(f"{qid}\tERROR: {type(e).__name__}: {e}"[:300])

@@ -489,7 +489,7 @@ def _minhash_signature(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     threshold: float = 0.9,
     n_bands: int = 4,
     rows_per_band: int = 8,
@@ -520,6 +520,8 @@ def minhash_lsh_pairs(
     """
     k = n_bands * rows_per_band
     if sig is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt sig, not neither")
         d = spread(docs).select(
             "doc_id", word_set(F.col("text")).alias("words")
         ).filter(F.size("words") > 0)
@@ -528,7 +530,9 @@ def minhash_lsh_pairs(
         # exchange and would evaluate the k-fold signature scan TWICE.
         # localCheckpoint materializes it once; at real scale the same
         # role is played by writing the signature table before the join
-        # stage — callers that HAVE such a table pass it via ``sig``.
+        # stage — callers that HAVE such a table pass it via ``sig``
+        # (and pass docs=None: the doc slice and word hash then live
+        # SOLELY in the sig builder, so they cannot silently desync).
         sig = _minhash_signature(d, k, word_hash).localCheckpoint(
             eager=False
         )
@@ -609,7 +613,7 @@ def minhash_lsh_pairs(
 
 
 def minhash_dedup(
-    docs: DataFrame,
+    docs: DataFrame | None,
     threshold: float = 0.9,
     n_bands: int = 4,
     rows_per_band: int = 8,
@@ -639,6 +643,8 @@ def minhash_dedup(
 
     k = n_bands * rows_per_band
     if sig is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt sig, not neither")
         d = spread(docs).select(
             "doc_id", word_set(F.col("text")).alias("words")
         ).filter(F.size("words") > 0)

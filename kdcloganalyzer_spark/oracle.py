@@ -104,7 +104,7 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
 _INTEGRAL_SPARK_TYPES = {"long", "integer", "short", "byte", "decimal"}
 
 
-def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+def compare(spark_df, con, sql: str, strict: bool = False) -> tuple[bool, str]:
     """Driver-faithful compare: the DuckDB side is fetched via ``.df()``
     (the pandas path), NOT ``fetchall()``. DuckDB converts HUGEINT (the
     result type of any uncast integer ``sum()`` arithmetic) and DECIMAL
@@ -131,9 +131,8 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
             return "NaN"
         return n
 
-    spark_rows = [
-        tuple(norm_at(c, r[c]) for c in cols) for r in spark_df.collect()
-    ]
+    raw_spark = spark_df.collect()
+    spark_rows = [tuple(norm_at(c, r[c]) for c in cols) for r in raw_spark]
 
     ddf = con.execute(sql).df()
     duck_cols = list(ddf.columns)
@@ -188,6 +187,57 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
             "or DECIMAL projection) — wrap the oracle expression in "
             "CAST(... AS BIGINT)"
         )
+    if strict:
+        # STRICT second pass (ADVICE r8): the pandas path collapses SQL
+        # NULL and float NaN on BOTH engines, so the driver-faithful
+        # compare above cannot see a regression that turns a NULL double
+        # into NaN (or a HUGEINT leak hiding in a nullable int column).
+        # Re-fetch the oracle via fetchall() — Python scalars keep None
+        # distinct from nan — for an order-free per-column NULL/NaN
+        # census, and DESCRIBE the oracle for its true result types
+        # (NaN-masked leak detection needs the schema, not the values).
+        cur = con.execute(sql)
+        names = [d[0] for d in cur.description]
+        fetched = cur.fetchall() if null_as_nan else []
+        for c in sorted(null_as_nan):
+            i = names.index(c)
+            d_null = sum(1 for row in fetched if row[i] is None)
+            d_nan = sum(
+                1
+                for row in fetched
+                if isinstance(row[i], float) and math.isnan(row[i])
+            )
+            s_null = sum(1 for r in raw_spark if r[c] is None)
+            s_nan = sum(
+                1
+                for r in raw_spark
+                if isinstance(r[c], float) and math.isnan(r[c])
+            )
+            if (d_null, d_nan) != (s_null, s_nan):
+                return False, (
+                    f"strict NULL/NaN mismatch in float column {c}: "
+                    f"spark null/nan={s_null}/{s_nan} "
+                    f"duck null/nan={d_null}/{d_nan}"
+                )
+        try:
+            described = con.execute(f"DESCRIBE {sql}").fetchall()
+            duck_types = {row[0]: str(row[1]) for row in described}
+        except duckdb.Error:
+            duck_types = {}
+        for c in sorted(integral):
+            t = duck_types.get(c, "")
+            if (
+                t == "HUGEINT"
+                or t.startswith("DECIMAL")
+                or t in ("DOUBLE", "FLOAT")
+            ):
+                return False, (
+                    f"strict type check: integral Spark column {c} is "
+                    f"{t} in the oracle's result schema — a leak the "
+                    "pandas-path check would have masked had the column "
+                    "contained NULLs; wrap the oracle expression in "
+                    "CAST(... AS BIGINT)"
+                )
     duck_rows = [
         tuple(norm_at(c, row[c]) for c in cols)
         for row in ddf.to_dict("records")

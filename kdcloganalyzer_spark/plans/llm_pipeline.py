@@ -331,20 +331,17 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE representative assignment bit-for-bit. The xxhash64
     production swap is the word_hash=/string_band_key= pair of arguments
     on operators/dedup.py:minhash_dedup (one line — hash cost ~3× lower;
-    law-pinned by tests/test_dedup_frontends.py), kept out of the
-    registered surface so the id stays oracle-checkable.
+    law-pinned by tests/test_round4_ops.py's clone-pair recovery), kept
+    out of the registered surface so the id stays oracle-checkable.
 
     Scale: unchanged — one explode + one window shuffle on (band, key) +
     one groupBy(doc_id), all O(N·bands), no self-join anywhere."""
     return dedup.minhash_dedup(
-        load_table(spark, sf_dir, "documents").where(
-            F.col("doc_id") % 3 == 0
-        ),
+        None,  # slice + word hash live solely in _minhash_md5_sig
         0.9,
         n_bands=2,
         rows_per_band=8,
         sig=_minhash_md5_sig(spark, sf_dir),
-        word_hash=dedup._md5_word_hash,
         string_band_key=True,
     )
 
@@ -415,14 +412,11 @@ def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     and verifying the construction doesn't need the full pair volume
     the production query already enumerates."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents").where(
-            F.col("doc_id") % 3 == 0
-        ),
+        None,  # slice + word hash live solely in _minhash_md5_sig
         0.9,
         n_bands=2,
         rows_per_band=8,
         sig=_minhash_md5_sig(spark, sf_dir),
-        word_hash=dedup._md5_word_hash,
         string_band_key=True,
     )
 
@@ -491,12 +485,11 @@ def dedup_minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     return dedup.minhash_lsh_pairs(
-        docs,
+        None,  # slice + word hash live solely in _minhash_md5_sig
         0.9,
         n_bands=2,
         rows_per_band=8,
         sig=_minhash_md5_sig(spark, sf_dir),
-        word_hash=dedup._md5_word_hash,
         string_band_key=True,
         probe_min_id=(int(lo) + int(hi)) // 2,
     )

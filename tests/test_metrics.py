@@ -92,3 +92,49 @@ def test_oracle_compare_detects_hugeint_type_leak(spark, sf_dir):
     )
     ok, why = compare(dfd, con, "SELECT CAST(1 AS BIGINT) AS k, 1.25::DECIMAL(10,2) AS v")
     assert not ok and "type leak" in why
+
+
+def test_oracle_compare_strict_mode(spark, sf_dir):
+    """ADVICE r8: the pandas fetch path collapses SQL NULL and float NaN
+    (both engines), and exempts NULL-bearing integral columns from the
+    HUGEINT leak check. strict=True closes both blind spots — a
+    fetchall() NULL/NaN census for float columns and a DESCRIBE-level
+    type check for integral ones — without changing the driver-faithful
+    default."""
+    from oracle_compare import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    # NULL double on the Spark side, NaN on the oracle side: the pandas
+    # path can't tell them apart (both pass), strict mode must fail.
+    df = spark.createDataFrame([(1, None), (2, 0.5)], "k long, v double")
+    nan_oracle = (
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST('NaN' AS DOUBLE)),"
+        " (CAST(2 AS BIGINT), 0.5)) t(k, v)"
+    )
+    ok, _ = compare(df, con, nan_oracle)
+    assert ok  # driver-faithful: indistinguishable on the pandas path
+    ok, why = compare(df, con, nan_oracle, strict=True)
+    assert not ok and "NULL/NaN" in why
+    null_oracle = (
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),"
+        " (CAST(2 AS BIGINT), 0.5)) t(k, v)"
+    )
+    ok, why = compare(df, con, null_oracle, strict=True)
+    assert ok, why
+    # HUGEINT leak hiding in a NULL-bearing integral column: the pandas
+    # path coerces and passes; strict DESCRIBE check must fail.
+    dfi = spark.createDataFrame([(1, None), (2, 4)], "k long, v long")
+    masked_leak = (
+        "SELECT k, sum(x) * 2 AS v FROM (VALUES (1, NULL), (2, 2)) t(k, x) "
+        "GROUP BY k"
+    )
+    ok, _ = compare(dfi, con, masked_leak)
+    assert ok  # pandas path: float64-with-NaN exemption masks it
+    ok, why = compare(dfi, con, masked_leak, strict=True)
+    assert not ok and "strict type check" in why
+    cast_fixed = (
+        "SELECT k, CAST(sum(x) * 2 AS BIGINT) AS v "
+        "FROM (VALUES (1, NULL), (2, 2)) t(k, x) GROUP BY k"
+    )
+    ok, why = compare(dfi, con, cast_fixed, strict=True)
+    assert ok, why
