@@ -50,5 +50,6 @@ def load_all() -> None:
         pipeline_ext,
         relational,
         round8_ops,
+        round9_ops,
         streaming_queries,
     )

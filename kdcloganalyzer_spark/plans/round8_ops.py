@@ -924,6 +924,50 @@ _LP_EDGES_SQL = """
 """
 
 
+def lp_initial_labels(sym: DataFrame) -> DataFrame:
+    """Every node starts as its own community (label = node id)."""
+    return (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lab"))
+    )
+
+
+def lp_vote_round(
+    sym: DataFrame, labels: DataFrame, broadcast_labels: bool = False
+) -> DataFrame:
+    """One synchronous LP round over a symmetric edge list: each node
+    adopts its neighbors' most frequent label, ties to the smallest —
+    deterministic, so both the 3-round unrolled query and the
+    converged loop (round9_ops) replay identically.
+
+    ``broadcast_labels=True`` is the iterated-loop path: the label
+    table is node-sized and each loop round's labels are checkpointed
+    (carry no stats — AQE would never pick the broadcast itself,
+    the bfs_distances rule), so broadcasting it turns the per-round
+    edge shuffle into a stationary-edges broadcast join; only the
+    much smaller (node, lab) vote pairs ever shuffle. The unrolled
+    3-round form keeps the default: its labels are a lazy intermediate
+    inside one fused plan, and broadcasting would materialize them."""
+    lab = F.broadcast(labels) if broadcast_labels else labels
+    votes = (
+        sym.join(lab, sym["dst"] == lab["node"])
+        .groupBy(sym["src"].alias("vnode"), "lab")
+        .agg(F.count("*").alias("votes"))
+    )
+    # Deterministic argmax via the row_number window (matches the
+    # QUALIFY oracle form). Measured note: a sort-free
+    # min_by(lab, struct(-votes, lab)) aggregate looks cheaper on paper
+    # but plans as ObjectHashAggregate outside whole-stage codegen and
+    # ran ~4x SLOWER at sf0.1 — the sort window stays codegen'd.
+    w = Window.partitionBy("vnode").orderBy(F.desc("votes"), "lab")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vnode").alias("node"), "lab")
+    )
+
+
 def _lp_round_sql(prev: str, cur: str) -> str:
     """One synchronous LP round: adopt the most frequent neighbor label,
     ties to the lexicographically smallest — fully deterministic."""
@@ -973,23 +1017,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kdcloganalyzer_spark.plans.analytics import _coorder_edges
 
     sym = _coorder_edges(spark, sf_dir)
-    labels = (
-        sym.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("lab"))
-    )
+    labels = lp_initial_labels(sym)
     for _ in range(3):
-        votes = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy(sym["src"].alias("vnode"), "lab")
-            .agg(F.count("*").alias("votes"))
-        )
-        w = Window.partitionBy("vnode").orderBy(F.desc("votes"), "lab")
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("vnode").alias("node"), "lab")
-        )
+        labels = lp_vote_round(sym, labels)
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("node").alias("min_member"),
