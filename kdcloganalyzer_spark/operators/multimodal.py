@@ -1,15 +1,17 @@
 """Multimodal column plumbing (SURVEY.md §2.3): opaque binary payloads with
 typed metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
-The PNG path is a REAL decode: payloads built as structurally valid PNG
-containers (signature, IHDR with big-endian geometry, spec CRC32s) are
-parsed byte-for-byte with stdlib struct/zlib — signature, IHDR bounds,
-width/height/bit-depth/color-type, CRC validation. The container has no
-pixel codecs, so formats beyond the header probe (JPEG entropy decode,
-audio/video) keep the documented deterministic STUB (a real deployment
-replaces that branch with PIL/ffmpeg calls). Everything around it — the
-binary column, the schema, the Arrow batch shape, the partition-parallel
-UDF execution — is real and tested.
+The PNG and JPEG paths are REAL decodes: payloads built as structurally
+valid containers (PNG signature + IHDR with big-endian geometry + spec
+CRC32s; JFIF SOI + APP0 + SOF0 frame header + EOI trailer) are parsed
+byte-for-byte with stdlib struct/zlib — marker/signature checks, segment
+lengths, big-endian width/height/precision/component reads, CRC
+validation for PNG. The containers carry no pixel codecs, so work beyond
+the header probe (entropy decode, audio/video) keeps the documented
+deterministic STUB (a real deployment replaces that branch with
+PIL/ffmpeg calls). Everything around it — the binary column, the schema,
+the Arrow batch shape, the partition-parallel UDF execution — is real
+and tested.
 
 At 100 TB: payloads stay in executor-local Arrow batches; only extracted
 metadata (a few ints per blob) crosses into the query plan. Batch size is
@@ -73,6 +75,29 @@ def _make_extract_batches():
             ok = (_zlib.crc32(p[12:29]) & 0xFFFFFFFF) == crc
             return (w, h, bit_depth, color_type, "png" if ok else "png_bad_crc")
 
+        def parse_jpeg(p: bytes):
+            # JFIF header probe at the container's fixed offsets: SOI,
+            # APP0 (marker + declared length + 'JFIF\0' identifier),
+            # SOF0 frame header (length, 8-bit precision, big-endian
+            # height/width, component count), EOI trailer. Exactly what
+            # an image-dimension probe reads before an entropy decode.
+            if len(p) < 41 or p[0:2] != b"\xff\xd8" or p[-2:] != b"\xff\xd9":
+                return None
+            if p[2:4] != b"\xff\xe0":
+                return None
+            (app0_len,) = _struct.unpack(">H", p[4:6])
+            if app0_len != 16 or p[6:11] != b"JFIF\x00":
+                return None
+            if p[20:22] != b"\xff\xc0":
+                return None
+            (sof_len,) = _struct.unpack(">H", p[22:24])
+            precision = p[24]
+            if sof_len != 17 or precision != 8:
+                return None
+            h, w = _struct.unpack(">HH", p[25:29])
+            n_components = p[29]
+            return (w, h, precision, n_components, "jpeg")
+
         def decode_stub(payload: bytes):
             # Deterministic fake of an image-dimension probe for payloads
             # in formats this container can't decode.
@@ -81,7 +106,8 @@ def _make_extract_batches():
 
         for pdf in iterator:
             rows = [
-                parse_png(p) or decode_stub(p) for p in pdf["payload"]
+                parse_png(p) or parse_jpeg(p) or decode_stub(p)
+                for p in pdf["payload"]
             ]
             yield _pd.DataFrame(
                 {
@@ -127,15 +153,24 @@ def _chunk(ctype_hex: str, data):
     return F.concat(_be4(F.length(data)), body, _be4(F.crc32(body)))
 
 
-def with_image_payload(docs: DataFrame) -> DataFrame:
-    """Attach a binary column where EVEN doc_ids carry a structurally
-    valid PNG container (signature + IHDR with genuine big-endian
-    geometry + real CRC32s + the text bytes as the IDAT payload) and odd
-    doc_ids carry the raw bytes (exercising the non-decodable fallback).
+def _be2(col):
+    """Integer → 2-byte big-endian binary, JVM-side."""
+    return F.unhex(F.lpad(F.hex(col), 4, "0"))
 
-    Embedded geometry is content-derived so the decode can be verified
-    end-to-end by an engine-independent oracle: width = 1 + n_bytes mod
-    1024, height = 1 + first md5(text) byte. Built entirely from
+
+def with_image_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary column: doc_id % 3 == 0 carries a structurally
+    valid PNG container (signature + IHDR with genuine big-endian
+    geometry + real CRC32s + the text bytes as the IDAT payload),
+    doc_id % 3 == 1 a structurally valid JFIF/JPEG (SOI + spec APP0 +
+    SOF0 frame header with big-endian height/width + the text bytes as
+    the entropy-data stand-in + EOI), and the rest the raw bytes
+    (exercising the non-decodable fallback).
+
+    Embedded geometry is content-derived so BOTH decodes verify
+    end-to-end against an engine-independent oracle: width = 1 +
+    n_bytes mod 1024, height = 1 + first md5(text) byte (fits the
+    16-bit JPEG fields by construction). Built entirely from
     concat/unhex/crc32 — codegen'd, no UDF on the write side."""
     payload = F.encode("text", "UTF-8")
     w = F.lit(1) + F.length(payload) % 1024
@@ -151,11 +186,26 @@ def with_image_payload(docs: DataFrame) -> DataFrame:
         _chunk("49444154", payload),  # IDAT (opaque stand-in bytes)
         F.expr("X'0000000049454E44AE426082'"),  # IEND (fixed CRC)
     )
+    jpeg = F.concat(
+        F.expr("X'FFD8'"),  # SOI
+        # APP0, length 16: 'JFIF\0', version 1.1, aspect-ratio units,
+        # density 1x1, no thumbnail
+        F.expr("X'FFE000104A46494600010100000100010000'"),
+        # SOF0, length 17: precision 8, height, width, 3 components
+        # (YCbCr ids 1-3 with 4:2:0 sampling, quant tables 0/1/1)
+        F.expr("X'FFC0001108'"),
+        _be2(h),
+        _be2(w),
+        F.expr("X'03012200021101031101'"),
+        payload,  # entropy-data stand-in (header probe never reads it)
+        F.expr("X'FFD9'"),  # EOI
+    )
     return docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, png).otherwise(payload).alias(
-            "payload"
-        ),
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(payload)
+        .alias("payload"),
     )
 
 

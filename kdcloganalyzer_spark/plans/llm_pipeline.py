@@ -1220,21 +1220,26 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text))
-                + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END
+                + CASE WHEN doc_id % 3 = 0 THEN 57
+                       WHEN doc_id % 3 = 1 THEN 41 ELSE 0 END
                 AS BIGINT) AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'stubbed' END
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'stubbed' END
              AS decode_status
     FROM documents
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload metadata extraction via mapInPandas. Even doc_ids
-    carry structurally valid PNG containers and get a GENUINE header
-    decode (signature + IHDR + CRC32 check — operators/multimodal.py);
-    odd doc_ids exercise the documented stub fallback. Oracle checks the
-    container arithmetic (8-byte signature + 25-byte IHDR + 12-byte IDAT
-    framing + 12-byte IEND = 57 bytes of PNG overhead) and that the CRC
-    validation reported 'png', i.e. the bytes round-tripped intact."""
+    """Binary-payload metadata extraction via mapInPandas. doc_id%3==0
+    carries structurally valid PNG containers (signature + IHDR + CRC32
+    check), %3==1 structurally valid JFIF/JPEGs (SOI + APP0 + SOF0 +
+    EOI marker/length validation) — both get GENUINE header decodes
+    (operators/multimodal.py); the rest exercise the documented stub
+    fallback. Oracle checks the container arithmetic (PNG: 8-byte
+    signature + 25-byte IHDR + 12-byte IDAT framing + 12-byte IEND =
+    57 bytes of overhead; JPEG: 2-byte SOI + 18-byte APP0 + 19-byte
+    SOF0 + 2-byte EOI = 41) and that validation reported 'png'/'jpeg',
+    i.e. the bytes round-tripped intact."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs).select(
         "doc_id", "n_bytes", "decode_status"
@@ -1255,29 +1260,36 @@ _B1 = _HEXB.format(a=3, b=4)
     oracle=f"""
     SELECT doc_id,
            CAST(octet_length(encode(text))
-                + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 0 END
+                + CASE WHEN doc_id % 3 = 0 THEN 57
+                       WHEN doc_id % 3 = 1 THEN 41 ELSE 0 END
                 AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN doc_id % 2 = 0
+           CAST(CASE WHEN doc_id % 3 < 2
                      THEN 1 + octet_length(encode(text)) % 1024
                      ELSE 1 + {_B0} END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 2 = 0
+           CAST(CASE WHEN doc_id % 3 < 2
                      THEN 1 + {_B0}
                      ELSE 1 + {_B1} END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 END AS INT) AS bit_depth,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 6 END AS INT) AS color_type,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'stubbed' END
+           CAST(CASE WHEN doc_id % 3 < 2 THEN 8 END AS INT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 6
+                     WHEN doc_id % 3 = 1 THEN 3 END AS INT) AS color_type,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'stubbed' END
              AS decode_status
     FROM documents
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode output. Even doc_ids: GENUINE PNG header parse — the
-    oracle recomputes the geometry that with_image_payload embedded
-    (width = 1 + byte-length mod 1024, height = 1 + first md5 byte), so
-    a hash match proves the big-endian IHDR reads and the CRC check ran
-    against real container bytes, not a formula shortcut. Odd doc_ids:
-    the md5-derived stub (same hex extraction as multimodal_resize) with
-    NULL bit_depth/color_type. The whole mapInPandas path — binary
+    """Full decode output. doc_id%3==0: GENUINE PNG header parse;
+    %3==1: GENUINE JFIF/JPEG header parse (big-endian SOF0
+    height/width/precision/component reads behind marker+length
+    validation) — the oracle recomputes the geometry that
+    with_image_payload embedded (width = 1 + byte-length mod 1024,
+    height = 1 + first md5 byte), so a hash match proves the big-endian
+    header reads (and the PNG CRC check) ran against real container
+    bytes, not a formula shortcut. color_type carries PNG's color type
+    (6 = RGBA) or JPEG's component count (3 = YCbCr). Remaining ids:
+    the md5-derived stub (same hex extraction as multimodal_resize)
+    with NULL bit_depth/color_type. The whole mapInPandas path — binary
     column, Arrow batches, typed nullable ints — is hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(docs)
