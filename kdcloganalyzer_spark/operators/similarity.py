@@ -71,6 +71,42 @@ def _literal_matrix(rows: list[list[float]]):
     return F.expr(f"array({inner})")
 
 
+def _literal_matrix_exact(rows: list[list[float]]):
+    """Like :func:`_literal_matrix` but FULL double precision (.17e
+    round-trips every IEEE double exactly). Needed when the same values
+    must also be derived from table data on the oracle side (the IVF
+    centers): a .6e-truncated Spark literal would differ from DuckDB's
+    full-precision float32→double widening and flip near-tie argmins."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x):.17e}" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def _literal_vector_exact(row: list[float]):
+    """Single constant array<double> at full precision (one parsed
+    expression — see _literal_matrix for the py4j rationale)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x):.17e}" for x in row) + ")"
+    )
+
+
+def _sqdist_to_literal(col, center: list[float]):
+    """Squared Euclidean distance from an array<float> column to a
+    full-precision literal center — the element-order-sequential fold
+    both engines replay identically."""
+    return F.aggregate(
+        F.zip_with(
+            col,
+            _literal_vector_exact(center),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _sign_bits_expr(unit_col, planes: list[list[float]]):
     """All signed-projection bits in ONE transform over a literal plane
     matrix: bit j = sign(<v, plane_j>). A fold per plane per vector, but a
@@ -106,13 +142,19 @@ def _pack_bucket(bits_col, start: int, n_planes: int):
 def _cell_dist_exprs(n_cells: int, centers: list[list[float]]):
     """(dists, ranked_cells): squared-Euclidean distances to every centroid
     in one fold over a literal center matrix, and cell indices sorted by
-    that distance."""
-    mat = _literal_matrix(centers)
+    that distance. Full-precision literals: the oracle derives the same
+    centers from the embeddings table."""
+    mat = _literal_matrix_exact(centers)
     dists = F.transform(
         mat,
         lambda c: F.aggregate(
             F.zip_with(
-                F.col("embedding"), c, lambda x, y: (x.cast("double") - y) ** 2
+                F.col("embedding"),
+                c,
+                # explicit multiply, not **2: keeps the expression
+                # textually aligned with the oracle's (a-b)*(a-b)
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -125,26 +167,95 @@ def _cell_dist_exprs(n_cells: int, centers: list[list[float]]):
     return dists, ranked
 
 
+#: Lloyd quantization scale: embeddings are quantized to round(x * 2^20)
+#: BIGINT micro-units before centroid accumulation, so the per-cell sums
+#: are EXACT integers (order-free across engines) and each centroid
+#: coordinate is one correctly-rounded double division s/(n*2^20) — the
+#: repo's integer-micro-units idiom applied to KMeans itself.
+_LLOYD_SCALE = 1 << 20
+
+
 def build_ivf_index(
-    emb: DataFrame, n_cells: int = 16, seed: int = 42
+    emb: DataFrame, n_cells: int = 16, lloyd_rounds: int = 4
 ) -> tuple[DataFrame, list[list[float]]]:
-    """One-time IVF index build: KMeans centroids + per-vector cell
-    assignment. A real deployment builds this once, persists it, and
-    amortizes it over every query — callers should cache/persist the
-    returned DataFrame (plans/llm_pipeline.py does).
+    """One-time IVF index build: deterministic farthest-point seeding +
+    exact-integer Lloyd refinement + per-vector cell assignment. A real
+    deployment builds this once, persists it, and amortizes it over
+    every query — callers should cache/persist the returned DataFrame
+    (plans/llm_pipeline.py does).
 
-    Scale: KMeans fit is bounded passes over the corpus (fit on a sample
-    at 100 TB); assignment is one codegen fold per row over a literal
-    centroid matrix — no Python, no shuffle beyond KMeans itself."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Seeding (VERDICT r8 item 9): deterministic FARTHEST-POINT traversal
+    (Gonzalez 1985, the 2-approximation to k-center) — center 0 is the
+    vector whose (md5(vec_id), vec_id) ranks first, and each subsequent
+    center is the vector maximizing the min squared distance to the
+    centers so far, ties to the smallest vec_id — followed by
+    ``lloyd_rounds`` of EXACT-INTEGER Lloyd refinement: embeddings
+    quantize to round(x·2^20) BIGINT micro-units, per-cell per-dim sums
+    are exact integers (summation-ORDER-FREE, unlike float means), and
+    each refined centroid coordinate is the single correctly-rounded
+    double division s/(n·2^20). This replaces the earlier
+    KMeans(seed=42) fit whose random init + float mean accumulation
+    existed only Spark-side: every step here — folds, least() chains,
+    id tie-breaks, integer sums, one division — is replayed
+    bit-identically by DuckDB (ivf_oracle_sql), so the cell assignment
+    and the IVF search on top are hash-verifiable, moving
+    sim_search_ivf from rows-only to a green row, at KMeans-grade
+    clustering quality (max-min seeding alone measured mean recall@10
+    0.46-0.52 on this corpus; with integer Lloyd it is back at the
+    KMeans level and the composed IVFPQ floor >= 0.7 holds).
 
+    Scale: seeding is n_cells TakeOrdered(1) passes over the corpus
+    with a localCheckpointed running min-distance column (lineage
+    O(1)); each Lloyd round is one argmin fold + one partial-agg'd
+    (cell, dim) integer-sum shuffle of n_cells x dim rows; assignment
+    is one codegen fold per row over the literal centroid matrix — no
+    Python in any hot path. At 100 TB the build runs on a
+    deterministic sample exactly like any k-means build."""
     unit = with_unit_vector(spread(emb).select("vec_id", "embedding"), "embedding")
-    feat = unit.withColumn("features", array_to_vector("embedding"))
-    # maxIter=8: centroid quality plateaus fast and each iteration is a
-    # full corpus pass — recall is governed far more by n_probe.
-    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(feat)
-    centers = [c.tolist() for c in model.clusterCenters()]
+    base = unit.select("vec_id", "embedding").localCheckpoint(eager=False)
+    first = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [[float(x) for x in first["embedding"]]]
+    cur = base.withColumn(
+        "dmin", _sqdist_to_literal(F.col("embedding"), centers[0])
+    ).localCheckpoint()
+    for _ in range(1, n_cells):
+        far = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        centers.append([float(x) for x in far["embedding"]])
+        cur = cur.withColumn(
+            "dmin",
+            F.least(
+                F.col("dmin"),
+                _sqdist_to_literal(F.col("embedding"), centers[-1]),
+            ),
+        ).localCheckpoint()
+    dim = len(centers[0])
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * _LLOYD_SCALE).cast("long"),
+    )
+    for _ in range(lloyd_rounds):
+        dists, ranked = _cell_dist_exprs(n_cells, centers)
+        sums = (
+            base.withColumn("dists", dists)
+            .withColumn("cell", F.element_at(ranked, 1))
+            .select("cell", F.posexplode(quant).alias("pos", "q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        moved = {}
+        for r in sums:
+            moved.setdefault(r["cell"], [None] * dim)[r["pos"]] = int(
+                r["s"]
+            ) / (int(r["n"]) * _LLOYD_SCALE)
+        # empty cells (a duplicate seed lost its own point to a
+        # lower-index twin) keep their previous center — mirrored by
+        # the oracle's coalesce.
+        centers = [moved.get(i, centers[i]) for i in range(n_cells)]
     dists, ranked = _cell_dist_exprs(n_cells, centers)
     assigned = (
         unit.withColumn("dists", dists)
@@ -334,7 +445,7 @@ def build_ivfpq_index(
     bound WHAT each score costs. Build joins the two single-index builds
     on vec_id (once, at index time); serving reads one table carrying
     (vec_id, cell, codes, unit)."""
-    assigned, centers = build_ivf_index(emb, n_cells, seed)
+    assigned, centers = build_ivf_index(emb, n_cells)
     encoded, codebook = build_pq_index(emb, n_sub, n_codes, dim, seed)
     # Lean serving layout: (vec_id, cell, codes, unit). The raw embedding
     # is NOT stored per corpus row — only queries need it (for probe-cell
@@ -354,7 +465,7 @@ def topk_cosine_ivfpq(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 10,
-    n_probe: int = 6,
+    n_probe: int = 8,
     n_rerank: int = 100,
     n_sub: int = 8,
 ) -> DataFrame:
@@ -483,6 +594,139 @@ def topk_cosine_pq(
 
 
 _DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+
+
+def ivf_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    lloyd_rounds: int = 4,
+) -> str:
+    """DuckDB twin of the Gonzalez-seeded IVF search (build_ivf_index +
+    topk_cosine_ivf). Unlike the LSH twin there are NO literals to
+    share: the centroids are derived from the embeddings table itself —
+    the farthest-point traversal is unrolled into n_cells chained CTEs
+    (seed = (md5(vec_id), vec_id)-ranked first vector; each next center
+    maximizes the least()-chained running min squared distance, ties to
+    the smallest vec_id — exactly the folds Spark runs), so the oracle
+    rebuilds centers, replays the argmin cell assignment, probes the
+    n_probe nearest cells per query, and exactly re-ranks — the
+    approximate INDEX is hash-checked end-to-end, not a recall bound."""
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    gonzalez = [
+        """
+    s0 AS MATERIALIZED (
+      SELECT v FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) = 1
+    ),
+    d0 AS MATERIALIZED (
+      SELECT e.vec_id, e.v, {d} AS dmin
+      FROM e CROSS JOIN s0 s
+    )""".format(d=dist.format(a="e.v", b="s.v"))
+    ]
+    for i in range(1, n_cells):
+        step = """
+    s{i} AS MATERIALIZED (
+      SELECT v FROM d{p}
+      QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1
+    )""".format(i=i, p=i - 1)
+        if i < n_cells - 1:
+            step += """,
+    d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.v, least(d.dmin, {d}) AS dmin
+      FROM d{p} d CROSS JOIN s{i} s
+    )""".format(i=i, p=i - 1, d=dist.format(a="d.v", b="s.v"))
+        gonzalez.append(step)
+    centers_union = " UNION ALL ".join(
+        f"SELECT {i} AS cell, v AS c FROM s{i}" for i in range(n_cells)
+    )
+    scale = _LLOYD_SCALE
+    lloyd = []
+    for r in range(lloyd_rounds):
+        lloyd.append(
+            f"""
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist.format(a="e.v", b="c.c")}, c.cell) AS rn
+        FROM e CROSS JOIN centers{r} c
+      ) WHERE rn = 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT cell, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n FROM (
+        SELECT cell, unnest(generate_series(1, {dim})) AS pos,
+               unnest(list_transform(v,
+                 x -> CAST(round(x * {scale}) AS BIGINT))) AS q
+        FROM a{r}
+      ) GROUP BY cell, pos
+    ),
+    centers{r + 1} AS MATERIALIZED (
+      SELECT c.cell, coalesce(mm.c2, c.c) AS c
+      FROM centers{r} c LEFT JOIN (
+        SELECT cell, list(CAST(s AS DOUBLE) / (n * {scale})
+                          ORDER BY pos) AS c2
+        FROM m{r} GROUP BY cell
+      ) mm ON mm.cell = c.cell
+    )"""
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(v, x -> x /
+               sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      FROM e
+    ),{",".join(gonzalez)},
+    centers0 AS MATERIALIZED (
+      {centers_union}
+    ),{",".join(lloyd)},
+    centers AS (
+      SELECT cell, c FROM centers{lloyd_rounds}
+    ),
+    dist AS (
+      SELECT e.vec_id, ce.cell,
+             {dist.format(a="e.v", b="ce.c")} AS d
+      FROM e CROSS JOIN centers ce
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM dist
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cell) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, cell FROM dist WHERE vec_id < {n_queries}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cell) <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.q_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             round({_DUCK_DOT.format(a="qu.u", b="bu.u")}, 6) AS cos
+      FROM cand c
+      JOIN unit qu ON qu.vec_id = c.q_id
+      JOIN unit bu ON bu.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def lsh_oracle_sql(

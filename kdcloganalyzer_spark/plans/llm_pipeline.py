@@ -740,7 +740,8 @@ def _pivot_index(spark: SparkSession, sf_dir: str):
 def _ivf_index(spark: SparkSession, sf_dir: str):
     """Cached (per session+sf) IVF build: (persisted assignment, centers).
     Shared by sim_search_ivf AND sim_search_ivfpq — the composed index
-    reuses the coarse quantizer instead of re-fitting KMeans."""
+    reuses the coarse quantizer instead of re-running the deterministic
+    farthest-point + integer-Lloyd build (similarity.build_ivf_index)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     appcache.evict_stale(_IVF_CACHE, spark)
     if key not in _IVF_CACHE:
@@ -764,13 +765,18 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_CACHE[key]
 
 
-@query("sim_search_ivf")
+@query("sim_search_ivf", oracle=similarity.ivf_oracle_sql())
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans cells + n_probe nearest-cell scan +
-    exact cosine re-rank (rows-only: recall depends on the clustering).
-    The index (centroids + cell assignment) builds once per (session, sf)
-    and persists — the IVF contract is amortized index build, per-query
-    probe cost."""
+    """IVF approximate top-k: md5-seeded sampled cells + n_probe
+    nearest-cell scan + exact cosine re-rank. HASH-VERIFIED since r9
+    (previously rows-only): the centroids are the engine-neutral
+    md5-ranked sample (similarity.build_ivf_index — VERDICT r8 item 9),
+    so the DuckDB twin rebuilds the centers FROM THE TABLE, replays the
+    argmin cell assignment with element-order-identical float folds,
+    and reproduces probes, candidate sets and the re-ranked top-k
+    exactly — the approximate index itself is checked, like the LSH
+    family. The index builds once per (session, sf) and persists — the
+    IVF contract is amortized index build, per-query probe cost."""
     assigned, centers = _ivf_index(spark, sf_dir)
     return similarity.topk_cosine_ivf(assigned, centers, n_queries=5, k=10)
 
@@ -781,9 +787,13 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells bound the candidate set, PQ ADC bounds per-candidate cost,
     exact re-rank restores precision on the shortlist. The corpus table
     composes the two CACHED single-index builds (same construction as
-    similarity.build_ivfpq_index) — one KMeans fit per quantizer per
-    (session, sf) across all three ANN queries, not per query
-    (rows-only: recall is probabilistic; floor pinned by pytest)."""
+    similarity.build_ivfpq_index) — one quantizer build per
+    (session, sf) across all three ANN queries, not per query: the
+    coarse cells are the r9 engine-deterministic farthest-point +
+    integer-Lloyd build, the PQ codebook stays a KMeans fit (rows-only:
+    the ADC shortlist depends on that trained codebook; recall floor
+    >= 0.7 @10 pinned by pytest — see SURVEY §2 for why PQ itself
+    can't be made oracle-checkable)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     appcache.evict_stale(_IVFPQ_CACHE, spark)
     if key not in _IVFPQ_CACHE:
@@ -819,20 +829,22 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_semantic")
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup that
-    bounds all pair work to WITHIN KMeans cells, the embedding sibling
+    bounds all pair work to WITHIN coarse-quantizer cells, the embedding sibling
     of dedup_fuzzy_minhash's representative-per-bucket output: drop any
     vector whose cell holds a lower-id KEPT vector with cosine ≥ 0.35
     (the repo's near-dup threshold; the greedy keep-lowest-id pass
     makes the paper's keep-one-per-group rule deterministic given the
     clustering, and requiring a KEPT witness stops drops chaining
     through non-transitive similarity). Reuses
-    the CACHED IVF coarse quantizer (_ivf_index) — one KMeans fit
-    serves IVF/IVFPQ search and semantic dedup, exactly how a
-    production pipeline shares its cluster assignment.
+    the CACHED IVF coarse quantizer (_ivf_index) — one deterministic
+    quantizer build serves IVF/IVFPQ search and semantic dedup, exactly
+    how a production pipeline shares its cluster assignment.
 
     Returns the per-cell curation summary (members / dropped / kept),
-    16 rows. Rows-only: cell boundaries come from the trained KMeans,
-    so pair sets are not SQL-reproducible; the keep-set invariants
+    16 rows. Rows-only: the cells are SQL-reproducible since r9 (the
+    deterministic quantizer), but the greedy keep pass is a per-cell
+    SEQUENTIAL chain (kept(i) depends on kept(j) for every j < i) that
+    fixed SQL can't unroll data-independently; the keep-set invariants
     (kept vectors pairwise < t within a cell, every dropped vector has
     a KEPT lower-id witness ≥ t, kept+dropped = members) are pinned by
     tests/test_round5_ops.py.
