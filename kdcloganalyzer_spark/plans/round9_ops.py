@@ -135,3 +135,258 @@ def graph_label_propagation_converged(
         .withColumn("n_rounds", F.lit(rounds).cast("int"))
         .withColumn("stop_reason", F.lit(reason))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix curation: quota sampling and deterministic interleave
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_quota_sampler",
+    oracle="""
+    SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 120
+    """,
+)
+def pipeline_quota_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUOTA sampling for training-mix curation: every source
+    contributes at most 120 documents, chosen by the deterministic
+    md5(doc_id) rank — the reproducible stand-in for 'uniformly at
+    random per source' that survives reruns, backfills and engine
+    changes (the sampling decision is a pure function of the key, the
+    same contract as sample_stratified_md5, but with an exact per-group
+    COUNT cap, which Bernoulli sampling cannot give).
+
+    Scale: one shuffle on source + a rank window. Sources are few and
+    can be huge (the classic skew), so at 100 TB the window form is
+    replaced by the two-phase top-K: per-partition TakeOrdered(quota)
+    partial results, then a quota-sized merge per source — same
+    semantics, no full per-source sort; AQE skew-split covers the
+    window form in the meantime. The md5 rank also means INCREMENTAL
+    ingestion keeps prior picks stable except at the quota boundary."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 120)
+        .withColumn("sample_rank", F.col("sample_rank").cast("int"))
+    )
+
+
+@query(
+    "pipeline_interleave_sources",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk,
+             dense_rank() OVER (ORDER BY source) - 1 AS src_idx,
+             count(DISTINCT source) OVER () AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rk * n_src + src_idx AS BIGINT) AS mix_pos
+    FROM ranked
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ROUND-ROBIN interleave of corpus sources — the
+    'mix the sources evenly through the epoch' ordering every
+    multi-corpus training run needs (a plain concat trains on source A
+    for hours before seeing B; a global random shuffle loses source
+    balance in any prefix). Each document's global mix position is
+    rk * n_sources + source_index, with rk the deterministic md5 rank
+    within its source: any PREFIX of the ordering is source-balanced
+    to within one document, and the whole ordering is a pure function
+    of the keys (reproducible epochs).
+
+    Scale: one shuffle on source for the rank window plus two
+    broadcast-sized side computations (source index, source count) —
+    at 100 TB the writer sorts by mix_pos into shards
+    (repartitionByRange), which is exactly pipeline_global_shuffle's
+    story with a balance guarantee instead of a random one."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    srcs = docs.select("source").distinct()
+    n_src = srcs.count()  # control scalar (tiny, bounded by source count)
+    sw = Window.orderBy("source")
+    src_idx = srcs.select(
+        "source", (F.row_number().over(sw) - 1).alias("src_idx")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(src_idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rk") * n_src + F.col("src_idx"))
+            .cast("long")
+            .alias("mix_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: co-occurrence lift and within-doc repetition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+               AS w
+      FROM documents
+    ), df AS (
+      SELECT w, count(*) AS n FROM words GROUP BY w
+    ), vocab AS (
+      SELECT w, n FROM df
+      QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 40
+    ), doc_vocab AS (
+      SELECT wo.doc_id, wo.w, v.n FROM words wo JOIN vocab v ON v.w = wo.w
+    ), pairs AS (
+      SELECT a.w AS w_a, b.w AS w_b, a.n AS n_a, b.n AS n_b,
+             count(*) AS n_ab
+      FROM doc_vocab a JOIN doc_vocab b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w, a.n, b.n
+    ), total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * n_docs * 1000000 // (n_a * n_b) AS BIGINT)
+             AS lift_micro
+    FROM pairs CROSS JOIN total
+    WHERE n_ab >= 5
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence LIFT over the top-40-df vocabulary: for word
+    pairs appearing together in >= 5 documents, lift = P(a,b) /
+    (P(a)·P(b)) as the exact integer micro-ratio n_ab·N·1e6 //
+    (n_a·n_b) — the PMI-style association score behind phrase mining
+    and topic drift monitors, kept order-free by integer
+    cross-multiplication (no log, no float division).
+
+    Scale: the vocabulary CAP is the plan's safety valve — pair
+    explosion is bounded by |vocab|² per doc, not |doc words|²; the
+    per-doc pair join is an equi-join on doc_id between two
+    vocab-filtered projections of the same exploded table (broadcast
+    vocab), and the pair aggregate partial-combines to <= |vocab|²
+    rows. At 100 TB the vocab comes from a frequency sketch pass and
+    the cap rises with cluster memory, not with corpus size."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # control scalar
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("w"),
+    )
+    df_tab = words.groupBy("w").agg(F.count("*").alias("n"))
+    vw = Window.orderBy(F.desc("n"), "w")
+    vocab = (
+        df_tab.withColumn("rk", F.row_number().over(vw))
+        .where(F.col("rk") <= 40)
+        .drop("rk")
+    )
+    doc_vocab = words.join(F.broadcast(vocab), "w")
+    a = doc_vocab.select(
+        "doc_id", F.col("w").alias("w_a"), F.col("n").alias("n_a")
+    )
+    b = doc_vocab.select(
+        "doc_id", F.col("w").alias("w_b"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    return pairs.select(
+        "w_a",
+        "w_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.expr(f"CAST(n_ab * {n_docs} * 1000000 div (n_a * n_b) AS BIGINT)")
+        .alias("lift_micro"),
+    )
+
+
+@query(
+    "quality_repetition_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws
+      FROM documents WHERE doc_id % 4 = 0
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+      FROM toks WHERE len(ws) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g3) AS BIGINT) AS n3,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS d3,
+           CAST((len(g3) - len(list_distinct(g3))) * 1000000 // len(g3)
+                AS BIGINT) AS rep_micro
+    FROM grams
+    """,
+)
+def quality_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document 3-gram repetition rate (the Gopher 'repetition'
+    quality signal class — machine-generated and boilerplate text
+    repeats itself): per doc, total 3-grams, distinct 3-grams, and the
+    duplicated fraction as exact integer micro-units. Complements
+    text_ngram_novelty (CROSS-doc n-gram novelty) — this one needs no
+    corpus state at all.
+
+    Scale: embarrassingly parallel — a per-row codegen expression
+    (pre-shifted slice zip for the 3-grams, the arrays_zip idiom from
+    the verify notes; array_distinct per row), no shuffle anywhere, so
+    it rides the scan of whatever pipeline stage already reads the
+    text. The %4 slice keeps the bench row bounded; production runs
+    unsliced."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 0
+    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    toks = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 3)
+    # all three slices must be EXACTLY size-2 long: arrays_zip pads the
+    # shorter arrays with NULL up to the longest, which would fabricate
+    # a trailing 2-word gram.
+    g3 = F.expr(
+        "transform(arrays_zip(slice(ws, 1, size(ws) - 2),"
+        " slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2)),"
+        " s -> concat_ws(' ', s['0'], s['1'], s['2']))"
+    )
+    out = toks.select("doc_id", g3.alias("g3"))
+    return out.select(
+        "doc_id",
+        F.size("g3").cast("long").alias("n3"),
+        F.size(F.array_distinct("g3")).cast("long").alias("d3"),
+        F.expr(
+            "CAST((size(g3) - size(array_distinct(g3))) * 1000000"
+            " div size(g3) AS BIGINT)"
+        ).alias("rep_micro"),
+    )
