@@ -390,3 +390,239 @@ def quality_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div size(g3) AS BIGINT)"
         ).alias("rep_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency, table profiling, decile lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_concurrency_peak",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e_us
+      FROM events
+    ), deltas AS (
+      SELECT event_type, s_us AS t_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e_us, -1 FROM iv
+    ), runs AS (
+      SELECT event_type, t_us,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t_us, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    ), peaks AS (
+      SELECT event_type, max(conc) AS peak FROM runs GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak_concurrency,
+           CAST(min(r.t_us) AS BIGINT) AS first_peak_us
+    FROM runs r JOIN peaks p
+      ON p.event_type = r.event_type AND r.conc = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+)
+def window_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENCY per event type via the sweep-line: each event
+    occupies [ts, ts + value seconds); +1/-1 deltas, a running sum in
+    sweep order (end-before-start at equal instants — the half-open
+    interval convention), then the maximum and its FIRST time. The
+    capacity-planning primitive (max simultaneous sessions/jobs/calls)
+    that naive self-joins quadratically botch.
+
+    Determinism note: the sweep ORDER BY (t, delta) has ties only
+    between EQUAL deltas, whose prefix sums are permutation-invariant —
+    so the peak and its first time are total functions of the data (the
+    storage-order sweep in tests/test_oracle_determinism.py pins this).
+
+    Scale: 2 rows per event through one partial-agg'd
+    union-explode, one event_type-partitioned running-sum window, and a
+    tiny peak join — the same one-exchange shape as
+    analytics_order_backlog_curve, per type instead of global. 100 TB:
+    the window key (event_type) is low-cardinality, so hot types
+    AQE-skew-split; for a GLOBAL peak the same sweep runs over
+    range-partitioned time slices with per-slice carry-in offsets."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros("ts")
+    e_us = s_us + F.round(F.col("value") * 1000000).cast("long")
+    iv = ev.select("event_type", s_us.alias("s_us"), e_us.alias("e_us"))
+    deltas = iv.select(
+        "event_type", F.col("s_us").alias("t_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", "e_us", F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = deltas.withColumn("conc", F.sum("delta").over(w))
+    wp = Window.partitionBy("event_type")
+    return (
+        runs.withColumn("peak", F.max("conc").over(wp))
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", F.col("peak").cast("long").alias("peak_concurrency"))
+        .agg(F.min("t_us").cast("long").alias("first_peak_us"))
+    )
+
+
+@query(
+    "quality_profile_columns",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM src
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_totalprice_cents', count(*) - count(cents),
+           count(DISTINCT cents),
+           CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR)
+    FROM src
+    """,
+)
+def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic TABLE PROFILER (the first thing any pipeline runs on an
+    unfamiliar dataset): per column, null count, exact distinct count,
+    and min/max rendered as canonical strings — money profiled as
+    integer cents (a raw double min/max string is engine-formatting-
+    dependent; the cents idiom keeps the profile hash-comparable).
+
+    Scale: ONE pass computes all null counts and min/max (they fold
+    into a single partial-mergeable aggregate); the exact distincts are
+    the expensive part — Spark's multi-count-distinct EXPAND multiplies
+    the scan by the column count, so the plan profiles each column's
+    distinct as its own partial-agg'd pass over a column-pruned scan
+    (6 cheap scans beat one 6x expand — the fn_collation_group lesson),
+    and at 100 TB the distincts swap to approx_count_distinct pass-
+    for-pass with the same plan shape."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("o_totalprice_cents"),
+    )
+    parts = []
+    for c in src.columns:
+        parts.append(
+            src.select(c).agg(
+                F.lit(c).alias("col_name"),
+                (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "analytics_decile_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id,
+             CAST(sum(round(value * 100)) AS BIGINT) AS score_cents,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS responded
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, score_cents, responded,
+             row_number() OVER (ORDER BY score_cents DESC, user_id) AS rn,
+             count(*) OVER () AS n_users,
+             sum(responded) OVER () AS n_resp
+      FROM scored
+    )
+    SELECT CAST((rn - 1) * 10 // n_users AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(responded) AS BIGINT) AS n_responders,
+           CAST(sum(responded) * 1000000 // count(*) AS BIGINT)
+             AS response_rate_micro,
+           CAST(sum(responded) * max(n_users) * 1000000
+                // (count(*) * max(n_resp)) AS BIGINT) AS lift_micro
+    FROM ranked
+    GROUP BY (rn - 1) * 10 // n_users
+    """,
+)
+def analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT TABLE — the model-evaluation staple: users ranked by
+    an engagement score (here total event value in cents, integer from
+    the start), cut into 10 explicit-formula deciles
+    ((rank-1)*10 // N — NOT ntile, whose remainder distribution is a
+    spec detail worth not depending on), and per decile the response
+    rate ('purchase' reached) and lift vs the base rate, both as exact
+    integer micro-ratios.
+
+    Scale: one user-keyed partial agg for scores, one global rank — the
+    global window is the known chokepoint, so at 100 TB the rank swaps
+    to pipeline_global_shuffle's bucket-offset construction (the exact
+    same positions, no single-partition sort); everything after the
+    rank is decile-keyed partial aggregation."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("score_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("responded"),
+    )
+    n_users, n_resp = scored.agg(
+        F.count("*"), F.sum("responded")
+    ).first()  # control scalars (one driver-side row)
+    w = Window.orderBy(F.desc("score_cents"), "user_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    dec = F.expr(f"CAST((rn - 1) * 10 div {n_users} AS INT)")
+    return (
+        ranked.groupBy(dec.alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("responded").cast("long").alias("n_responders"),
+            F.expr("CAST(sum(responded) * 1000000 div count(*) AS BIGINT)")
+            .alias("response_rate_micro"),
+            F.expr(
+                f"CAST(sum(responded) * {int(n_users)} * 1000000"
+                f" div (count(*) * {int(n_resp)}) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
