@@ -49,6 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
         registry.QUERIES["scan_commit_log"](spark, "/root/testdata/sf0.01")
         registry.QUERIES["scan_binaryfile_source"](spark, "/root/testdata/sf0.01")
         registry.QUERIES["scan_nested_struct"](spark, "/root/testdata/sf0.01")
+        registry.QUERIES["scan_hive_partitioned"](
+            spark, "/root/testdata/sf0.01"
+        )
     except Exception:  # noqa: BLE001 — hedge only; smoke check must pass
         pass
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)

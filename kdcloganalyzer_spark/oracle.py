@@ -64,7 +64,12 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
     ``verify`` subcommand and tests/test_queries_oracle.py — without
     the rewrite, a verify at sf0.001 would compare Spark@sf0.001
     against DuckDB@sf0.01 and spuriously fail."""
-    from kdcloganalyzer_spark.plans import kdc_queries, registry, relational
+    from kdcloganalyzer_spark.plans import (
+        kdc_queries,
+        registry,
+        relational,
+        round9_ops,
+    )
     from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
 
     return (
@@ -93,6 +98,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
         .replace(
             relational.DRIVER_NESTED,
             relational.nested_path_for_sf(sf_dir),
+        )
+        .replace(
+            round9_ops.DRIVER_HIVEPART,
+            round9_ops.hive_part_path_for_sf(sf_dir),
         )
     )
 

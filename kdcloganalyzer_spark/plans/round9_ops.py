@@ -626,3 +626,84 @@ def analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned directory scan with partition-dir pruning
+# ---------------------------------------------------------------------------
+
+
+def hive_part_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged dir for the hive-partitioned orders layout
+    (one o_orderstatus=<v> subdirectory per status). Path only — the
+    query stages it idempotently (build dir + atomic rename)."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/hive_part_orders_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_HIVEPART = hive_part_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_hive_partitioned",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM read_parquet('{DRIVER_HIVEPART}/*/*.parquet', hive_partitioning=1)
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned DIRECTORY layout + partition-dir PRUNING — the
+    single most important at-scale scan optimization (a predicate on
+    the partition column eliminates whole directories at PLANNING time;
+    no footer, no row group, no byte of the pruned partitions is ever
+    read). The orders feed is staged once per sf as
+    o_orderstatus=<v>/ subdirectories; the query filters one status and
+    the plan's PartitionFilters prove only that directory is scanned
+    (pinned by tests/test_round9_ops.py via inputFiles()). The DuckDB
+    twin reads the same staged layout with hive_partitioning=1.
+
+    Complements sink_partitioned_parquet (the WRITE side of this
+    layout) and scan_manifest_pruned (min/max file skipping WITHIN a
+    partition — the two prunings compose at 100 TB: partition dirs
+    first, file stats second, row groups third).
+
+    Scale: pruning is O(partitions) metadata work at planning; the
+    scan cost is proportional to the SELECTED partition only. Money is
+    staged as integer cents (engine-neutral)."""
+    import os
+    import shutil
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    base = hive_part_path_for_sf(sf_dir)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        build = f"{base}.build-{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                "o_orderstatus",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(build)
+        )
+        try:
+            os.rename(build, base)
+        except OSError:  # lost the stage race — another writer won
+            shutil.rmtree(build, ignore_errors=True)
+    df = spark.read.parquet(base).where(F.col("o_orderstatus") == "F")
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -74,3 +74,29 @@ def test_label_propagation_converged_query_shape(spark, sf_dir):
         (r["community"], r["n_members"]) for r in conv.collect()
     )
     assert got == want
+
+
+def test_hive_partition_pruning_is_real(spark, sf_dir):
+    """scan_hive_partitioned's filter must prune at the DIRECTORY
+    level: the executed scan reads files from the o_orderstatus=F
+    subdirectory ONLY, and the plan carries a PartitionFilters entry
+    on the partition column."""
+    from kdcloganalyzer_spark.plans.round9_ops import hive_part_path_for_sf
+
+    registry.QUERIES["scan_hive_partitioned"](spark, sf_dir).collect()
+    base = hive_part_path_for_sf(sf_dir)
+    pruned = spark.read.parquet(base).where(F.col("o_orderstatus") == "F")
+    # executed file set (inputFiles() lists the relation PRE-pruning,
+    # so read the files actually touched at execution instead)
+    touched = [
+        r[0]
+        for r in pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    assert touched, "staged layout missing"
+    assert all("o_orderstatus=F" in f for f in touched), touched[:3]
+    all_files = spark.read.parquet(base).inputFiles()
+    assert len(all_files) > len(touched)  # other partitions exist unread
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
