@@ -230,22 +230,41 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _make_resize_batches(max_side: int):
-    """Aspect-preserving resize plan, decode/encode stubbed (see
-    _make_extract_batches for the closure-pickling rationale)."""
+    """Aspect-preserving resize plan. Source geometry comes from the
+    GENUINE container header probes (PNG IHDR / JFIF SOF0 — duplicated
+    into this closure because mapInPandas functions must be
+    self-contained for executor pickling, see _make_extract_batches);
+    only the pixel resample/re-encode step is stubbed."""
 
     def resize_batches(iterator):
         import hashlib as _hashlib
+        import struct as _struct
 
         import pandas as _pd
 
-        def probe(payload: bytes) -> tuple[int, int]:
-            h = _hashlib.md5(payload).digest()
-            return 1 + h[0] % 1024, 1 + h[1] % 1024
+        _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+        def probe(p: bytes):
+            # (src_w, src_h, status): real header reads for the two
+            # container formats, md5 fake for undecodable payloads.
+            if len(p) >= 33 and p[:8] == _PNG_SIG and p[12:16] == b"IHDR":
+                w, h = _struct.unpack(">II", p[16:24])
+                return w, h, "png"
+            if (
+                len(p) >= 41
+                and p[0:2] == b"\xff\xd8"
+                and p[20:22] == b"\xff\xc0"
+                and p[-2:] == b"\xff\xd9"
+            ):
+                h, w = _struct.unpack(">HH", p[25:29])
+                return w, h, "jpeg"
+            d = _hashlib.md5(p).digest()
+            return 1 + d[0] % 1024, 1 + d[1] % 1024, "stubbed"
 
         for pdf in iterator:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                w, h = probe(p)
+                w, h, status = probe(p)
                 scale = min(1.0, max_side / max(w, h))
                 # Real implementation: PIL resize + re-encode of the blob;
                 # raise NotImplementedError there for a genuine decode.
@@ -256,7 +275,7 @@ def _make_resize_batches(max_side: int):
                         h,
                         max(1, int(w * scale)),
                         max(1, int(h * scale)),
-                        "stubbed",
+                        status,
                     )
                 )
             yield _pd.DataFrame(
@@ -276,8 +295,9 @@ def _make_resize_batches(max_side: int):
 
 def resize_images(docs: DataFrame, max_side: int = 256) -> DataFrame:
     """Image-resize plumbing: binary payload in, per-image geometry out.
-    The Arrow batch shape and schema are real; pixel work is stubbed."""
-    return with_binary_payload(docs).mapInPandas(
+    PNG/JPEG source geometry is a real header decode (with_image_payload
+    containers); pixel work is stubbed."""
+    return with_image_payload(docs).mapInPandas(
         _make_resize_batches(max_side), schema=RESIZED_SCHEMA
     )
 

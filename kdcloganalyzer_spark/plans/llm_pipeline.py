@@ -1458,7 +1458,16 @@ def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle=f"""
     WITH probe AS (
-      SELECT doc_id, 1 + {_B0} AS src_width, 1 + {_B1} AS src_height
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 < 2
+                  THEN 1 + octet_length(encode(text)) % 1024
+                  ELSE 1 + {_B0} END AS src_width,
+             CASE WHEN doc_id % 3 < 2
+                  THEN 1 + {_B0}
+                  ELSE 1 + {_B1} END AS src_height,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'stubbed' END AS resize_status
       FROM documents
     )
     SELECT doc_id, src_width, src_height,
@@ -1468,15 +1477,19 @@ def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(1, CAST(floor(src_height *
              least(1.0, 256.0 / greatest(src_width, src_height))) AS INT))
              AS dst_height,
-           'stubbed' AS resize_status
+           resize_status
     FROM probe
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving image resize plumbing (decode/encode stubbed;
-    mapInPandas over binary payloads). Oracle reconstructs the md5-derived
-    fake geometry and the same double-precision scale math, so the whole
-    Arrow round-trip is value-checked."""
+    """Aspect-preserving image resize plumbing over mapInPandas. Since
+    r9 the SOURCE geometry is a GENUINE header decode of the PNG/JFIF
+    containers (big-endian IHDR / SOF0 reads — the oracle recomputes
+    the geometry with_image_payload embedded, so a hash match proves
+    the parse ran against real container bytes); only the pixel
+    resample/re-encode step stays stubbed, and undecodable payloads
+    (doc_id%3==2) keep the md5-derived fake. The double-precision scale
+    math is identical in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.resize_images(docs, max_side=256)
 
