@@ -707,3 +707,133 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2 validity) join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value / 50) AS INT) AS tier
+      FROM events WHERE event_type = 'view' AND user_id < 400
+    ), ordered AS (
+      SELECT user_id, event_id, ts, tier,
+             lag(tier) OVER w AS prev_tier
+      FROM views WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, tier,
+             sum(CASE WHEN prev_tier IS NULL OR prev_tier <> tier
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, CAST(version AS INT) AS version,
+             min(tier) AS tier, min(ts) AS valid_from
+      FROM runs GROUP BY user_id, version
+    ), dim AS (
+      SELECT user_id, version, tier, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version) AS valid_to
+      FROM intervals
+    ), purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND user_id < 400
+    )
+    SELECT p.event_id, p.user_id, p.cents,
+           CAST(d.version AS INT) AS version,
+           CAST(d.tier AS INT) AS tier
+    FROM purchases p LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the feature-store / training-data
+    correctness primitive: each purchase is attributed to the dimension
+    version that was valid AT ITS TIMESTAMP (the user's engagement tier,
+    an SCD2 run over their 'view' events), never to a later one — the
+    lookahead-leakage bug this operator class exists to prevent.
+    Purchases before the user's first view keep NULL version/tier (LEFT
+    join: 'segment unknown at purchase time' is a real category, not a
+    dropped row).
+
+    Plan shape: the dimension build is dim_scd2_build's one-exchange
+    window stack (lag + running sum + groupBy + lead all on one user_id
+    partitioning); the PIT join itself is an EQUI join on user_id with
+    the validity range as residual join predicates — Catalyst plans
+    SMJ/BHJ on the key (never a BNLJ; half-open [from, to) intervals
+    partition each user's timeline, so at most one version matches).
+
+    Scale: dimension rows = attribute CHANGES (sublinear in events);
+    the fact side shuffles once on user_id — or broadcasts the
+    dimension when it fits, the common case. 100 TB feature stores run
+    exactly this join per training example; the [from, to) convention
+    plus the (ts, event_id) total order keep it deterministic under
+    ties (the storage-order sweep pins that)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 400)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") / 50).cast("int").alias("tier"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        views.withColumn("prev_tier", F.lag("tier").over(wo))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_tier").isNull()
+                | (F.col("prev_tier") != F.col("tier")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    intervals = runs.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"), F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = intervals.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        F.col("tier").cast("int").alias("tier"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d = dim.alias("d")
+    p = pur.alias("p")
+    joined = p.join(
+        d,
+        (F.col("p.user_id") == F.col("d.user_id"))
+        & (F.col("p.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("p.ts") < F.col("d.valid_to"))),
+        "left",
+    )
+    return joined.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        "cents",
+        F.col("d.version").alias("version"),
+        F.col("d.tier").alias("tier"),
+    )
