@@ -1,0 +1,110 @@
+"""Pins for the driver-gate ordering contract (VERDICT r8 items 2+8).
+
+The gate caps at ~50 recorded rows per round, so the ORDER of
+``__spark_entry__.queries()`` decides what gets certified. Two
+properties must hold mechanically, not aspirationally:
+
+1. never-certified ids are reserved >= 60% of the slots while any
+   remain (implemented as 4-of-5), ordered oldest-registry-round first
+   via GATE_FIRST_SEEN.json — a new id can never displace one that has
+   waited longer;
+2. the full ordering is a permutation of the registry (nothing dropped,
+   nothing duplicated).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from kdcloganalyzer_spark.plans import registry  # noqa: E402
+
+registry.load_all()
+
+
+def _latest_rows():
+    latest = {}
+    for p in sorted(glob.glob(os.path.join(entry._HERE, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                latest.update(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return latest
+
+
+def _needs_first_check(q, latest):
+    if q not in latest:
+        return True
+    row = latest[q]
+    failed = (
+        (row.get("err") not in (None, "no_oracle"))
+        or (row.get("hash_match") is False)
+        or (row.get("schema_match") is False)
+        or (row.get("rows_match") is False)
+    )
+    return failed or (
+        q in registry.ORACLES and row.get("err") == "no_oracle"
+    )
+
+
+def test_gate_order_is_a_permutation():
+    order = entry._gate_order(list(registry.QUERIES))
+    assert sorted(order) == sorted(registry.QUERIES)
+
+
+def test_never_certified_ids_hold_their_reservation():
+    """Within any prefix of the ordering, steady re-checks may occupy at
+    most 1 slot in 5 while never-certified ids remain unplaced — the
+    >= 60% (actually 80%) reservation of VERDICT r8 item 8."""
+    latest = _latest_rows()
+    order = entry._gate_order(list(registry.QUERIES))
+    urgent_total = sum(1 for q in order if _needs_first_check(q, latest))
+    placed_urgent = 0
+    for i, q in enumerate(order):
+        if _needs_first_check(q, latest):
+            placed_urgent += 1
+        else:
+            # a steady slot is only legal at every 5th position until
+            # the urgent set is exhausted
+            if placed_urgent < urgent_total:
+                assert i % 5 == 4, (
+                    f"steady id {q} at slot {i} while "
+                    f"{urgent_total - placed_urgent} never-certified ids wait"
+                )
+
+
+def test_oldest_first_seen_ids_come_first_within_urgent():
+    """Among never-certified ids, first-seen round is the PRIMARY key:
+    an id registered in an earlier round always precedes one registered
+    later (cost only breaks ties within a cohort)."""
+    latest = _latest_rows()
+    try:
+        with open(os.path.join(entry._HERE, "GATE_FIRST_SEEN.json")) as f:
+            first_seen = json.load(f)
+    except OSError:
+        first_seen = {}
+    order = entry._gate_order(list(registry.QUERIES))
+
+    def failed(row):
+        return (
+            (row.get("err") not in (None, "no_oracle"))
+            or (row.get("hash_match") is False)
+            or (row.get("schema_match") is False)
+            or (row.get("rows_match") is False)
+        )
+
+    # exclude failed-last-time ids: they legitimately jump the queue
+    urgent = [
+        q
+        for q in order
+        if _needs_first_check(q, latest)
+        and not (q in latest and failed(latest[q]))
+    ]
+    rounds = [first_seen.get(q, 10**9) for q in urgent]
+    assert rounds == sorted(rounds), urgent
