@@ -38,9 +38,9 @@ SEEDS = ("a7", "f2")
 registry.load_all()
 
 
-def _connect(seed: str | None) -> duckdb.DuckDBPyConnection:
+def _connect(seed: str | None, threads: int = 2) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    con.execute("PRAGMA threads=2")
+    con.execute(f"PRAGMA threads={threads}")
     for t in DRIVER_TABLES:
         src = f"SELECT * FROM '{SF_DIR}/{t}.parquet'"
         if seed is None:
@@ -62,7 +62,15 @@ def _connect(seed: str | None) -> duckdb.DuckDBPyConnection:
 
 @pytest.fixture(scope="module")
 def cons():
-    built = [_connect(None)] + [_connect(s) for s in SEEDS]
+    # Vary BOTH nondeterminism axes across the three runs: base-table
+    # storage order (the md5 shuffles) AND execution parallelism
+    # (threads 1 vs 8 — DuckDB's parallel aggregation can reorder float
+    # sums, the other way an oracle flakes against the driver).
+    built = [
+        _connect(None, threads=2),
+        _connect(SEEDS[0], threads=1),
+        _connect(SEEDS[1], threads=8),
+    ]
     yield built
     for c in built:
         c.close()
