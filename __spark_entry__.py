@@ -52,6 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
         registry.QUERIES["scan_hive_partitioned"](
             spark, "/root/testdata/sf0.01"
         )
+        registry.QUERIES["scan_corrupt_tolerant"](
+            spark, "/root/testdata/sf0.01"
+        )
     except Exception:  # noqa: BLE001 — hedge only; smoke check must pass
         pass
     return registry.QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)

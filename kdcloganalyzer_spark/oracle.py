@@ -103,6 +103,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             round9_ops.DRIVER_HIVEPART,
             round9_ops.hive_part_path_for_sf(sf_dir),
         )
+        .replace(
+            round9_ops.DRIVER_CORRUPT,
+            round9_ops.corrupt_scan_path_for_sf(sf_dir),
+        )
     )
 
 

@@ -837,3 +837,106 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.version").alias("version"),
         F.col("d.tier").alias("tier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-file-tolerant parquet scan
+# ---------------------------------------------------------------------------
+
+
+def corrupt_scan_path_for_sf(sf_dir: str) -> str:
+    """Deterministic staged dir holding two good parquet files and one
+    corrupt (non-parquet bytes behind a .parquet name) — the layout a
+    100 TB lake ingest inevitably produces."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"/tmp/corrupt_scan_v1_{(m.group(1) if m else '0.001')}"
+
+
+DRIVER_CORRUPT = corrupt_scan_path_for_sf("/root/testdata/sf0.01")
+
+
+@query(
+    "scan_corrupt_tolerant",
+    oracle=f"""
+    SELECT r_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_nation, max(n_name) AS last_nation
+    FROM read_parquet(['{DRIVER_CORRUPT}/good-0.parquet',
+                       '{DRIVER_CORRUPT}/good-1.parquet'])
+    GROUP BY r_regionkey
+    """,
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file-TOLERANT scan: a directory where one .parquet file
+    is garbage bytes (a truncated upload, a half-written object — the
+    fact of life at lake scale) is read with ``ignoreCorruptFiles`` so
+    the two good files' rows survive and the job doesn't die. The
+    oracle reads ONLY the good files explicitly, so a hash match proves
+    tolerance dropped exactly the corrupt file and nothing else —
+    distinct from scan_csv_malformed, which quarantines corrupt ROWS
+    inside well-formed files.
+
+    The toggle is the per-read datasource OPTION (no session-conf
+    mutation), paired with an EXPLICIT schema: schema inference also
+    reads footers and dies on the corrupt one before the option can
+    apply (measured — UNABLE_TO_INFER_SCHEMA), which is itself the
+    production rule this operator encodes: tolerant reads declare
+    their schema. Footer validation then happens at task start, so the
+    corrupt file costs one failed-open, not a retry storm.
+
+    Scale: at 100 TB this flag is the difference between a nightly
+    10k-file load surviving one bad object and re-running; the paired
+    practice is a dead-letter sweep that lists files the scan skipped
+    (here: the staged dir minus the scan's input files)."""
+    import os
+    import shutil
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    base = corrupt_scan_path_for_sf(sf_dir)
+    if not os.path.exists(os.path.join(base, "_STAGED")):
+        build = f"{base}.build-{os.getpid()}"
+        os.makedirs(build, exist_ok=True)
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        region = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        )
+        joined = nation.join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        ).select("n_nationkey", "n_name", "r_regionkey")
+        for i, half in enumerate(
+            (
+                joined.where(F.col("n_nationkey") % 2 == 0),
+                joined.where(F.col("n_nationkey") % 2 == 1),
+            )
+        ):
+            tmp = f"{build}/part{i}"
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            os.replace(f"{tmp}/{src}", f"{build}/good-{i}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(f"{build}/broken.parquet", "wb") as f:
+            f.write(b"PAR1 this is not a parquet footer" * 40)
+        with open(f"{build}/_STAGED", "w") as f:
+            f.write("v1")
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    df = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, r_regionkey int"
+        )
+        .option("ignoreCorruptFiles", "true")
+        .parquet(base)
+    )
+    return df.groupBy("r_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
