@@ -2,7 +2,10 @@
 
 Every query here is oracle-checked against DuckDB. Conventions:
 - computed columns aliased identically on both sides;
-- floating aggregates rounded on both sides (summation-order independence);
+- money/value aggregates accumulate EXACT INTEGER units (`_cents`, or
+  `_rev_e4` for discounted revenue) — `round(sum(DOUBLE))` is
+  summation-order-dependent and flipped a driver hash in r9
+  (analytics_nation_trade_volume); the whole class is migrated;
 - top-k / window queries carry a total tie-break order.
 
 Scale notes (the 100 TB story) are in each docstring; `broadcast()` is
@@ -19,6 +22,26 @@ from pyspark.sql import functions as F
 
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.tables import load_table
+
+
+def _cents(col):
+    """Exact integer cents of a 2-decimal money DOUBLE column.
+
+    All money/value columns in the driver tables carry exactly 2
+    decimals (verified against the parquet), so this is lossless and
+    makes every downstream sum order-free. SQL twin:
+    ``CAST(round(x * 100) AS BIGINT)``."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col * 100).cast("bigint")
+
+
+def _rev_e4(price="l_extendedprice", discount="l_discount"):
+    """Discounted revenue in exact 1e-4 dollars: price cents ×
+    (100 − discount percent). SQL twin:
+    ``CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS
+    BIGINT))``."""
+    return _cents(price) * (100 - _cents(discount))
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +116,8 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*)                 AS n_customers,
-           ROUND(sum(c_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_acctbal_c
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -116,7 +140,9 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.sum(_cents("c_acctbal")).cast("bigint").alias(
+                "total_acctbal_c"
+            ),
         )
     )
 
@@ -283,7 +309,8 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*)                    AS n,
-           ROUND(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -297,7 +324,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("total_c"),
     )
 
 
@@ -307,8 +334,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
            lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
-           ROUND(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_spend_c
     FROM orders
     """,
 )
@@ -328,7 +356,10 @@ def window_rank_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.rank().over(by_price).alias("rnk"),
         F.lag("o_orderkey").over(by_date).alias("prev_order"),
-        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.sum(_cents("o_totalprice"))
+        .over(running)
+        .cast("bigint")
+        .alias("running_spend_c"),
     )
 
 
@@ -422,7 +453,9 @@ def top_n_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_partitioned_parquet",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
     """,
 )
@@ -443,7 +476,9 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_c"),
     )
 
 
@@ -454,7 +489,9 @@ _DPP_CACHE: dict = {}
     "join_dynamic_partition_pruning",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, event_type,
-           count(*) AS n, round(sum(value), 2) AS sum_value
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events
     -- not IN (DATE..., ...): DuckDB 1.0 re-coerces CAST(ts AS DATE) in
     -- an IN list back to TIMESTAMP and matches nothing; BETWEEN is safe
@@ -500,7 +537,9 @@ def join_dynamic_partition_pruning(
         .groupBy("day", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_c"),
         )
     )
 
@@ -509,7 +548,9 @@ def join_dynamic_partition_pruning(
     "analytics_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
            CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
            o.o_orderpriority AS orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -518,7 +559,7 @@ def join_dynamic_partition_pruning(
       AND o.o_orderdate < DATE '1995-03-15'
       AND l.l_shipdate > DATE '1995-03-15'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, orderdate, orderkey
+    ORDER BY revenue_e4 DESC, orderdate, orderkey
     LIMIT 10
     """,
 )
@@ -549,21 +590,21 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("orderkey"),
         F.col("o_orderdate").cast("timestamp").alias("orderdate"),
         F.col("o_orderpriority").alias("orderpriority"),
-    ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
-    )
+    ).agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"))
     return agg.orderBy(
-        F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey")
-    ).limit(10).select("orderkey", "revenue", "orderdate", "orderpriority")
+        F.desc("revenue_e4"), F.asc("orderdate"), F.asc("orderkey")
+    ).limit(10).select(
+        "orderkey", "revenue_e4", "orderdate", "orderpriority"
+    )
 
 
 @query(
     "analytics_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -573,7 +614,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r   ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
-    ORDER BY revenue DESC, nation
+    ORDER BY revenue_e4 DESC, nation
     """,
 )
 def analytics_local_supplier_volume(
@@ -613,12 +654,8 @@ def analytics_local_supplier_volume(
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("nation"))
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("nation"))
     )
 
 
@@ -627,7 +664,9 @@ def analytics_local_supplier_volume(
     oracle="""
     SELECT o.o_orderpriority AS orderpriority,
            count(*) AS n,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -676,9 +715,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("orderpriority")
     ).agg(
         F.count("*").alias("n"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"),
     )
 
 
@@ -692,7 +729,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n,
-           round(sum(e.value * d.weight), 2) AS weighted
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)
+                    * CAST(round(d.weight * 10) AS BIGINT))
+                AS BIGINT) AS weighted_e3
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
@@ -728,7 +767,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+        F.sum(
+            _cents("value") * F.round(F.col("weight") * 10).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("weighted_e3"),
     )
 
 
@@ -738,7 +781,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
            min(ts) AS first_ts,
            max(ts) AS last_ts
     FROM events GROUP BY 1, 2
@@ -765,7 +809,7 @@ def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("sum_value"),
+        F.sum(_cents("value")).alias("sum_value_c"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -773,7 +817,7 @@ def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = spark.read.parquet(out)
     return roll.groupBy("day", "event_type").agg(
         F.sum("n").alias("n"),
-        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        F.sum("sum_value_c").cast("bigint").alias("sum_value_c"),
         F.min("first_ts").alias("first_ts"),
         F.max("last_ts").alias("last_ts"),
     )
@@ -818,11 +862,21 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT user_id % 10 AS cohort,
-           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
-           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
-           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS click_c,
+           CAST(sum(CASE WHEN event_type = 'error'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS error_c,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS purchase_c,
+           CAST(sum(CASE WHEN event_type = 'signup'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS signup_c,
+           CAST(sum(CASE WHEN event_type = 'view'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS view_c
     FROM events GROUP BY 1
     """,
 )
@@ -835,14 +889,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     one CASE-WHEN branch per pivot value — identical shape to the
     oracle's conditional aggregation."""
     types = ["click", "error", "purchase", "signup", "view"]
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", _cents("value")
+    )
     piv = (
         ev.groupBy((F.col("user_id") % 10).alias("cohort"))
         .pivot("event_type", types)
-        .sum("value")
+        .sum("value_c")
     )
     return piv.select(
-        "cohort", *[F.round(F.col(t), 2).alias(t) for t in types]
+        "cohort",
+        *[F.col(t).cast("bigint").alias(f"{t}_c") for t in types],
     )
 
 
@@ -970,8 +1027,10 @@ def sample_stratified_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           round(sum(CASE WHEN event_type = 'click' THEN value * 2
-                          ELSE value END), 2) AS total
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 200) AS BIGINT)
+                         ELSE CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS total_c
     FROM events GROUP BY event_type
     """,
 )
@@ -1002,14 +1061,17 @@ def sink_partition_overwrite_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).cast("bigint").alias("total_c"),
     )
 
 
 @query(
     "scan_csv_malformed",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1052,7 +1114,9 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                F.sum(_cents("o_totalprice")).cast("bigint").alias(
+                    "total_c"
+                ),
             )
             .localCheckpoint()
         )
@@ -1089,7 +1153,9 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_json_lines",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1110,14 +1176,16 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("total_c"),
     )
 
 
 @query(
     "agg_skew_salted_twostage",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events GROUP BY event_type
     """,
 )
@@ -1135,10 +1203,12 @@ def agg_skew_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
     )
     stage1 = salted.groupBy("event_type", "salt").agg(
-        F.count("*").alias("pn"), F.sum("value").alias("psum")
+        F.count("*").alias("pn"),
+        F.sum(_cents("value")).alias("psum_c"),
     )
     return stage1.groupBy("event_type").agg(
-        F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("sum_value")
+        F.sum("pn").alias("n"),
+        F.sum("psum_c").cast("bigint").alias("sum_value_c"),
     )
 
 
@@ -1262,7 +1332,9 @@ def scalar_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_xml_roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderstatus
     """,
 )
@@ -1290,14 +1362,16 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("total_c"),
     )
 
 
 @query(
     "join_bloom_runtime",
     oracle="""
-    SELECT c.c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_acctbal > 9000
     GROUP BY c.c_mktsegment
@@ -1346,7 +1420,9 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("o_totalprice"), 2).alias("total"),
+                F.sum(_cents("o_totalprice")).cast("bigint").alias(
+                    "total_c"
+                ),
             )
         )
         # materialize the optimized plan (runtime-filter injection happens
@@ -1394,7 +1470,9 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_interface",
     oracle="""
-    SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_bal_c
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -1410,7 +1488,8 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name, count(*) AS n_cust,
-               round(sum(c_acctbal), 2) AS total_bal
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS total_bal_c
         FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         """
@@ -1438,7 +1517,8 @@ DRIVER_EVO_GLOB = evolution_path_for_sf("/root/testdata/sf0.01") + "/*/*.parquet
     oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
            CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
     FROM read_parquet('{DRIVER_EVO_GLOB}', union_by_name=true)
     GROUP BY o_orderstatus
     """,
@@ -1476,7 +1556,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.count("o_totalprice").cast("bigint").alias("n_with_price"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_price_c"),
     )
 
 
@@ -1590,14 +1670,21 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS sum_disc_price_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS sum_charge_e6,
            count(*) AS count_order,
-           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
-           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) * 1000000
+                // count(*) AS BIGINT) AS avg_qty_e6,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 10000
+                // count(*) AS BIGINT) AS avg_price_e6
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -1611,31 +1698,31 @@ def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: THE partial-aggregation showcase — the map side collapses
     ~every row into ≤ |flag×status| partial rows per task, so the
     exchange moves a few dozen rows regardless of input size; the date
-    filter is pushed to the parquet scan. Averages derive from the
-    PRE-ROUNDED sums and the exact count (round(sum)/count), keeping
-    them bit-identical across engines — per the round(sum)-never-
-    round(avg) oracle rule."""
+    filter is pushed to the parquet scan. Every money aggregate
+    accumulates exact scaled integers (cents / 1e-4 / 1e-6 dollars) and
+    the averages are scaled integer floor-divisions of those sums — no
+    floating point anywhere, so results are summation-order-free and
+    bit-identical across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = _cents("l_extendedprice")
+    disc_e4 = _rev_e4()
+    charge_e6 = disc_e4 * (100 + _cents("l_tax"))
     return (
         f.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
-                "sum_charge"
-            ),
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            F.sum(price_c).cast("bigint").alias("sum_base_price_c"),
+            F.sum(disc_e4).cast("bigint").alias("sum_disc_price_e4"),
+            F.sum(charge_e6).cast("bigint").alias("sum_charge_e6"),
             F.count("*").alias("count_order"),
         )
         .select(
             "*",
-            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias(
-                "avg_qty"
-            ),
-            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
-                "avg_price"
+            F.expr("sum_qty * 1000000L div count_order").alias("avg_qty_e6"),
+            F.expr("sum_base_price_c * 10000L div count_order").alias(
+                "avg_price_e6"
             ),
         )
     )
@@ -1931,7 +2018,9 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(o.o_orderdate) AS INT) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM lineitem l
       JOIN orders o    ON o.o_orderkey = l.l_orderkey
       JOIN supplier s  ON s.s_suppkey = l.l_suppkey
@@ -1956,7 +2045,10 @@ def analytics_nation_trade_volume(
     on a cluster; the two nation probes broadcast (tiny, each aliased
     independently so both build sides are one-copy); the aggregate
     keyspace is |nation|²·|years| — partial-agg'd to almost nothing
-    map-side."""
+    map-side. Revenue accumulates as exact integer 10^-4 dollars
+    (price cents × (100 − discount basis points)) so the sum is
+    order-free — the r9 driver proved the double-sum form flips on
+    summation order (CORRECTNESS_r09 hash-FAIL)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1989,10 +2081,12 @@ def analytics_nation_trade_volume(
             F.year("o_orderdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("revenue_e4")
         )
     )
 

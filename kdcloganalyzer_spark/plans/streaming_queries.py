@@ -17,6 +17,7 @@ is pinned by the batch-equivalence pytest).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kdcloganalyzer_spark.plans.analytics import CMS_ORACLE
 from kdcloganalyzer_spark.plans.kdc_queries import DRIVER_RECORDS_GLOB
@@ -162,8 +163,15 @@ def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches, so records straddling batch boundaries assemble
     exactly as in batch (rows-only — watermark-free arbitrary state;
     batch-equivalence on a 3-chunk split is pinned in
-    tests/test_streaming_tail.py)."""
-    return SQ.stream_sessionize_tail_kdc(spark, synth_dir_for_sf(sf_dir))
+    tests/test_streaming_tail.py). The ``enctypes`` array is flattened
+    to a '|'-joined string so the registered schema stays atomic — the
+    driver canonicalizes rows-only outputs through pandas, and an
+    ARRAY column crashes its sort (CORRECTNESS_r09 ERR; same class fix
+    as sessionize_multiline, kdc_queries.py)."""
+    out = SQ.stream_sessionize_tail_kdc(spark, synth_dir_for_sf(sf_dir))
+    return out.withColumn(
+        "enctypes", F.concat_ws("|", F.col("enctypes"))
+    )
 
 
 @query(

@@ -40,13 +40,41 @@ BATCH_IDS = sorted(
     q for q in registry.QUERIES if not q.startswith("stream")
 )
 
+STREAM_IDS = sorted(
+    q for q in registry.QUERIES if q.startswith("stream")
+)
+
+
+def _assert_flat_schema(qid, df):
+    """Driver contract: the correctness harness canonicalizes EVERY
+    registered output (hash-verified AND rows-only) through pandas
+    sort_values, which throws ``unhashable type`` on array/map cells
+    and silently misorders structs. CORRECTNESS_r09 lost all signal on
+    stream_sessionize_tail this way — no registered schema may contain
+    a nested type."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in df.schema.fields:
+        assert not isinstance(
+            field.dataType, (ArrayType, MapType, StructType)
+        ), f"{qid}: non-atomic column {field.name} ({field.dataType})"
+
 
 @pytest.mark.parametrize("qid", BATCH_IDS)
 def test_no_plan_antipatterns(qid, spark, sf_dir):
     df = registry.QUERIES[qid](spark, sf_dir)
+    _assert_flat_schema(qid, df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, qid
     if qid not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, qid
     if qid not in PYEVAL_OK:
         assert "BatchEvalPython" not in plan, qid
+
+
+@pytest.mark.parametrize("qid", STREAM_IDS)
+def test_stream_flat_schema(qid, spark, sf_dir):
+    # Streaming ids materialize on call (foreachBatch -> batch read),
+    # so this executes the stream once; the schema check is the point.
+    df = registry.QUERIES[qid](spark, sf_dir)
+    _assert_flat_schema(qid, df)
