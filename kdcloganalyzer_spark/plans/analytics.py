@@ -449,7 +449,9 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
-             count(*) AS n, round(sum(value), 2) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_c
       FROM events GROUP BY 1, 2
     ),
     b AS (
@@ -462,9 +464,9 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.event_type, g.hour,
            coalesce(h.n, 0) AS n,
-           last_value(h.sum_value IGNORE NULLS) OVER (
+           last_value(h.sum_value_c IGNORE NULLS) OVER (
              PARTITION BY g.event_type ORDER BY g.hour
-             ROWS UNBOUNDED PRECEDING) AS locf_value
+             ROWS UNBOUNDED PRECEDING) AS locf_value_c
     FROM grid g LEFT JOIN h USING (event_type, hour)
     """,
 )
@@ -473,21 +475,21 @@ def rollup_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     `time_bucket_gapfill` shape: per event type, every hour between that
     type's first and last event exists in the output; missing hours get
     count 0 and carry the last observed hourly value-sum forward
-    (last-observation-carried-forward; the rounded SUM, not the average
-    — round(avg) lands on half-way doubles whose rounding direction
-    differs between engines, a pinned oracle gotcha).
+    (last-observation-carried-forward; the sum is exact integer cents,
+    so the carried value is order-free and engine-identical).
 
     Scale: one partial-agg'd groupBy builds the sparse rollup; the dense
     grid comes from a per-type `sequence` explode of the (min, max) hour
     bounds — grid size is bounded by the time span, never the event
-    count; one left join aligns them and one window pass fills. The
-    rounded hourly sum is computed BEFORE the fill on both engines so
-    LOCF carries identical doubles."""
+    count; one left join aligns them and one window pass fills."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_c"),
     )
     b = h.groupBy("event_type").agg(
         F.min("hour").alias("lo"), F.max("hour").alias("hi")
@@ -509,7 +511,9 @@ def rollup_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hour",
             F.coalesce("n", F.lit(0)).alias("n"),
-            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.last("sum_value_c", ignorenulls=True)
+            .over(w)
+            .alias("locf_value_c"),
         )
     )
 

@@ -832,8 +832,9 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT count(*) AS v FROM c1)
     SELECT doc_id,
            CAST(sum(m) AS BIGINT) AS n_bigrams,
-           round(sum(m * round(ln((c2 + 1.0) / (c1 + v)), 6)), 3)
-             AS sum_logp
+           CAST(sum(m * CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1000000)
+                             AS BIGINT)) AS BIGINT)
+             AS sum_logp_u6
     FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
     GROUP BY doc_id
     """,
@@ -842,15 +843,17 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram LM scored over its own documents — the perplexity
     quality signal (CCNet-style: filter docs whose add-one-smoothed
     log-likelihood under a corpus n-gram LM is poor). Emits per-doc
-    bigram count and summed log-prob ln((c(w1,w2)+1)/(c(w1·)+V)), V =
-    #distinct left-contexts; docs with <2 tokens have no bigrams and
-    drop out (both engines agree).
+    bigram count and summed log-prob ln((c(w1,w2)+1)/(c(w1·)+V)) in
+    integer MICRO-NATS (each per-term log rounds once to 1e-6, then
+    sums as exact BIGINT), V = #distinct left-contexts; docs with <2
+    tokens have no bigrams and drop out (both engines agree).
 
     Scale: the corpus-sized explode collapses immediately into the
     per-(doc, bigram) partial count (map-side combine), the LM tables
     c2/c1/V derive from ALREADY-aggregated frames (vocab-sized, never a
-    second pass over the corpus), and the per-term round(·,6) before the
-    round(sum,3) keeps the hash insensitive to engine summation order.
+    second pass over the corpus), and the per-term micro-nat integer
+    makes the doc sum exactly order-free (the prior round(sum(double))
+    form was summation-order-dependent in principle).
     Wide ops: groupBy(doc,w1,w2) → groupBy(w1,w2) → join-back on (w1,w2)
     → groupBy(doc) — each key is either bigram- or doc-hashed, no skew
     hotter than the corpus's top bigram, which AQE splits."""
@@ -873,15 +876,16 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c1.agg(F.count("*").alias("v"))
     enr = c2.join(c1, "w1").crossJoin(F.broadcast(v))
-    logp = F.round(
-        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
-    )
+    logp_u6 = F.round(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+        * 1000000
+    ).cast("bigint")
     return (
         dbg.join(enr, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.col("m") * logp), 3).alias("sum_logp"),
+            F.sum(F.col("m") * logp_u6).cast("bigint").alias("sum_logp_u6"),
         )
     )
 

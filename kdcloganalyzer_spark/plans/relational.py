@@ -1843,15 +1843,17 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           round(c.c_acctbal, 2) AS acctbal
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
     WHERE l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20
     """,
 )
 def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1865,9 +1867,9 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at bench scale and falls back to a custkey shuffle
     join on a real cluster; the aggregate is partial-combined at
     customer grain (bounded by |customer|) and the final 20 rows come
-    from a TakeOrderedAndProject, never a global sort. Revenue is
-    rounded on both sides so per-customer summation order can't skew
-    the hash."""
+    from a TakeOrderedAndProject, never a global sort. Revenue
+    accumulates exact integer 1e-4 dollars so per-customer summation
+    order can't skew the hash."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag") == "R")
@@ -1890,22 +1892,17 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
-        )
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("revenue_e4"))
     )
     return (
         rev.select(
             "c_custkey",
             "c_name",
             "nation",
-            "revenue",
-            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue_e4",
+            _cents("c_acctbal").alias("acctbal_c"),
         )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
         .limit(20)
     )
 
@@ -1918,14 +1915,15 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey HAVING sum(l_quantity) > 200
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           round(o.o_totalprice, 2) AS totalprice,
-           round(sum(l.l_quantity), 2) AS sum_qty
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       JOIN big        ON big.l_orderkey = o.o_orderkey
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
-    ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20
+    ORDER BY totalprice_c DESC, o_orderkey ASC LIMIT 20
     """,
 )
 def analytics_large_volume_orders(
@@ -1963,15 +1961,19 @@ def analytics_large_volume_orders(
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty")
+        )
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            _cents("o_totalprice").alias("totalprice_c"),
             "sum_qty",
         )
-        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
         .limit(20)
     )
 
@@ -2096,11 +2098,15 @@ def analytics_nation_trade_volume(
     oracle="""
     SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
            round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
                                   ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 4)
              AS promo_pct,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN part p   ON p.p_partkey = l.l_partkey
@@ -2118,9 +2124,9 @@ def analytics_promo_revenue_share(
     Scale: part scales with SF but is fact/30 — un-hinted join, AQE
     decides; the single wide shuffle is lineitem ⋈ orders on orderkey;
     the ratio divides two partial-agg'd sums inside one |months|-row
-    aggregate. The percent is rounded from exact double sums on both
-    engines (ratio of identically-grouped sums — order-insensitive
-    after the pre-round)."""
+    aggregate. Both sums accumulate exact integer 1e-4 dollars, so the
+    percent is a rounded ratio of identical exact integers —
+    order-free on both engines."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
     )
@@ -2128,8 +2134,10 @@ def analytics_promo_revenue_share(
         "o_orderkey", "o_orderdate"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev = _rev_e4()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -2138,7 +2146,7 @@ def analytics_promo_revenue_share(
         )
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.sum(rev).cast("bigint").alias("revenue_e4"),
         )
     )
 
@@ -2192,7 +2200,8 @@ def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_hint_shuffle_hash",
     oracle="""
     SELECT o.o_orderstatus, count(*) AS n,
-           round(sum(l.l_extendedprice), 2) AS sum_price
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_c
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -2225,7 +2234,9 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum(_cents("l_extendedprice")).cast("bigint").alias(
+                "sum_price_c"
+            ),
         )
     )
 
@@ -2286,7 +2297,8 @@ DRIVER_MLJSON = multiline_json_path_for_sf("/root/testdata/sf0.01")
     "scan_json_multiline",
     oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
     FROM read_json('{DRIVER_MLJSON}/*.json', format='array')
     GROUP BY o_orderstatus
     """,
@@ -2357,7 +2369,7 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_price_c"),
     )
 
 
@@ -2373,7 +2385,9 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS k
       FROM events WHERE user_id < 5
     )
-    SELECT f.k, count(*) AS n, round(sum(f.value), 2) AS sum_value
+    SELECT f.k, count(*) AS n,
+           CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
     GROUP BY f.k
     """,
@@ -2407,7 +2421,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_value_c"),
         )
     )
 
@@ -2456,11 +2470,12 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pipe_syntax",
     oracle="""
     SELECT c.c_mktsegment AS segment, count(*) AS n,
-           round(sum(o.o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE o.o_totalprice > 1000
     GROUP BY c.c_mktsegment
-    ORDER BY sum_price DESC, segment ASC LIMIT 5
+    ORDER BY sum_price_c DESC, segment ASC LIMIT 5
     """,
 )
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2482,9 +2497,10 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE o.o_totalprice > 1000
         |> JOIN v_pipe_customer AS c ON c.c_custkey = o.o_custkey
         |> AGGREGATE count(*) AS n,
-                     round(sum(o.o_totalprice), 2) AS sum_price
+                     CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_price_c
            GROUP BY c.c_mktsegment AS segment
-        |> ORDER BY sum_price DESC, segment ASC
+        |> ORDER BY sum_price_c DESC, segment ASC
         |> LIMIT 5
         """
     )
@@ -2700,7 +2716,8 @@ def manifest_pruned_files(
     "scan_manifest_pruned",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
     FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
     GROUP BY o_orderstatus
     """,
@@ -2735,7 +2752,7 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_price_c"),
     )
 
 
@@ -2744,7 +2761,8 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            count(*) OVER w AS n_1h,
-           round(sum(value) OVER w, 2) AS sum_1h
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_1h_c
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2779,7 +2797,7 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.sum(_cents("value")).over(w).cast("bigint").alias("sum_1h_c"),
     )
 
 
@@ -2792,7 +2810,8 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT TRY_CAST(json_extract_string(props, '$.k')
                                    AS BIGINT)) AS n_campaigns,
            count(*) FILTER (value > 50) AS n_big,
-           round(sum(value) FILTER (value > 50), 2) AS sum_big
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (value > 50) AS BIGINT) AS sum_big_c
     FROM events GROUP BY event_type
     """,
 )
@@ -2819,7 +2838,9 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
         ).alias("n_campaigns"),
         F.count(F.when(big, 1)).alias("n_big"),
-        F.round(F.sum(F.when(big, F.col("value"))), 2).alias("sum_big"),
+        F.sum(F.when(big, _cents("value"))).cast("bigint").alias(
+            "sum_big_c"
+        ),
     )
 
 
@@ -2829,7 +2850,9 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -2852,10 +2875,10 @@ def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("total_c"),
     ).select(
         "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
-        "n", "total",
+        "n", "total_c",
     )
 
 
@@ -3847,7 +3870,8 @@ def analytics_promotable_suppliers(
     "sql_cached_table",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     """,
@@ -3878,7 +3902,8 @@ def sql_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_c
         FROM {view}
         GROUP BY o_orderstatus, o_orderpriority
         """
@@ -3896,7 +3921,8 @@ def fixed_width_dir_for_sf(sf_dir: str) -> str:
     "scan_fixed_width",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
            CAST(sum(o_orderkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY o_orderstatus
     """,
@@ -3945,7 +3971,7 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rec.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_price_c"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
 

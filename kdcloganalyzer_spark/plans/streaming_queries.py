@@ -33,7 +33,8 @@ from kdcloganalyzer_spark.streaming import stream_queries as SQ
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events GROUP BY 1, 2
     """,
 )
@@ -45,7 +46,9 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_window_sliding",
     oracle="""
-    SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT win_start, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, value
       FROM events
@@ -94,7 +97,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
            min(ts) AS first_ts,
            max(ts) AS last_ts
     FROM events GROUP BY user_id
@@ -112,7 +116,8 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
     SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n,
-           round(sum(e.value), 2) AS sum_value
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -177,7 +182,9 @@ def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_dedup_exact",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events GROUP BY event_type
     """,
 )
@@ -248,7 +255,8 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
            CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS feed,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM events GROUP BY 1, 2
     """,
 )

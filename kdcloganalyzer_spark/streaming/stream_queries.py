@@ -120,10 +120,14 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     out = ev.groupBy(
         F.window("ts", "1 day").alias("win"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
+    )
     res = _run_to_memory(out)
     return res.select(
-        F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+        F.col("win.start").alias("win_start"), "event_type", "n",
+        "sum_value_c",
     )
 
 
@@ -131,10 +135,13 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-day windows sliding by 1 day — each event lands in two windows."""
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     out = ev.groupBy(F.window("ts", "2 days", "1 day").alias("win")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
     )
     res = _run_to_memory(out)
-    return res.select(F.col("win.start").alias("win_start"), "n", "sum_value")
+    return res.select(
+        F.col("win.start").alias("win_start"), "n", "sum_value_c"
+    )
 
 
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,12 +268,14 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
         for pdf in pdfs:
             if pdf.empty:
                 continue
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            # per-row integer cents BEFORE summing: the state stays an
+            # exact BIGINT, order-free across micro-batch arrival order
+            s += int((pdf["value"] * 100).round().astype("int64").sum())
             lo, hi = pdf["ts"].min(), pdf["ts"].max()
             mn = lo if mn is None or lo < mn else mn
             mx = hi if mx is None or hi > mx else mx
@@ -275,7 +284,7 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n": [n],
-                "sum_value": [round(s, 2)],
+                "sum_value_c": [s],
                 "first_ts": [mn],
                 "last_ts": [mx],
             }
@@ -284,10 +293,10 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=(
-            "user_id BIGINT, n BIGINT, sum_value DOUBLE, "
+            "user_id BIGINT, n BIGINT, sum_value_c BIGINT, "
             "first_ts TIMESTAMP, last_ts TIMESTAMP"
         ),
-        stateStructType="n BIGINT, s DOUBLE, mn TIMESTAMP, mx TIMESTAMP",
+        stateStructType="n BIGINT, s BIGINT, mn TIMESTAMP, mx TIMESTAMP",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -312,7 +321,8 @@ def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = ev.join(F.broadcast(dim), "user_id", "left")
     out = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
     )
     return _run_to_memory(out)
 
@@ -634,7 +644,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = _run_to_memory(sdf, "append")
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
     )
 
 
@@ -868,11 +878,11 @@ def union_two_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 day").alias("win"), "feed"
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
     )
     res = _run_to_memory(out)
     return res.select(
-        F.col("win.start").alias("win_start"), "feed", "n", "sum_value"
+        F.col("win.start").alias("win_start"), "feed", "n", "sum_value_c"
     )
 
 

@@ -230,7 +230,7 @@ def test_bigram_lm_scores_repetitive_doc_above_rare_doc(spark):
         tables.load_table = lambda *_a, **_k: docs
         cur.load_table = tables.load_table
         out = {
-            r["doc_id"]: r["sum_logp"] / r["n_bigrams"]
+            r["doc_id"]: r["sum_logp_u6"] / r["n_bigrams"]
             for r in cur.quality_bigram_lm(spark, "ignored").collect()
         }
     finally:
