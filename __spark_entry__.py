@@ -109,15 +109,61 @@ def _gate_order(ids: list[str]) -> list[str]:
 
     from kdcloganalyzer_spark.plans.registry import ORACLES
 
+    # Oracle-text fingerprints (ADVICE r9): an id whose REGISTERED
+    # oracle changed after its last certified round is carrying a stale
+    # green row — the driver verified different semantics. Track
+    # md5(oracle) per id with the round at which it last changed; a
+    # change newer than the id's latest gate row re-promotes it to the
+    # urgent group so semantic edits can't ride old certifications.
+    import hashlib
+
+    this_round = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    fp_path = os.path.join(_HERE, "GATE_ORACLE_FP.json")
+    fp_state: dict[str, dict] = {}
+    try:
+        with open(fp_path) as f:
+            fp_state = json.load(f)
+    except (OSError, ValueError):
+        pass
+
+    fp_dirty = False
+    for q in ids:
+        fp = hashlib.md5(
+            ORACLES.get(q, "").encode("utf-8")
+        ).hexdigest()[:16]
+        prev = fp_state.get(q)
+        if prev is None or prev.get("fp") != fp:
+            fp_state[q] = {"fp": fp, "round": this_round}
+            fp_dirty = True
+    if fp_dirty:
+        try:  # best-effort persistence; ordering must never break the gate
+            tmp = fp_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(fp_state, f, indent=0, sort_keys=True)
+            os.replace(tmp, fp_path)
+        except OSError:
+            pass
+
+    def oracle_changed_since_cert(q: str) -> bool:
+        st = fp_state.get(q)
+        return (
+            st is not None
+            and q in seen_round
+            and st.get("round", 0) > seen_round[q]
+        )
+
     def needs_first_check(q: str) -> bool:
-        """New coverage: never seen, failed last time, or seen only as
+        """New coverage: never seen, failed last time, seen only as
         rows-only (`no_oracle`) while an oracle NOW exists — its hash
-        check has never actually run."""
+        check has never actually run — or its oracle text changed after
+        its last certified round (stale green)."""
         if q not in latest:
             return True
         row = latest[q]
-        return failed(row) or (
-            q in ORACLES and row.get("err") == "no_oracle"
+        return (
+            failed(row)
+            or (q in ORACLES and row.get("err") == "no_oracle")
+            or oracle_changed_since_cert(q)
         )
 
     # First-seen registry-round tracking (VERDICT r8 item 8): the r7/r8
@@ -134,7 +180,6 @@ def _gate_order(ids: list[str]) -> list[str]:
             first_seen = json.load(f)
     except (OSError, ValueError):
         pass
-    this_round = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
     unseen = [q for q in ids if q not in first_seen]
     if unseen:
         for q in unseen:
@@ -156,12 +201,14 @@ def _gate_order(ids: list[str]) -> list[str]:
         (q for q in by_cost if not needs_first_check(q)),
         key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
     )
-    # Urgent order: failed-last-time fixes first, then never-certified
-    # ids oldest-registry-round-first (cost only breaks ties WITHIN a
-    # round's cohort).
+    # Urgent order: failed-last-time fixes first, then NEVER-certified
+    # ids oldest-registry-round-first (zero signal beats stale signal),
+    # then changed-oracle re-certifications (stale green rows); cost
+    # only breaks ties WITHIN a cohort.
     urgent.sort(
         key=lambda q: (
             not (q in latest and failed(latest[q])),
+            q in latest,
             first_seen.get(q, this_round),
             cost.get(q, 0.5),
             q,

@@ -199,10 +199,13 @@ def build_ivf_index(
     id tie-breaks, integer sums, one division — is replayed
     bit-identically by DuckDB (ivf_oracle_sql), so the cell assignment
     and the IVF search on top are hash-verifiable, moving
-    sim_search_ivf from rows-only to a green row, at KMeans-grade
-    clustering quality (max-min seeding alone measured mean recall@10
-    0.46-0.52 on this corpus; with integer Lloyd it is back at the
-    KMeans level and the composed IVFPQ floor >= 0.7 holds).
+    sim_search_ivf from rows-only to a green row. Clustering quality:
+    max-min seeding alone measured mean recall@10 0.46-0.52 on this
+    corpus; integer Lloyd recovers most but not quite all of the
+    KMeans(seed=42) level (0.70-0.74 vs 0.82-0.86 at the old
+    n_probe=8 serving) — the composed IVFPQ floor >= 0.7 holds with
+    margin because serving probes 10 cells and re-ranks 150
+    (measured 0.92 at sf0.001).
 
     Scale: seeding is n_cells TakeOrdered(1) passes over the corpus
     with a localCheckpointed running min-distance column (lineage
@@ -465,8 +468,8 @@ def topk_cosine_ivfpq(
     emb: DataFrame,
     n_queries: int = 5,
     k: int = 10,
-    n_probe: int = 8,
-    n_rerank: int = 100,
+    n_probe: int = 10,
+    n_rerank: int = 150,
     n_sub: int = 8,
 ) -> DataFrame:
     """IVFPQ serving: per query, (1) nearest n_probe cells chosen on the

@@ -578,7 +578,8 @@ def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(responded) * 1000000 // count(*) AS BIGINT)
              AS response_rate_micro,
            CAST(sum(responded) * max(n_users) * 1000000
-                // (count(*) * max(n_resp)) AS BIGINT) AS lift_micro
+                // NULLIF(count(*) * max(n_resp), 0) AS BIGINT)
+             AS lift_micro
     FROM ranked
     GROUP BY (rn - 1) * 10 // n_users
     """,
@@ -610,9 +611,21 @@ def analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_users, n_resp = scored.agg(
         F.count("*"), F.sum("responded")
     ).first()  # control scalars (one driver-side row)
+    # a corpus with zero 'purchase' rows has no base rate: emit NULL
+    # lift (the oracle's NULLIF denominator agrees) instead of crashing
+    # on int(None) / dividing by zero
+    n_resp = int(n_resp or 0)
     w = Window.orderBy(F.desc("score_cents"), "user_id")
     ranked = scored.withColumn("rn", F.row_number().over(w))
     dec = F.expr(f"CAST((rn - 1) * 10 div {n_users} AS INT)")
+    lift = (
+        F.expr(
+            f"CAST(sum(responded) * {int(n_users)} * 1000000"
+            f" div (count(*) * {n_resp}) AS BIGINT)"
+        )
+        if n_resp
+        else F.lit(None).cast("bigint")
+    )
     return (
         ranked.groupBy(dec.alias("decile"))
         .agg(
@@ -620,10 +633,7 @@ def analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("responded").cast("long").alias("n_responders"),
             F.expr("CAST(sum(responded) * 1000000 div count(*) AS BIGINT)")
             .alias("response_rate_micro"),
-            F.expr(
-                f"CAST(sum(responded) * {int(n_users)} * 1000000"
-                f" div (count(*) * {int(n_resp)}) AS BIGINT)"
-            ).alias("lift_micro"),
+            lift.alias("lift_micro"),
         )
     )
 
@@ -700,8 +710,17 @@ def scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             os.rename(build, base)
-        except OSError:  # lost the stage race — another writer won
-            shutil.rmtree(build, ignore_errors=True)
+        except OSError:
+            # Either another writer won the race (base is complete) or
+            # a STALE/partial base blocks the rename (crashed writer,
+            # /tmp sweep mid-dir). Only discard this build if the
+            # winner's marker exists; otherwise clear the husk and
+            # retry so the layout never wedges broken forever.
+            if os.path.exists(os.path.join(base, "_SUCCESS")):
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(build, base)
     df = spark.read.parquet(base).where(F.col("o_orderstatus") == "F")
     return df.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
@@ -927,7 +946,15 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(build, base)
         except OSError:
-            shutil.rmtree(build, ignore_errors=True)
+            # Discard the build only if the racing winner's marker is
+            # really there; a stale markerless base gets cleared and
+            # the rename retried (same stale-husk guard as
+            # scan_hive_partitioned).
+            if os.path.exists(os.path.join(base, "_STAGED")):
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(build, base)
     df = (
         spark.read.schema(
             "n_nationkey int, n_name string, r_regionkey int"

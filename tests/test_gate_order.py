@@ -29,13 +29,37 @@ registry.load_all()
 
 def _latest_rows():
     latest = {}
-    for p in sorted(glob.glob(os.path.join(entry._HERE, "CORRECTNESS_r*.json"))):
+    seen_round = {}
+    for rnd, p in enumerate(
+        sorted(glob.glob(os.path.join(entry._HERE, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(p) as f:
-                latest.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        latest.update(rows)
+        for q in rows:
+            seen_round[q] = rnd
+    _latest_rows.seen_round = seen_round
     return latest
+
+
+def _oracle_changed(q, seen_round):
+    """Mirror of the gate's fingerprint invalidation (ADVICE r9): an id
+    whose oracle text changed after its last certified round is urgent
+    again even though its latest row is green."""
+    try:
+        with open(os.path.join(entry._HERE, "GATE_ORACLE_FP.json")) as f:
+            fp_state = json.load(f)
+    except (OSError, ValueError):
+        return False
+    st = fp_state.get(q)
+    return (
+        st is not None
+        and q in seen_round
+        and st.get("round", 0) > seen_round[q]
+    )
 
 
 def _needs_first_check(q, latest):
@@ -48,8 +72,10 @@ def _needs_first_check(q, latest):
         or (row.get("schema_match") is False)
         or (row.get("rows_match") is False)
     )
-    return failed or (
-        q in registry.ORACLES and row.get("err") == "no_oracle"
+    return (
+        failed
+        or (q in registry.ORACLES and row.get("err") == "no_oracle")
+        or _oracle_changed(q, getattr(_latest_rows, "seen_round", {}))
     )
 
 
@@ -99,12 +125,19 @@ def test_oldest_first_seen_ids_come_first_within_urgent():
             or (row.get("rows_match") is False)
         )
 
-    # exclude failed-last-time ids: they legitimately jump the queue
+    # exclude failed-last-time ids: they legitimately jump the queue.
+    # never-certified ids (no row at all) precede changed-oracle
+    # re-certifications; first-seen monotonicity holds WITHIN each
+    # cohort (the r10 refinement: zero signal beats stale signal).
     urgent = [
         q
         for q in order
         if _needs_first_check(q, latest)
         and not (q in latest and failed(latest[q]))
     ]
-    rounds = [first_seen.get(q, 10**9) for q in urgent]
-    assert rounds == sorted(rounds), urgent
+    never = [q for q in urgent if q not in latest]
+    changed = [q for q in urgent if q in latest]
+    assert urgent == never + changed, urgent
+    for cohort in (never, changed):
+        rounds = [first_seen.get(q, 10**9) for q in cohort]
+        assert rounds == sorted(rounds), cohort

@@ -47,12 +47,14 @@ def test_pack_sequences_chunks_are_exact_and_complete(spark, sf_dir):
 
 
 def test_ivfpq_recall_vs_exact(spark, sf_dir):
-    """Composed IVF+PQ must keep mean recall@10 ≥ 0.7 vs brute force
-    (measured 0.70/0.74 at n_probe=8/16 cells on sf0.001/sf0.01 with
-    the r9 engine-deterministic quantizer — farthest-point seeds +
-    exact-integer Lloyd; the retired KMeans(seed=42) fit measured
-    0.82-0.86 at n_probe=6 but was not oracle-replayable, and the
-    deterministic build makes this recall EXACT, not seed-dependent)."""
+    """Composed IVF+PQ must keep mean recall@10 ≥ 0.7 vs brute force.
+    Measured 0.92 at sf0.001 with the r10 serving knobs (n_probe=10,
+    n_rerank=150) over the r9 engine-deterministic quantizer
+    (farthest-point seeds + exact-integer Lloyd) — a 0.22 margin over
+    the floor, vs the r9 zero-margin 0.70 at n_probe=8. The
+    deterministic build makes this recall EXACT, not seed-dependent
+    (the retired KMeans(seed=42) fit measured 0.82-0.86 but was not
+    oracle-replayable)."""
     exact = registry.QUERIES["sim_search_cosine"](spark, sf_dir).collect()
     approx = registry.QUERIES["sim_search_ivfpq"](spark, sf_dir).collect()
     ex, ap = {}, {}
