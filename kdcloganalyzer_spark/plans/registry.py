@@ -51,5 +51,6 @@ def load_all() -> None:
         relational,
         round8_ops,
         round9_ops,
+        round10_ops,
         streaming_queries,
     )
