@@ -153,3 +153,524 @@ def pipeline_interleave_sources_ranged(
         .parquet(out)
     )
     return spark.read.parquet(out).select("doc_id", "source", "mix_pos")
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k minimum values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_POW60 = 1 << 60  # md5-60bit hash space (the repo's cross-engine idiom)
+
+
+@query(
+    "agg_kmv_distinct_setops",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h, user_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    sets AS (
+      SELECT 'click' AS set_name, h FROM h WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'view', h FROM h WHERE event_type = 'view'
+      UNION ALL
+      SELECT 'union', h FROM (SELECT DISTINCT h FROM h)
+    ),
+    sk AS (
+      SELECT set_name, h,
+             row_number() OVER (PARTITION BY set_name ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY set_name) AS n_hashes
+      FROM sets
+    ),
+    est AS (
+      SELECT set_name,
+             CAST(CASE WHEN max(n_hashes) < {_KMV_K} THEN max(n_hashes)
+                  ELSE ({_KMV_K} - 1)
+                       * ({_POW60} // max(CASE WHEN rn = {_KMV_K}
+                                               THEN h END))
+                  END AS BIGINT) AS kmv_est
+      FROM sk WHERE rn <= {_KMV_K} GROUP BY set_name
+    ),
+    exact AS (
+      SELECT 'click' AS set_name,
+             count(DISTINCT user_id) FILTER (event_type = 'click') AS ex
+      FROM events
+      UNION ALL
+      SELECT 'view', count(DISTINCT user_id) FILTER (event_type = 'view')
+      FROM events
+      UNION ALL
+      SELECT 'union', count(DISTINCT user_id)
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT est.set_name, est.kmv_est, CAST(exact.ex AS BIGINT) AS exact
+    FROM est JOIN exact USING (set_name)
+    UNION ALL
+    SELECT 'intersect',
+           CAST((SELECT sum(CASE WHEN set_name = 'union' THEN -kmv_est
+                                 ELSE kmv_est END) FROM est) AS BIGINT),
+           CAST((SELECT count(*) FROM
+                   (SELECT user_id FROM events WHERE event_type = 'click'
+                    INTERSECT
+                    SELECT user_id FROM events WHERE event_type = 'view'))
+                AS BIGINT)
+    """,
+)
+def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k minimum values) distinct-count sketch with SET
+    OPERATIONS — the mergeable sketch family member HLL cannot give
+    you: keeping the k smallest md5 hashes of a set supports union
+    (bottom-k of concatenated sketches) and, via inclusion-exclusion,
+    intersection estimates, all from kilobytes of state. The estimator
+    is (k−1) · (2^60 div h_k) with h_k the k-th smallest 60-bit hash
+    (integer-division form so every value stays an exact BIGINT — the
+    float form (k−1)·2^60/h_k would be engine-rounding-dependent), and
+    degrades to the EXACT distinct count whenever a set holds fewer
+    than k hashes (sf0.001's 15 users exercise the fallback; sf0.01+
+    exercise the estimator). Deterministic end-to-end: the md5-60bit
+    idiom means DuckDB replays the sketch CONTENT, not just a bound —
+    the oracle hash-verifies the estimates themselves.
+
+    Scale: one distinct-hash aggregation per set (partial-combined;
+    the distinct table is |users|-sized, not |events|-sized), then a
+    bottom-k window over hashes — mergeable bottom-k, so at 100 TB
+    phase 1 keeps per-partition k-minima and only k × partitions rows
+    reach the final merge (the pipeline_quota_sampler_twophase
+    pattern; test_consistent_topk pins the merge law)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    h60 = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    hashes = ev.select("event_type", h60.alias("h"), "user_id").distinct()
+    sets = (
+        hashes.where(F.col("event_type") == "click")
+        .select(F.lit("click").alias("set_name"), "h")
+        .unionByName(
+            hashes.where(F.col("event_type") == "view").select(
+                F.lit("view").alias("set_name"), "h"
+            )
+        )
+        .unionByName(
+            hashes.select("h")
+            .distinct()
+            .select(F.lit("union").alias("set_name"), "h")
+        )
+    )
+    w = Window.partitionBy("set_name").orderBy("h")
+    cw = Window.partitionBy("set_name")
+    sk = sets.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_hashes", F.count("*").over(cw)
+    )
+    est = (
+        sk.where(F.col("rn") <= _KMV_K)
+        .groupBy("set_name")
+        .agg(
+            F.when(
+                F.max("n_hashes") < _KMV_K, F.max("n_hashes")
+            )
+            .otherwise(
+                (_KMV_K - 1)
+                * F.expr(
+                    f"{_POW60}L div max(CASE WHEN rn = {_KMV_K} "
+                    "THEN h END)"
+                )
+            )
+            .cast("bigint")
+            .alias("kmv_est")
+        )
+    )
+    exact = (
+        ev.groupBy()
+        .agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            ).alias("click"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            ).alias("view"),
+            F.countDistinct("user_id").alias("union"),
+        )
+        .selectExpr(
+            "stack(3, 'click', click, 'view', view, 'union', `union`) "
+            "AS (set_name, exact)"
+        )
+    )
+    named = est.join(exact, "set_name").select(
+        "set_name", "kmv_est", F.col("exact").cast("bigint").alias("exact")
+    )
+    # intersect row: inclusion-exclusion on the three estimates; exact
+    # via a 1-row semi-join count (both bounded control-sized)
+    r = {x["set_name"]: x["kmv_est"] for x in est.collect()}
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    inter_exact = (
+        clicks.distinct().join(views.distinct(), "user_id").count()
+    )
+    inter = spark.createDataFrame(
+        [
+            (
+                "intersect",
+                int(r["click"] + r["view"] - r["union"]),
+                int(inter_exact),
+            )
+        ],
+        "set_name string, kmv_est bigint, exact bigint",
+    )
+    return named.unionByName(inter)
+
+
+# ---------------------------------------------------------------------------
+# Balanced-class downsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_balanced_class",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+    FROM ranked WHERE rk <= (SELECT min(c) FROM counts)
+    """,
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED-CLASS downsampling — equalize class populations for
+    training by capping every class at the SMALLEST class's count
+    (here: per-language document counts; en dominates ~2.5:1). The
+    per-class pick is the deterministic md5(doc_id) rank, so the
+    balanced set is a pure function of the data (rerun-stable,
+    backfill-stable — the same contract as pipeline_quota_sampler,
+    with the quota DERIVED from the data instead of configured).
+
+    Scale: one partial-agg'd count per class (a |classes|-row control
+    aggregate, collected driver-side — the sanctioned scalar pattern:
+    a lazy 1-row join would plan a BNLJ), one source-keyed rank
+    window; the skew/two-phase story is pipeline_quota_sampler_
+    twophase's, verbatim, since the plan shape is identical once the
+    quota scalar is bound."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = (
+        docs.groupBy("lang")
+        .count()
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )  # control scalar: the minority-class size
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(m))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixture (fractional epoch repeats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_mixture_weighted_epochs",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4) AS INT) % 3
+                  WHEN 0 THEN 200 WHEN 1 THEN 100 ELSE 50 END AS w_e2,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM documents
+    ),
+    copies AS (
+      SELECT doc_id, source,
+             (w_e2 // 100)
+             + CASE WHEN h % 100 < w_e2 % 100 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM weighted
+    )
+    SELECT doc_id, source, CAST(t.copy_idx AS BIGINT) AS copy_idx
+    FROM copies CROSS JOIN unnest(range(n_copies)) AS t(copy_idx)
+    """,
+)
+def pipeline_mixture_weighted_epochs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED SOURCE MIXTURE with fractional repeats — the
+    dataset-mixture primitive every multi-corpus training run needs:
+    per-source sampling weights (here 2.0× / 1.0× / 0.5× by source
+    index mod 3, weights carried as integer HUNDREDTHS) expand each
+    document into floor(w) guaranteed epoch copies plus one more iff
+    its md5-hash low bits fall under the fractional part — so a 0.5×
+    source contributes a deterministic, hash-stable half of its
+    documents and a 2.0× source contributes everything twice. Expected
+    copy mass per source = weight × |source| exactly, the selection is
+    a pure function of (doc_id, source), and incremental ingestion
+    never flips prior picks (same contract as sample_hash_mixture,
+    upgraded from keep/drop to fractional REPEAT factors).
+
+    Scale: pure per-row map + explode — no shuffle at all (the plan is
+    scan → project → generate); output size is Σ w_s·|s|, and the
+    epoch materializes shard-parallel. The follow-on global order is
+    pipeline_interleave_sources_ranged's range-shard story."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_e2 = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 200)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 100)
+        .otherwise(50)
+    )
+    h60 = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    n_copies = (w_e2 / 100).cast("int") + F.when(
+        h60 % 100 < w_e2 % 100, 1
+    ).otherwise(0)
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_copies") - 1)
+            ).alias("copy_idx"),
+        )
+        .select(
+            "doc_id", "source", F.col("copy_idx").cast("bigint").alias(
+                "copy_idx"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) embedding evaluation
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+
+@query(
+    "embed_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    full_scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                   6) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    ),
+    full_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM full_scored
+      ) WHERE rank <= 10
+    ),
+    pre_scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(q.q_emb[1:{_MRL_DIM}],
+                                          (e.embedding::DOUBLE[])[1:{_MRL_DIM}]),
+                   6) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    ),
+    pre_top AS (
+      SELECT q_id, vec_id, CAST(rank AS INT) AS pre_rank FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM pre_scored
+      ) WHERE rank <= 10
+    )
+    SELECT p.q_id, p.vec_id, p.pre_rank,
+           CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS in_full_topk
+    FROM pre_top p LEFT JOIN full_top f USING (q_id, vec_id)
+    """,
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (prefix-dimension) retrieval evaluation — the modern
+    embedding-serving question: if queries run against only the FIRST
+    16 of 64 dimensions (4× cheaper dot products, 4× smaller index),
+    which of the full-dimension top-10 survive? Emits the prefix-space
+    top-10 per query with a flag marking overlap with the full-space
+    top-10 — the per-query recall readout that decides whether the
+    truncated index is servable. Both rankings use the repo's
+    hash-verified exact-cosine idiom (unit vectors, round-6 scores,
+    vec_id tie-break), so the EVALUATION itself is oracle-checked, not
+    just bounded — the sim_search_lsh_eval pattern applied to
+    dimension truncation instead of bucketing.
+
+    Scale: one broadcast of the bounded query set, one corpus pass
+    scoring both spaces in the same projection (the prefix slice adds
+    ~25% arithmetic, not a second scan); per-query top-k is
+    TakeOrdered-shaped. At 100 TB the full-space side swaps for the
+    IVF/LSH index path and this query becomes the calibration job run
+    on a sample."""
+    from kdcloganalyzer_spark.operators.dedup import (
+        _dot,
+        spread,
+        with_unit_vector,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    pre = emb.withColumn(
+        "pre_emb", F.slice(F.col("embedding"), 1, _MRL_DIM)
+    )
+    unit = with_unit_vector(pre, "embedding", out="unit_full")
+    unit = with_unit_vector(unit, "pre_emb", out="unit_pre").select(
+        "vec_id", "unit_full", "unit_pre"
+    )
+    queries = unit.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("unit_full").alias("q_full"),
+        F.col("unit_pre").alias("q_pre"),
+    )
+    scored = (
+        unit.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_dot(F.col("q_full"), F.col("unit_full")), 6).alias(
+                "cos_full"
+            ),
+            F.round(_dot(F.col("q_pre"), F.col("unit_pre")), 6).alias(
+                "cos_pre"
+            ),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cos_pre"), F.asc("vec_id"))
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wf).alias("full_rank"),
+        F.row_number().over(wp).alias("pre_rank"),
+    )
+    return (
+        ranked.where(F.col("pre_rank") <= 10)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("pre_rank").cast("int").alias("pre_rank"),
+            F.when(F.col("full_rank") <= 10, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_full_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts) AS last_click
+      FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN last_click >= ts - INTERVAL 2 HOUR
+                THEN last_click END AS asof_click_ts,
+           CAST(CASE WHEN last_click >= ts - INTERVAL 2 HOUR
+                THEN epoch_us(ts) - epoch_us(last_click) END AS BIGINT)
+             AS gap_us
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN WITH TOLERANCE — the feature-store variant of
+    join_asof: each purchase matches the same user's most recent click
+    ONLY if it is at most 2 hours stale; older state is worse than no
+    state (a 3-day-old feature silently poisoning a training row is
+    the bug this bound exists to catch), so stale matches surface as
+    NULL plus a NULL gap instead of a wrong value. Gap is exact
+    integer MICROSECONDS (unix_micros ⇄ epoch_us, the module's pinned
+    timestamp equivalence).
+
+    Scale: same union-and-carry-forward plan as join_asof — one
+    shuffle on user_id, one per-user sort, last(ignorenulls) carries
+    the click forward, a codegen CASE applies the tolerance; no range
+    explosion, no BNLJ at any scale. The tolerance also BOUNDS
+    streaming state in the continuous form (stream-stream joins keep
+    only the tolerance window of the build side)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "last_click", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_id").isNotNull())
+    )
+    fresh = F.col("last_click") >= (
+        F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("last_click")).alias("asof_click_ts"),
+        F.when(
+            fresh, F.unix_micros("ts") - F.unix_micros("last_click")
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    )

@@ -30,6 +30,8 @@ BNLJ_OK = {
     "events_slo_burn_rate",  # 1-row corpus-baseline x hourly summary
                              # (summary x summary, never data-sized)
     "profile_key_skew",  # 1-row profile x 1-row bucket-max stitch
+    "embed_matryoshka_eval",  # broadcast 5-query set x corpus, both
+                              # spaces scored in one projection
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or

@@ -1,0 +1,155 @@
+"""Law tests for the round-10 operators — the invariants the value
+oracles alone do not pin (estimator error, copy-mass expectation,
+balance, exact-twin equivalence of the swap forms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.plans import registry
+
+registry.load_all()
+
+
+def test_swap_forms_equal_window_forms(spark, sf_dir):
+    """The two 100TB swap forms must be row-for-row identical to their
+    window-form siblings (the exact-twin contract that lets them share
+    oracles)."""
+    for a, b in (
+        ("pipeline_quota_sampler", "pipeline_quota_sampler_twophase"),
+        ("pipeline_interleave_sources", "pipeline_interleave_sources_ranged"),
+    ):
+        da = registry.QUERIES[a](spark, sf_dir)
+        db = registry.QUERIES[b](spark, sf_dir)
+        assert da.exceptAll(db).count() == 0, (a, b)
+        assert db.exceptAll(da).count() == 0, (a, b)
+
+
+def test_kmv_estimator_fallback_and_error(spark, sf_dir):
+    """Sets smaller than k report the EXACT count (fallback regime);
+    estimator-regime errors stay within the k=64 KMV bound (rel. std.
+    error ~ 1/sqrt(k-2) ≈ 13%; assert a loose 3-sigma 40%). Intersect
+    is inclusion-exclusion and must equal c + v − u exactly."""
+    rows = {
+        r["set_name"]: r
+        for r in registry.QUERIES["agg_kmv_distinct_setops"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"click", "view", "union", "intersect"}
+    for name in ("click", "view", "union"):
+        r = rows[name]
+        if r["exact"] < 64:
+            assert r["kmv_est"] == r["exact"], r
+        else:
+            assert abs(r["kmv_est"] - r["exact"]) <= 0.4 * r["exact"], r
+    assert (
+        rows["intersect"]["kmv_est"]
+        == rows["click"]["kmv_est"]
+        + rows["view"]["kmv_est"]
+        - rows["union"]["kmv_est"]
+    )
+
+
+def test_balanced_class_equalizes_all_classes(spark, sf_dir):
+    """Every class in the balanced sample has EXACTLY the minority
+    class's population."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    out = registry.QUERIES["sample_balanced_class"](spark, sf_dir)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    m = min(
+        r["n"] for r in docs.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()
+    )
+    assert set(sizes.values()) == {m}, sizes
+    # and every class is present
+    n_langs = docs.select("lang").distinct().count()
+    assert len(sizes) == n_langs
+
+
+def test_mixture_weighted_copy_mass(spark, sf_dir):
+    """Per-source copy counts: every doc of a 2.0x source appears
+    exactly twice, every 1.0x doc exactly once, and each 0.5x source
+    contributes BETWEEN floor and ceil of half its docs (hash-selected
+    fraction); per-doc copies are 0..ceil(w) with contiguous
+    copy_idx."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    out = registry.QUERIES["pipeline_mixture_weighted_epochs"](
+        spark, sf_dir
+    )
+    per_doc = {
+        (r["doc_id"], r["source"]): r["n"]
+        for r in out.groupBy("doc_id", "source").agg(
+            F.count("*").alias("n"),
+            F.min("copy_idx").alias("lo"),
+            F.max("copy_idx").alias("hi"),
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    for r in docs:
+        w = [2.0, 1.0, 0.5][int(r["source"][3:]) % 3]
+        n = per_doc.get((r["doc_id"], r["source"]), 0)
+        if w == 2.0:
+            assert n == 2
+        elif w == 1.0:
+            assert n == 1
+        else:
+            assert n in (0, 1)
+    # contiguity: count == hi - lo + 1 == hi + 1 (0-based)
+    bad = out.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("hi"),
+        F.min("copy_idx").alias("lo"),
+    ).where(
+        (F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_matryoshka_output_shape_and_monotone_recall(spark, sf_dir):
+    """Exactly 10 prefix-ranked rows per query; overlap with the full
+    top-10 is between 0 and 10; prefix ranks are the contiguous
+    1..10."""
+    rows = registry.QUERIES["embed_matryoshka_eval"](
+        spark, sf_dir
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        assert sorted(x["pre_rank"] for x in rs) == list(range(1, 11)), q
+        overlap = sum(x["in_full_topk"] for x in rs)
+        assert 0 <= overlap <= 10, (q, overlap)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """Every non-null match is at most 2h stale (gap_us bound); every
+    null match has a genuinely stale-or-missing last click (checked
+    against the unbounded asof join)."""
+    tol = registry.QUERIES["join_asof_tolerance"](spark, sf_dir)
+    bad = tol.where(
+        F.col("asof_click_ts").isNotNull()
+        & (F.col("gap_us") > 2 * 3600 * 1000000)
+    )
+    assert bad.count() == 0
+    unbounded = registry.QUERIES["join_asof"](spark, sf_dir).select(
+        "event_id", F.col("asof_click_ts").alias("any_click")
+    )
+    nulled = (
+        tol.where(F.col("asof_click_ts").isNull())
+        .join(unbounded, "event_id")
+        .where(F.col("any_click").isNotNull())
+    )
+    # every null row with SOME earlier click must have gap > 2h
+    too_fresh = nulled.where(
+        F.unix_micros("ts") - F.unix_micros("any_click")
+        <= 2 * 3600 * 1000000
+    )
+    assert too_fresh.count() == 0
