@@ -674,3 +674,132 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucketed (HdrHistogram-style) value histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram_log2",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value > 0
+    )
+    SELECT event_type,
+           CAST(length(bin(cents)) AS INT) AS log2_bucket,
+           count(*) AS n,
+           CAST(min(cents) AS BIGINT) AS min_c,
+           CAST(max(cents) AS BIGINT) AS max_c
+    FROM c GROUP BY event_type, length(bin(cents))
+    """,
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG2-BUCKETED histogram (the HdrHistogram/latency-histogram
+    shape): per event type, value counts in exponentially-growing
+    buckets — the fixed-bucket-count summary that covers a 10^6
+    dynamic range where agg_histogram_fixed's equal-width bins would
+    put everything in one bin. The bucket is the BINARY DIGIT COUNT of
+    the integer cents (Spark ``length(conv(c,10,2))`` ≡ DuckDB
+    ``length(bin(c))``) — pure integer arithmetic, so bucket edges are
+    exact powers of two with NO floating log2 whose floor() could flip
+    on a boundary ulp across engines.
+
+    Scale: a pure per-row projection + one partial-agg'd shuffle whose
+    keyspace is |types| × ~40 buckets — the map side collapses
+    everything, the exchange moves a few hundred rows at any corpus
+    size. This is the mergeable-histogram contract: per-shard
+    histograms add bucket-wise (counts sum, mins min, maxes max), so
+    the 100 TB rollup is a re-aggregation of tiny summaries."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy(
+            "event_type",
+            F.length(F.conv(F.col("cents"), 10, 2))
+            .cast("int")
+            .alias("log2_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").cast("bigint").alias("min_c"),
+            F.max("cents").cast("bigint").alias("max_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest with order-free checksums
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "pipeline_shard_manifest_checksums",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                             1, 15))::BIGINT AS h60
+      FROM documents
+    )
+    SELECT CAST(h60 % {_N_SHARDS} AS INT) AS shard,
+           count(*) AS n_rows,
+           CAST(bit_xor(h60) AS BIGINT) AS checksum_xor,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM h GROUP BY 1
+    """,
+)
+def pipeline_shard_manifest_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINING-SHARD MANIFEST with content checksums — the
+    webdataset-style integrity contract for a released corpus: docs
+    hash-assign to shards (md5-60bit mod N — rerun-stable), each shard
+    is WRITTEN as partitioned parquet, read BACK, and the manifest
+    (row count, content checksum, doc-id range per shard) is computed
+    from the read-back bytes — so a silently truncated or corrupted
+    shard changes its manifest row and the oracle (which computes the
+    same manifest from the source table) catches it. The checksum is
+    ``bit_xor`` of per-row 60-bit content hashes (md5 of doc_id|text):
+    ORDER-FREE and overflow-free by construction, so it is
+    deterministic under any partitioning/summation order — the same
+    reasoning as the integer-cents idiom, applied to content hashing.
+
+    Scale: the per-row hash is codegen; the manifest aggregate is
+    |shards| rows; writing is shard-parallel with no skew (md5 is
+    uniform). At 100 TB this IS the release-validation job: producer
+    and consumer each compute the manifest and diff — kilobytes of
+    state certifying terabytes of shards."""
+    import tempfile
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h60 = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+        "text)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    sharded = docs.select(
+        "doc_id",
+        "text",
+        h60.alias("h60"),
+        (h60 % _N_SHARDS).cast("int").alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="corpus_shards_")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(h60)").cast("bigint").alias("checksum_xor"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

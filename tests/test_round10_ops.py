@@ -153,3 +153,59 @@ def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
         <= 2 * 3600 * 1000000
     )
     assert too_fresh.count() == 0
+
+
+def test_log2_histogram_buckets_partition_the_range(spark, sf_dir):
+    """Bucket edges are exact powers of two: every row's min/max cents
+    fall inside [2^(b-1), 2^b); bucket counts sum to the positive-value
+    row count."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    out = registry.QUERIES["agg_histogram_log2"](spark, sf_dir).collect()
+    for r in out:
+        b = r["log2_bucket"]
+        assert (1 << (b - 1)) <= r["min_c"] <= r["max_c"] < (1 << b), r
+    total = sum(r["n"] for r in out)
+    ev = load_table(spark, sf_dir, "events")
+    assert total == ev.where(F.col("value") > 0).count()
+
+
+def test_shard_manifest_detects_tampering(spark, sf_dir):
+    """The checksum must change when any document's text changes —
+    recompute the manifest over a tampered copy and require the
+    affected shard's row to differ."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    base = {
+        r["shard"]: (r["n_rows"], r["checksum_xor"])
+        for r in registry.QUERIES["pipeline_shard_manifest_checksums"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sum(n for n, _ in base.values()) == load_table(
+        spark, sf_dir, "documents"
+    ).count()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.lit("TAMPERED")).otherwise(
+            F.col("text")
+        ),
+    )
+    h60 = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+        "text)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    tm = {
+        r["shard"]: (r["n_rows"], r["checksum_xor"])
+        for r in tampered.select(
+            h60.alias("h60"), (h60 % 8).cast("int").alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h60)").cast("bigint").alias("checksum_xor"),
+        )
+        .collect()
+    }
+    assert base != tm  # doc 0's shard moved or its checksum flipped
