@@ -803,3 +803,152 @@ def pipeline_shard_manifest_checksums(
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit bloom-filter prescreen (bloom_filter_agg / might_contain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_bloom_prescreen_explicit",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events e
+    WHERE e.user_id IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > 9500)
+    GROUP BY e.event_type
+    """,
+)
+def join_bloom_prescreen_explicit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPLICIT bloom prescreen — the APPLICATION-level form of what
+    join_bloom_runtime lets the optimizer inject: the high-value
+    customer key set is aggregated into a bloom filter
+    (``bloom_filter_agg``), collected driver-side (ONE bounded binary
+    row — the sanctioned control pattern; a lazy 1-row cross join
+    would plan a BNLJ), and embedded as a literal in a
+    ``might_contain`` filter that drops non-matching events AT THE
+    SCAN, before any exchange. False positives (bloom is one-sided)
+    are removed by the exact semi join that follows, so the output
+    equals the plain semi join the oracle computes — the bloom changes
+    the PLAN (shuffle volume), never the answer.
+
+    Why the explicit form matters at 100 TB: the optimizer's runtime
+    filter only fires within one query's join; an application-managed
+    bloom persists ACROSS jobs (build once from the dim snapshot,
+    apply to every delta batch all day — the streaming-ingest
+    prescreen), and works in places the optimizer can't see
+    (foreachBatch bodies, non-join filters). Built from primitives
+    because Spark does not expose ``bloom_filter_agg`` to SQL/Python:
+    3 xxhash64 probes into a 16384-bit bitmap stored as 256 longs
+    (``bit_or`` build aggregate, ≤256-row driver collect — bounded
+    control data), embedded as ONE literal array so the probe filter
+    is pure whole-stage-codegen integer arithmetic. Selectivity here:
+    ~5% of customers pass the acctbal cut, so most fact rows drop
+    scan-side before the exchange."""
+    from kdcloganalyzer_spark.plans.relational import _cents
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    m_bits, n_words, k = 16384, 256, 3
+    ev = load_table(spark, sf_dir, "events")
+    high = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+
+    def probe(col, i):
+        return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+
+    bits = high.select(
+        F.explode(
+            F.array(*[probe(F.col("user_id"), i) for i in range(k)])
+        ).alias("p")
+    )
+    words = {
+        r["w"]: r["bm"]
+        for r in bits.groupBy(
+            (F.col("p") / 64).cast("int").alias("w")
+        )
+        .agg(
+            F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias(
+                "bm"
+            )
+        )
+        .collect()
+    }
+    arr_sql = (
+        "array("
+        + ",".join(f"{words.get(w, 0)}L" for w in range(n_words))
+        + ")"
+    )
+    cond = F.expr(
+        " AND ".join(
+            f"((shiftright(element_at({arr_sql}, "
+            f"CAST(pmod(xxhash64(user_id, {i}), {m_bits}) div 64 AS INT)"
+            f" + 1), CAST(pmod(pmod(xxhash64(user_id, {i}), {m_bits}),"
+            f" 64) AS INT)) & 1L) = 1L)"
+            for i in range(k)
+        )
+    )
+    prescreened = ev.where(cond)
+    return (
+        prescreened.join(F.broadcast(high), "user_id", "semi")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_value_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (arbitrary set list, not rollup/cube)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_grouping_sets_explicit",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets_explicit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ARBITRARY GROUPING SETS — the explicit set list
+    ((status), (priority), ()) that neither ROLLUP (prefix chain,
+    agg_grouping_sets) nor CUBE (full lattice, agg_cube_grouping_id)
+    expresses: two independent single-column breakdowns plus the grand
+    total in ONE pass, skipping the (status, priority) cross that CUBE
+    would also compute. Identical SQL text runs on both engines.
+
+    Scale: compiles to one Expand (×3 — one replica per set; CUBE
+    would pay ×4) + a single two-stage HashAggregate — one widened
+    shuffle for all three sets; choosing the minimal set list is
+    exactly how you keep the Expand factor down when a dashboard needs
+    k specific breakdowns of a 100 TB fact, not the 2^n lattice."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_c
+        FROM v_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
