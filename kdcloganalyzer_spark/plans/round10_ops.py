@@ -952,3 +952,56 @@ def agg_grouping_sets_explicit(
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Cryptographic hash + column-encryption function suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_hash_crypto_suite",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex,
+           CAST(length(text) AS INT) AS n_plain,
+           true AS aes_roundtrip_ok
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_hash_crypto_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic function surface — content fingerprinting
+    (sha256/md5, DuckDB-identical hex) plus COLUMN-LEVEL ENCRYPTION
+    (``aes_encrypt``/``aes_decrypt``): the PII-at-rest pattern where a
+    sensitive column is stored encrypted and decrypted on read by key
+    holders. The AES round-trip is asserted IN the result
+    (decrypt(encrypt(x)) = x per row) because DuckDB has no AES to
+    replay; ECB/PKCS mode keeps the demonstration deterministic (GCM,
+    the production default, salts a random IV per call — right for
+    storage, unverifiable by a value oracle; the docible trade-off).
+    sha1/crc32 exist Spark-side but have no DuckDB twin and add no
+    semantics — left out of the oracle surface deliberately.
+
+    Scale: all four are per-row codegen expressions inside one
+    projection — no shuffle, no Python; at 100 TB the only design
+    question is key distribution (a literal here; a KMS callback via
+    mapInPandas in production)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    key = "0123456789abcdef"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    enc = F.expr(f"aes_encrypt(text, '{key}', 'ECB', 'PKCS')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB', 'PKCS'), "
+        f"'{key}', 'ECB', 'PKCS') AS STRING)"
+    )
+    return docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.md5("text").alias("md5_hex"),
+        F.length("text").cast("int").alias("n_plain"),
+        (dec == F.col("text")).alias("aes_roundtrip_ok"),
+    )

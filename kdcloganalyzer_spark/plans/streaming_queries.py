@@ -180,6 +180,28 @@ def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_timeout",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-fired EVENT-TIME STATE TIMEOUTS: idle per-user session
+    state closed by the watermark (applyInPandasWithState +
+    EventTimeTimeout; two availableNow runs share a checkpoint and a
+    far-future sentinel row advances the watermark past every real
+    state's expiry, so each closes exactly once). The emitted closure
+    rows — who, final count, last seen — must equal the batch per-user
+    aggregate, which is what a timeout reaper closing EVERY idle
+    session means (streaming/stream_queries.py:
+    session_timeout_closures)."""
+    return SQ.session_timeout_closures(spark, sf_dir)
+
+
+@query(
     "stream_dedup_exact",
     oracle="""
     SELECT event_type, count(*) AS n,

@@ -1033,3 +1033,140 @@ def windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+_TIMEOUT_SPLIT_CACHE: dict[str, str] = {}
+
+
+def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME STATE TIMEOUTS (applyInPandasWithState +
+    EventTimeTimeout): per-user session state that the ENGINE closes
+    when the watermark passes last_seen + 1 day — the idle-session
+    reaper every stateful streaming deployment needs (without
+    timeouts, a user who never returns leaks state forever).
+
+    Made deterministic with the two-run restart construction
+    watermark_late_drop pins: run 1 streams the full events table and
+    commits its watermark; run 2 restarts from the checkpoint over ONE
+    far-future sentinel row (a synthetic user at 2024-03-01), which
+    advances the watermark a month past every real user's
+    last_seen + 1 day — so every real state has an expired timeout and
+    NO data in run 2, fires exactly once (hasTimedOut=True, then
+    removed — double-fire is impossible by construction), and emits
+    its closing state (event count, last seen). The sentinel's own
+    state never expires and emits nothing. Which batch of run 2 fires
+    a given state (data batch vs the availableNow finalization batch)
+    is engine-internal — and IRRELEVANT here, which is exactly what
+    makes a timeout operator oracle-checkable: the closure SET and the
+    closing STATES are a pure function of the table.
+
+    Scale: state is O(active users); the timeout sweep is the state
+    store's own expiry scan, not a data scan — the construction that
+    keeps an unbounded keyspace's state finite at 100 TB."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kdcloganalyzer_spark import appcache
+
+    if sf_dir not in _TIMEOUT_SPLIT_CACHE:
+        from kdcloganalyzer_spark.sources.tables import load_table
+
+        ev_batch = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts"
+        )
+        half_dir = appcache.tempdir(prefix="timeout_halves_")
+        advance = spark.createDataFrame(
+            [(999999999,)], "user_id bigint"
+        ).select(
+            "user_id", F.lit("2024-03-01").cast("timestamp").alias("ts")
+        )
+        for name, part in (
+            ("00_events.parquet", ev_batch),
+            ("01_advance.parquet", advance),
+        ):
+            tmp = f"{half_dir}/_tmp"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.move(
+                glob.glob(f"{tmp}/part-*.parquet")[0], f"{half_dir}/{name}"
+            )
+        _TIMEOUT_SPLIT_CACHE[sf_dir] = half_dir
+    half_dir = _TIMEOUT_SPLIT_CACHE[sf_dir]
+
+    stage = appcache.tempdir(prefix="session_timeout_")
+    data_dir = f"{stage}/data"
+    out_dir = f"{stage}/out"
+    ckpt = f"{stage}/ckpt"
+    os.makedirs(data_dir)
+    schema = spark.read.parquet(f"{half_dir}/00_events.parquet").schema
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        gap_us = 24 * 3600 * 1000000
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "last_ts": [pd.to_datetime(last_us, unit="us")],
+                }
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            mx = pdf["ts"].max().value // 1000  # ns -> us
+            last_us = mx if mx > last_us else last_us
+        state.update((n, last_us))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms
+        yield from ()
+
+    def run_once() -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .parquet(data_dir)
+            .withWatermark("ts", "1 hour")
+        )
+        out = sdf.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id BIGINT, n_events BIGINT, last_ts TIMESTAMP"
+            ),
+            stateStructType="n BIGINT, last_us BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from kdcloganalyzer_spark.sources.tables import ensure_utc_session
+
+    ensure_utc_session(spark)
+    with _state_sized_shuffle(spark):
+        os.symlink(
+            f"{half_dir}/00_events.parquet", f"{data_dir}/00_events.parquet"
+        )
+        run_once()  # builds every user's state; commits the watermark
+        os.symlink(
+            f"{half_dir}/01_advance.parquet",
+            f"{data_dir}/01_advance.parquet",
+        )
+        run_once()  # watermark jumps a month; every real state fires
+    return spark.read.schema(
+        "user_id BIGINT, n_events BIGINT, last_ts TIMESTAMP"
+    ).parquet(out_dir)
