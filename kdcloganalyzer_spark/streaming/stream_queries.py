@@ -1095,7 +1095,7 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TIMEOUT_SPLIT_CACHE[sf_dir] = half_dir
     half_dir = _TIMEOUT_SPLIT_CACHE[sf_dir]
 
-    stage = appcache.tempdir(prefix="session_timeout_")
+    stage = appcache.tempdir(prefix="session_timeout_", fast=True)
     data_dir = f"{stage}/data"
     out_dir = f"{stage}/out"
     ckpt = f"{stage}/ckpt"
