@@ -1005,3 +1005,67 @@ def fn_hash_crypto_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("int").alias("n_plain"),
         (dec == F.col("text")).alias("aes_roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum-learning schedule (quality-ordered epoch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_curriculum_schedule",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             round(0.5 * (len(list_filter(string_split(lower(text), ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'of'
+                                  OR t = 'and'))::DOUBLE
+                          / len(string_split(lower(text), ' ')))
+                 + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 - 0.2 * (len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                          ::DOUBLE / length(text)),
+               4) AS quality
+      FROM documents
+    )
+    SELECT doc_id, quality,
+           CAST(row_number() OVER (
+             ORDER BY quality DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS schedule_pos
+    FROM q
+    """,
+)
+def pipeline_curriculum_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM-LEARNING schedule: the epoch ordered cleanest-first —
+    each document's global training position by descending quality
+    score (the text_quality_score heuristic), with the md5(doc_id)
+    hash as a deterministic within-band shuffle so equal-quality docs
+    arrive in reproducible-but-unclustered order (a doc_id tie-break
+    alone would feed correlated neighbors consecutively). The
+    composition every staged-training run needs: quality gate →
+    curriculum order → (optionally) the mixture/interleave layers this
+    module provides.
+
+    Scale: the quality score is one codegen projection; the global
+    rank is the single-partition-sort chokepoint ALL epoch-ordering
+    shares — the 100 TB swap is pipeline_global_shuffle's bucket-count
+    offset construction or the range-shard writer
+    (pipeline_interleave_sources_ranged), both already registered; at
+    bench scale the window form IS the oracle-faithful reference."""
+    from kdcloganalyzer_spark.functions import text as TX
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(
+        F.desc("quality"), F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", TX.quality_score(F.col("text")).alias("quality")
+        )
+        .withColumn(
+            "schedule_pos", F.row_number().over(w).cast("bigint")
+        )
+    )

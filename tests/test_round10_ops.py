@@ -209,3 +209,38 @@ def test_shard_manifest_detects_tampering(spark, sf_dir):
         .collect()
     }
     assert base != tm  # doc 0's shard moved or its checksum flipped
+
+
+def test_cents_idiom_is_lossless_for_two_decimal_money(spark):
+    """Property pin for the repo-wide integer-money idiom: for ANY
+    2-decimal money value, CAST(round(x*100) AS BIGINT) is a lossless
+    per-row transform (the premise behind the r10 migration of every
+    round(sum(DOUBLE)) oracle), and the cents sum is independent of
+    summation order by integer arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=-(10**12), max_value=10**12)
+    )
+    def check(cents):
+        x = cents / 100.0  # the parquet double for a 2-decimal value
+        assert round(x * 100) == cents
+
+    check()
+
+
+def test_curriculum_schedule_is_total_and_quality_monotone(spark, sf_dir):
+    """schedule_pos is the contiguous 1..N permutation and quality is
+    non-increasing along it."""
+    rows = (
+        registry.QUERIES["pipeline_curriculum_schedule"](spark, sf_dir)
+        .orderBy("schedule_pos")
+        .collect()
+    )
+    assert [r["schedule_pos"] for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    qs = [r["quality"] for r in rows]
+    assert all(a >= b for a, b in zip(qs, qs[1:]))
