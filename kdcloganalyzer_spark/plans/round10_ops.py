@@ -1069,3 +1069,135 @@ def pipeline_curriculum_schedule(
             "schedule_pos", F.row_number().over(w).cast("bigint")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH band-tuning table (S-curve measurement)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_band_tuning",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS words
+      FROM documents WHERE doc_id % 3 = 0
+    ), dd AS (
+      SELECT doc_id, words FROM d WHERE len(words) > 0
+    ), exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.words, b.words))::DOUBLE /
+                  (len(a.words) + len(b.words)
+                   - len(list_intersect(a.words, b.words))), 6) >= 0.9
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tok FROM dd
+    ), sigl AS (
+      SELECT doc_id, s,
+             min(('0x' || substr(md5(tok || '#' || s), 1, 15))::BIGINT) AS h
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+      GROUP BY doc_id, s
+    ), sig AS (
+      SELECT doc_id, list(h ORDER BY s) AS sig FROM sigl GROUP BY doc_id
+    ), cfg AS (
+      SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS t(n_bands, rpb)
+    ), bands AS (
+      SELECT c.n_bands, c.rpb, s.doc_id,
+             t.b,
+             array_to_string(
+               list_slice(s.sig, CAST(t.b * c.rpb AS INT) + 1,
+                          CAST(t.b * c.rpb AS INT) + c.rpb), ',') AS key
+      FROM sig s CROSS JOIN cfg c
+      CROSS JOIN unnest(range(c.n_bands)) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.n_bands, a.rpb,
+             a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.n_bands = c.n_bands AND a.b = c.b AND a.key = c.key
+       AND a.doc_id < c.doc_id
+    ), hit AS (
+      SELECT n_bands, rpb, count(*) AS n_hit
+      FROM cand JOIN exact USING (id_a, id_b)
+      GROUP BY n_bands, rpb
+    ), nc AS (
+      SELECT n_bands, rpb, count(*) AS n_candidates
+      FROM cand GROUP BY n_bands, rpb
+    )
+    SELECT cfg.n_bands, cfg.rpb AS rows_per_band,
+           CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(hit.n_hit, 0)::DOUBLE /
+                 nullif((SELECT count(*) FROM exact), 0), 6) AS recall_r
+    FROM cfg
+    LEFT JOIN nc ON nc.n_bands = cfg.n_bands AND nc.rpb = cfg.rpb
+    LEFT JOIN hit ON hit.n_bands = cfg.n_bands AND hit.rpb = cfg.rpb
+    """,
+)
+def dedup_minhash_band_tuning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH BAND-TUNING table — the S-curve design measurement behind
+    every banded-MinHash deployment: with k = 16 signatures fixed,
+    (bands, rows) ∈ {(2,8), (4,4), (8,2)} moves the candidate
+    probability 1−(1−J^r)^b from knee≈0.85 (precise, few candidates)
+    to knee≈0.30 (recall-heavy, candidate-flood). Per config it emits
+    the RAW candidate-pair count (the cost axis: what the band join
+    must verify) and recall of the exact Jaccard ≥ 0.9 ground truth
+    (the quality axis) — the two numbers a deployment trades when
+    picking its banding. Shares the md5 cross-engine hash family, so
+    every candidate SET (not just the counts) is replayed exactly by
+    the oracle — hash-verified index tuning, extending
+    dedup_minhash_eval from one config to the design sweep.
+
+    Scale: one k=16 signature build (the cached md5 family), three
+    band self-joins whose cost IS the measured candidate count —
+    bounded by band-bucket occupancy, AQE-split on boilerplate
+    buckets; the exact ground truth runs once on the corpus third."""
+    from kdcloganalyzer_spark.operators import dedup
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    unblocked = docs.withColumn("lang", F.lit("_")).withColumn(
+        "source", F.lit("_")
+    )
+    exact = dedup.ngram_jaccard_pairs_prefix(unblocked, 0.9).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    n_exact = exact.count()  # control scalar (bounded pair set)
+    parts = []
+    for n_bands, rpb in ((2, 8), (4, 4), (8, 2)):
+        cand = dedup.minhash_lsh_pairs(
+            docs,
+            0.0,  # no similarity filter: RAW band candidates
+            n_bands=n_bands,
+            rows_per_band=rpb,
+            word_hash=dedup._md5_word_hash,
+            string_band_key=True,
+        ).select("id_a", "id_b")
+        tagged = cand.join(
+            exact.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        parts.append(
+            tagged.agg(
+                F.count("*").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            ).select(
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                F.lit(rpb).cast("int").alias("rows_per_band"),
+                F.col("n_candidates").cast("bigint"),
+                F.lit(n_exact).cast("bigint").alias("n_exact"),
+                F.col("n_hit").cast("bigint"),
+                F.round(
+                    F.col("n_hit")
+                    / F.nullif(F.lit(n_exact), F.lit(0)),
+                    6,
+                ).alias("recall_r"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
