@@ -1201,3 +1201,217 @@ def dedup_minhash_band_tuning(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test (exact integer form)
+# ---------------------------------------------------------------------------
+
+_KS_PAIRS = (("click", "view"), ("click", "purchase"), ("view", "error"))
+
+
+def _ks_pair_sql(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS type_a, '{b}' AS type_b,
+             CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             round(max(abs(ca * nb - cb * na))::DOUBLE
+                   / (max(na) * max(nb)), 6) AS d_stat
+      FROM (
+        SELECT cents,
+               sum(fa) OVER w AS ca, sum(fb) OVER w AS cb,
+               sum(fa) OVER () AS na, sum(fb) OVER () AS nb
+        FROM (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END AS fa,
+                 CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END AS fb
+          FROM events WHERE event_type IN ('{a}', '{b}')
+        )
+        WINDOW w AS (ORDER BY cents RANGE UNBOUNDED PRECEDING)
+      )
+    """
+
+
+@query(
+    "events_ks_drift",
+    oracle=" UNION ALL ".join(_ks_pair_sql(a, b) for a, b in _KS_PAIRS),
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV drift test — the
+    distribution-level data-quality gate chi-square screens
+    (text_source_drift, events_benford_screen) cannot give you: KS
+    compares the full CDFs, catching shape drift that preserves bucket
+    masses. Computed EXACTLY: D = max|F_a − F_b| becomes
+    max|c_a·n_b − c_b·n_a| over the merged value points — all BIGINT
+    cross-multiplication (the chi-square integer trick applied to
+    CDFs), so the supremum is order-free and engine-identical; only
+    the final readout divides. The RANGE frame makes equal-value
+    peers count together (the correct right-continuous empirical CDF).
+
+    Scale: one sort per pair over the two samples' union (the CDF
+    window), partial-agg'd counts; at 100 TB you run KS on the
+    per-shard equi-depth histogram (agg_histogram_equi_depth) instead
+    of raw points — same statistic to histogram resolution."""
+    from kdcloganalyzer_spark.plans.relational import _cents
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    w = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    for a, b in _KS_PAIRS:
+        base = ev.where(F.col("event_type").isin(a, b)).select(
+            _cents("value").alias("cents"),
+            F.when(F.col("event_type") == a, 1).otherwise(0).alias("fa"),
+            F.when(F.col("event_type") == b, 1).otherwise(0).alias("fb"),
+        )
+        cum = base.select(
+            F.sum("fa").over(w).alias("ca"),
+            F.sum("fb").over(w).alias("cb"),
+            F.sum("fa").over(wall).alias("na"),
+            F.sum("fb").over(wall).alias("nb"),
+        )
+        parts.append(
+            cum.agg(
+                F.max(
+                    F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                ).alias("mx"),
+                F.max("na").alias("na"),
+                F.max("nb").alias("nb"),
+            ).select(
+                F.lit(a).alias("type_a"),
+                F.lit(b).alias("type_b"),
+                F.col("mx").cast("bigint").alias("d_num"),
+                F.col("na").cast("bigint").alias("n_a"),
+                F.col("nb").cast("bigint").alias("n_b"),
+                F.round(
+                    F.col("mx") / (F.col("na") * F.col("nb")).cast("double"),
+                    6,
+                ).alias("d_stat"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kNN label-prediction evaluation over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_knn_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS tl
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.q_id, q.tl, e.vec_id, e.label,
+             round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]),
+                   6) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    ),
+    top AS (
+      SELECT q_id, tl, label FROM (
+        SELECT q_id, tl, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT q_id, tl, label, count(*) AS n
+      FROM top GROUP BY q_id, tl, label
+    ),
+    pred AS (
+      SELECT q_id, tl, label AS pred_label, n AS n_votes FROM (
+        SELECT q_id, tl, label, n,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY n DESC, label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT q_id, CAST(tl AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN pred_label = tl THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM pred
+    """,
+)
+def embed_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL-PREDICTION evaluation — the classifier-quality readout
+    of an embedding space: for 20 held-out queries, predict the label
+    by majority vote of the 10 nearest neighbors (exact cosine, the
+    repo's verified round-6 + vec_id tie-break idiom; vote ties break
+    to the smallest label) and score against the true label. The
+    standard embedding-space sanity check before trusting vectors for
+    retrieval or weak labeling — and, like embed_matryoshka_eval, the
+    EVALUATION itself is hash-verified, not just bounded.
+
+    Scale: broadcast query set × corpus (one pass, 20 queries), per
+    query a TakeOrdered-shaped top-k, then a |queries×labels| vote
+    table — at 100 TB the neighbor search swaps to the IVF/LSH index
+    path and this becomes the recurring eval job on a sample."""
+    from kdcloganalyzer_spark.operators.dedup import (
+        _dot,
+        spread,
+        with_unit_vector,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    emb = with_unit_vector(
+        spread(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding", "label"
+            )
+        ),
+        "embedding",
+    ).select("vec_id", "label", "unit")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("tl"),
+        F.col("unit").alias("q_unit"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "tl",
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "tl", "label")
+    )
+    votes = top.groupBy("q_id", "tl", "label").agg(
+        F.count("*").alias("n")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select(
+            "q_id",
+            F.col("tl").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("n").cast("bigint").alias("n_votes"),
+            (F.col("label") == F.col("tl"))
+            .cast("int")
+            .alias("correct"),
+        )
+    )

