@@ -255,7 +255,10 @@ def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r["d_num"] <= r["n_a"] * r["n_b"], r
-        assert abs(r["d_stat"] - r["d_num"] / (r["n_a"] * r["n_b"])) < 1e-9
+        # d_stat is ROUNDED to 6 decimals — allow the half-quantum
+        assert (
+            abs(r["d_stat"] - r["d_num"] / (r["n_a"] * r["n_b"])) <= 5e-7
+        ), r
 
 
 def test_knn_eval_shape_and_vote_bounds(spark, sf_dir):
