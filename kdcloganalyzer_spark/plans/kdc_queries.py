@@ -959,3 +959,69 @@ def kdc_ip_roaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_auths",
         )
     )
+
+
+@query(
+    "kdc_password_spray",
+    oracle=f"""
+    SELECT regexp_extract(client_ip, 'IPv4:([0-9]+\\.[0-9]+)', 1)
+             AS subnet16,
+           CAST(count(*) AS BIGINT) AS n_failures,
+           CAST(count(DISTINCT client) AS BIGINT) AS n_accounts,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(count(DISTINCT client) * 1000000 // count(*) AS BIGINT)
+             AS breadth_micro
+    FROM {_R}
+    WHERE req_type = 'AUTH' AND client_ip IS NOT NULL
+      AND error_class IN ('BAD_PASSWORD', 'BAD_AUTHENTICATION')
+    GROUP BY 1
+    HAVING count(DISTINCT client) >= 2
+    """,
+)
+def q_password_spray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSWORD-SPRAY DETECTION — the inverse of a brute-force burst:
+    one source IP probing MANY accounts with few attempts each (under
+    per-account lockout thresholds). Complements
+    ``kdc_failed_auth_burst`` (per-client rate) and ``kdc_ip_roaming``
+    (per-client source churn) by pivoting the failed-auth surface onto
+    the SOURCE-IP axis: per IP, the credential-failure count, the
+    distinct accounts targeted (grouped at the /16 SUBNET — sprayers
+    rotate addresses within their block), the attack window, and the breadth
+    ratio (accounts per failure, exact integer micro-units) that
+    separates a spray (breadth → 1) from a single-account brute force
+    (breadth → 0). Failure classes BAD_PASSWORD / BAD_AUTHENTICATION
+    follow the reference's error taxonomy (SURVEY §2.4).
+
+    Scale: the failure filter prunes at the scan (a tiny fraction of
+    traffic); one partial-agg'd shuffle on client_ip with an Expand
+    for the exact distinct — at 100 TB swap the exact distinct for
+    HLL (users_few_services_approx's documented trade) and the plan
+    collapses to one pass."""
+    r = kdc_records(spark, sf_dir).filter(
+        (F.col("req_type") == "AUTH")
+        & F.col("client_ip").isNotNull()
+        & F.col("error_class").isin("BAD_PASSWORD", "BAD_AUTHENTICATION")
+    )
+    subnet = F.regexp_extract(
+        F.col("client_ip"), r"IPv4:([0-9]+\.[0-9]+)", 1
+    )
+    return (
+        r.groupBy(subnet.alias("subnet16"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_failures"),
+            F.countDistinct("client").cast("bigint").alias("n_accounts"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .where(F.col("n_accounts") >= 2)
+        .select(
+            "subnet16",
+            "n_failures",
+            "n_accounts",
+            "first_ts",
+            "last_ts",
+            F.expr("CAST(n_accounts * 1000000 div n_failures AS BIGINT)")
+            .alias("breadth_micro"),
+        )
+    )
