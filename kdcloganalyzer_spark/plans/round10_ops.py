@@ -1150,30 +1150,30 @@ def dedup_minhash_band_tuning(
     the oracle — hash-verified index tuning, extending
     dedup_minhash_eval from one config to the design sweep.
 
-    Scale: one k=16 signature build (the cached md5 family), three
-    band self-joins whose cost IS the measured candidate count —
-    bounded by band-bucket occupancy, AQE-split on boilerplate
-    buckets; the exact ground truth runs once on the corpus third."""
+    Scale: ONE k=16 signature build shared with the whole md5 family
+    (the cached _minhash_md5_sig table — the amortized-index contract:
+    dedup_minhash_pairs_md5 / _incremental / _eval and this sweep all
+    read the same checkpointed signatures), three band self-joins
+    whose cost IS the measured candidate count — bounded by
+    band-bucket occupancy, AQE-split on boilerplate buckets; the
+    exact ground truth runs once on the corpus third."""
     from kdcloganalyzer_spark.operators import dedup
-    from kdcloganalyzer_spark.sources.tables import load_table
+    from kdcloganalyzer_spark.plans.llm_pipeline import (
+        _minhash_md5_sig,
+        exact_pairs_md5_slice,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 3 == 0
-    )
-    unblocked = docs.withColumn("lang", F.lit("_")).withColumn(
-        "source", F.lit("_")
-    )
-    exact = dedup.ngram_jaccard_pairs_prefix(unblocked, 0.9).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=False)
+    exact = exact_pairs_md5_slice(spark, sf_dir)  # shared ground truth
     n_exact = exact.count()  # control scalar (bounded pair set)
+    sig = _minhash_md5_sig(spark, sf_dir)  # shared k=16 md5 signatures
     parts = []
     for n_bands, rpb in ((2, 8), (4, 4), (8, 2)):
         cand = dedup.minhash_lsh_pairs(
-            docs,
+            None,
             0.0,  # no similarity filter: RAW band candidates
             n_bands=n_bands,
             rows_per_band=rpb,
+            sig=sig,
             word_hash=dedup._md5_word_hash,
             string_band_key=True,
         ).select("id_a", "id_b")
