@@ -1415,3 +1415,86 @@ def embed_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences effect estimate (exact integer form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_did_effect",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treated,
+             CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END AS INT) AS post,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_c,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT treated, post, sum_c, n,
+             CAST(sum_c * 1000000 // n AS BIGINT) AS mean_micro
+      FROM cells
+    )
+    SELECT treated, post, sum_c, CAST(n AS BIGINT) AS n, mean_micro,
+           CAST((SELECT (max(CASE WHEN treated = 1 AND post = 1
+                              THEN mean_micro END)
+                       - max(CASE WHEN treated = 1 AND post = 0
+                              THEN mean_micro END))
+                      - (max(CASE WHEN treated = 0 AND post = 1
+                              THEN mean_micro END)
+                       - max(CASE WHEN treated = 0 AND post = 0
+                              THEN mean_micro END))
+                 FROM m) AS BIGINT) AS did_micro
+    FROM m
+    """,
+)
+def events_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES effect estimate — the
+    quasi-experimental causal readout events_ab_test_report's
+    randomized comparison can't give you when assignment isn't random:
+    (treated post − treated pre) − (control post − control pre),
+    differencing out both group-level baselines and the common time
+    trend. Cohorts: user parity × a fixed period split. Every number
+    is exact: cell sums are integer cents, cell means are scaled
+    micro-unit floor divisions, and the DiD effect is a difference of
+    those exact integers — order-free on both engines (the cents idiom
+    carried through a 2×2 design). All four cells plus the effect ship
+    in one result so the readout is auditable.
+
+    Scale: ONE partial-agg'd pass building the 2×2 cell table
+    (4 groups — the exchange moves 4 rows whatever the corpus size);
+    the effect is arithmetic over the collected cells. This is the
+    panel-data shape: at 100 TB the same plan with (cohort, week)
+    cells feeds an event-study regression downstream."""
+    from kdcloganalyzer_spark.plans.relational import _cents
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            F.sum(_cents("value")).cast("bigint").alias("sum_c"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .withColumn(
+            "mean_micro",
+            F.expr("CAST(sum_c * 1000000 div n AS BIGINT)"),
+        )
+    )
+    m = {
+        (r["treated"], r["post"]): r["mean_micro"]
+        for r in cells.collect()  # 4-row control table
+    }
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return cells.withColumn(
+        "did_micro", F.lit(int(did)).cast("bigint")
+    )
