@@ -993,11 +993,12 @@ def fn_hash_crypto_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < 200
     )
-    enc = F.expr(f"aes_encrypt(text, '{key}', 'ECB', 'PKCS')")
-    dec = F.expr(
-        f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'ECB', 'PKCS'), "
-        f"'{key}', 'ECB', 'PKCS') AS STRING)"
+    enc = F.aes_encrypt(
+        F.col("text"), F.lit(key), F.lit("ECB"), F.lit("PKCS")
     )
+    dec = F.aes_decrypt(
+        enc, F.lit(key), F.lit("ECB"), F.lit("PKCS")
+    ).cast("string")
     return docs.select(
         "doc_id",
         F.sha2("text", 256).alias("sha256_hex"),
@@ -1183,7 +1184,14 @@ def dedup_minhash_band_tuning(
         parts.append(
             tagged.agg(
                 F.count("*").alias("n_candidates"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+                # agg over an EMPTY frame returns sum=NULL while the
+                # oracle's LEFT JOIN coalesces to 0 — coalesce here too
+                # so a zero-candidate config (possible for the
+                # precision-heavy (2,8) banding on small corpora)
+                # hash-matches instead of leaking a NULL (ADVICE r10).
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0)
+                ).alias("n_hit"),
             ).select(
                 F.lit(n_bands).cast("int").alias("n_bands"),
                 F.lit(rpb).cast("int").alias("rows_per_band"),
@@ -1494,7 +1502,14 @@ def events_did_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["treated"], r["post"]): r["mean_micro"]
         for r in cells.collect()  # 4-row control table
     }
-    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
-    return cells.withColumn(
-        "did_micro", F.lit(int(did)).cast("bigint")
-    )
+    # An sf slice with an empty (treated, post) cell must degrade to a
+    # NULL effect exactly like the oracle's max(CASE ...) does — not
+    # raise KeyError (ADVICE r10).
+    vals = [m.get(c) for c in ((1, 1), (1, 0), (0, 1), (0, 0))]
+    if any(v is None for v in vals):
+        did_col = F.lit(None).cast("bigint")
+    else:
+        did_col = F.lit(
+            int((vals[0] - vals[1]) - (vals[2] - vals[3]))
+        ).cast("bigint")
+    return cells.withColumn("did_micro", did_col)

@@ -191,9 +191,10 @@ def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-fired EVENT-TIME STATE TIMEOUTS: idle per-user session
     state closed by the watermark (applyInPandasWithState +
-    EventTimeTimeout; two availableNow runs share a checkpoint and a
-    far-future sentinel row advances the watermark past every real
-    state's expiry, so each closes exactly once). The emitted closure
+    EventTimeTimeout; ONE availableNow run whose staged feed ends with
+    a far-future sentinel row, advancing the run-final watermark past
+    every real state's expiry, so each closes exactly once in the
+    no-data finalization batch). The emitted closure
     rows — who, final count, last seen — must equal the batch per-user
     aggregate, which is what a timeout reaper closing EVERY idle
     session means (streaming/stream_queries.py:

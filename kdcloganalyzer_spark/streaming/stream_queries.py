@@ -1045,20 +1045,25 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaper every stateful streaming deployment needs (without
     timeouts, a user who never returns leaks state forever).
 
-    Made deterministic with the two-run restart construction
-    watermark_late_drop pins: run 1 streams the full events table and
-    commits its watermark; run 2 restarts from the checkpoint over ONE
-    far-future sentinel row (a synthetic user at 2024-03-01), which
-    advances the watermark a month past every real user's
-    last_seen + 1 day — so every real state has an expired timeout and
-    NO data in run 2, fires exactly once (hasTimedOut=True, then
-    removed — double-fire is impossible by construction), and emits
-    its closing state (event count, last seen). The sentinel's own
-    state never expires and emits nothing. Which batch of run 2 fires
-    a given state (data batch vs the availableNow finalization batch)
+    Made deterministic with ONE far-future sentinel row (a synthetic
+    user at 2024-03-01) appended to the staged feed: the single
+    availableNow run builds every user's state from the data batches,
+    the run-final watermark lands a month past every real user's
+    last_seen + 1 day, and the engine's no-data finalization batch
+    fires each expired state exactly once (hasTimedOut=True, then
+    removed — double-fire is impossible by construction), emitting its
+    closing state (event count, last seen). The sentinel's own state
+    never expires and emits nothing. Which batch fires a given state
     is engine-internal — and IRRELEVANT here, which is exactly what
     makes a timeout operator oracle-checkable: the closure SET and the
-    closing STATES are a pure function of the table.
+    closing STATES are a pure function of the table. (r10 used two
+    availableNow runs sharing a checkpoint; the fold-in halves the
+    fixed micro-batch cost with an identical output hash.)
+
+    The sentinel user_id is DERIVED as max(user_id) + 10^7 rather than
+    hard-coded, so a dataset that happens to contain the old literal
+    can never silently merge the sentinel into a real user's state
+    (ADVICE r10).
 
     Scale: state is O(active users); the timeout sweep is the state
     store's own expiry scan, not a data scan — the construction that
@@ -1078,8 +1083,11 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "ts"
         )
         half_dir = appcache.tempdir(prefix="timeout_halves_")
+        # 1-row control scalar: the sentinel id must be provably absent
+        # from the table (max + offset), never a magic literal.
+        max_uid = ev_batch.agg(F.max("user_id")).collect()[0][0] or 0
         advance = spark.createDataFrame(
-            [(999999999,)], "user_id bigint"
+            [(int(max_uid) + 10_000_000,)], "user_id bigint"
         ).select(
             "user_id", F.lit("2024-03-01").cast("timestamp").alias("ts")
         )
@@ -1157,16 +1165,24 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kdcloganalyzer_spark.sources.tables import ensure_utc_session
 
     ensure_utc_session(spark)
-    with _state_sized_shuffle(spark):
+    # 8 state partitions, not the suite default 4: this operator's cost
+    # is the per-group Python call (1.5k groups × 2 batches), which is
+    # parallelism-bound — measured 4.3 s at 4 partitions, 2.8-3.0 s at
+    # 8, WORSE at 1-2 (8.0 s); 12-16 buy nothing further at this key
+    # cardinality.
+    with _state_sized_shuffle(spark, 8):
+        # Single availableNow run over data + sentinel: states build
+        # from the data batches, the run-final watermark (sentinel ts
+        # − 1 h) expires every real state, and the engine's no-data
+        # finalization batch fires the closures.
         os.symlink(
             f"{half_dir}/00_events.parquet", f"{data_dir}/00_events.parquet"
         )
-        run_once()  # builds every user's state; commits the watermark
         os.symlink(
             f"{half_dir}/01_advance.parquet",
             f"{data_dir}/01_advance.parquet",
         )
-        run_once()  # watermark jumps a month; every real state fires
+        run_once()
     return spark.read.schema(
         "user_id BIGINT, n_events BIGINT, last_ts TIMESTAMP"
     ).parquet(out_dir)
