@@ -38,8 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
     non-fatal: a failure here must not break the smoke check."""
     try:
         from kdcloganalyzer_spark.plans.kdc_queries import kdc_records_parquet
+        from kdcloganalyzer_spark.plans.streaming_queries import (
+            tail_twin_records_parquet,
+        )
 
         kdc_records_parquet(spark, "/root/testdata/sf0.01")
+        tail_twin_records_parquet(spark, "/root/testdata/sf0.01")
         # scan_schema_evolution's and scan_json_multiline's oracles read
         # /tmp files that only the Spark queries stage — constructing
         # them here (writes are part of construction, idempotent) gives

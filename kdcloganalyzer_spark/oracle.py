@@ -69,11 +69,17 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
         registry,
         relational,
         round9_ops,
+        streaming_queries,
     )
     from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
 
     return (
         registry.ORACLES[qid]
+        .replace(
+            streaming_queries.DRIVER_TAIL_RECORDS_GLOB,
+            streaming_queries.tail_records_path_for_sf(sf_dir)
+            + "/*.parquet",
+        )
         .replace(
             kdc_queries.DRIVER_RECORDS_GLOB,
             kdc_queries.records_path_for_sf(sf_dir) + "/*.parquet",

@@ -16,15 +16,70 @@ is pinned by the batch-equivalence pytest).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kdcloganalyzer_spark.plans.analytics import CMS_ORACLE
-from kdcloganalyzer_spark.plans.kdc_queries import DRIVER_RECORDS_GLOB
+from kdcloganalyzer_spark.plans.kdc_queries import (
+    DRIVER_RECORDS_GLOB,
+    RECORDS_VERSION,
+)
 from kdcloganalyzer_spark.plans.relational import DRIVER_BINFILES
 from kdcloganalyzer_spark.plans.registry import query
-from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
+from kdcloganalyzer_spark.sources.kdc_synth import (
+    synth_dir_for_sf,
+    synth_path_for_sf,
+)
 from kdcloganalyzer_spark.streaming import stream_queries as SQ
+
+#: Columns every sessionizer variant emits, in registration order (the
+#: records parquet additionally carries the ``enctypes`` array).
+_RECORD_COLS = (
+    "ts, ts_raw, req_type, client, crealm, service, srealm, client_ip, "
+    "valid, success, referral, error_class, error, chosen_enctype"
+)
+
+
+def tail_records_path_for_sf(sf_dir: str) -> str:
+    """Materialized batch-sessionizer records for the ONE log file the
+    tail harness follows — the DuckDB side of the streaming-tail oracle.
+    Versioned like records_path_for_sf (same invalidation rule)."""
+    synth = os.path.basename(synth_path_for_sf(sf_dir))
+    return f"/tmp/kdc_tail_records_r{RECORDS_VERSION}_{synth}"
+
+
+DRIVER_TAIL_RECORDS_GLOB = (
+    tail_records_path_for_sf("/root/testdata/sf0.01") + "/*.parquet"
+)
+
+
+def tail_twin_records_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Batch-sessionize the tail harness's followed file (the FIRST
+    .log, the same selection rule as _staged_tail_chunks) and
+    materialize it for DuckDB — idempotent via the _SUCCESS marker.
+    Non-circular for the streaming-tail oracle: this runs the
+    window-function batch sessionizer over whole files; the streaming
+    path re-assembles the same records from mid-record chunk splits via
+    applyInPandasWithState — only the final `_assemble` projection is
+    shared code."""
+    out = tail_records_path_for_sf(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from kdcloganalyzer_spark.operators.sessionize import sessionize
+        from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
+
+        log_dir = synth_dir_for_sf(sf_dir)
+        first = sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".log")
+        )[0]
+        recs = sessionize(
+            read_log_lines_raw(spark, [os.path.join(log_dir, first)])
+        )
+        recs.withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ).write.mode("overwrite").parquet(out)
+    return out
 
 
 @query(
@@ -154,25 +209,49 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SQ.watermark_late_drop(spark, sf_dir)
 
 
-@query("stream_sessionize")
+@query(
+    "stream_sessionize",
+    oracle=f"""
+    SELECT {_RECORD_COLS}
+    FROM read_parquet('{DRIVER_RECORDS_GLOB}')
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming multi-line KDC sessionizer (file-granular micro-batches
-    via foreachBatch; batch-equivalence pinned in tests)."""
+    via foreachBatch). Hash-verified against the materialized records
+    parquet — non-circular because that parquet is written by the BATCH
+    window-function sessionizer over whole files, while this path
+    re-parses per micro-batch over incrementally discovered file sets
+    (VERDICT r10 item 2)."""
+    from kdcloganalyzer_spark.plans.kdc_queries import kdc_records_parquet
+
+    kdc_records_parquet(spark, sf_dir)  # oracle twin
     return SQ.stream_sessionize_kdc(spark, synth_dir_for_sf(sf_dir))
 
 
-@query("stream_sessionize_tail")
+@query(
+    "stream_sessionize_tail",
+    oracle=f"""
+    SELECT {_RECORD_COLS},
+           coalesce(array_to_string(enctypes, '|'), '') AS enctypes
+    FROM read_parquet('{DRIVER_TAIL_RECORDS_GLOB}')
+    """,
+)
 def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionizer for a GROWING single file (`tail -f`):
     applyInPandasWithState carries the partial-record tail across
     micro-batches, so records straddling batch boundaries assemble
-    exactly as in batch (rows-only — watermark-free arbitrary state;
-    batch-equivalence on a 3-chunk split is pinned in
-    tests/test_streaming_tail.py). The ``enctypes`` array is flattened
-    to a '|'-joined string so the registered schema stays atomic — the
-    driver canonicalizes rows-only outputs through pandas, and an
+    exactly as in batch. Hash-verified against a batch-sessionizer twin
+    parquet over the SAME followed file (tail_twin_records_parquet) —
+    the mid-record chunk splits this path must survive never occur on
+    the batch side, so the compare binds the state-carry logic; the
+    3-chunk batch-equivalence pytest (tests/test_streaming_tail.py)
+    remains as the multi-file/general-split law. The ``enctypes`` array
+    is flattened to a '|'-joined string so the registered schema stays
+    atomic — the driver canonicalizes outputs through pandas, and an
     ARRAY column crashes its sort (CORRECTNESS_r09 ERR; same class fix
     as sessionize_multiline, kdc_queries.py)."""
+    tail_twin_records_parquet(spark, sf_dir)  # oracle twin
     out = SQ.stream_sessionize_tail_kdc(spark, synth_dir_for_sf(sf_dir))
     return out.withColumn(
         "enctypes", F.concat_ws("|", F.col("enctypes"))
