@@ -128,6 +128,126 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring REMOVAL rewrite (the transform behind the spans signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), p AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws) - {_SPAN_K} + 1)) AS pos
+      FROM w WHERE len(ws) >= {_SPAN_K}
+    ), g AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(ws, CAST(pos AS INT),
+                             CAST(pos + {_SPAN_K} - 1 AS INT)), ' ') AS gram
+      FROM p
+    ), shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + off AS cpos
+      FROM g CROSS JOIN (SELECT unnest(generate_series(0, {_SPAN_K - 1}))
+                         AS off) o
+      WHERE gram IN (SELECT gram FROM shared)
+    ), covd AS (
+      SELECT doc_id, list(cpos) AS cps, count(*) AS n_cov
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(covd.n_cov, 0) AS BIGINT) AS n_removed,
+           CAST(octet_length(encode(array_to_string(ws, ' ')))
+                AS BIGINT) AS bytes_before,
+           CAST(octet_length(encode(coalesce(array_to_string(
+                  list_transform(
+                    list_filter(generate_series(1, len(ws)),
+                      i -> NOT list_contains(coalesce(covd.cps, []), i)),
+                    i -> ws[CAST(i AS INT)]), ' '), ''))) AS BIGINT)
+             AS bytes_after,
+           coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(ws)),
+               i -> NOT list_contains(coalesce(covd.cps, []), i)),
+             i -> ws[CAST(i AS INT)]), ' '), '') AS text_rewritten
+    FROM w LEFT JOIN covd ON covd.doc_id = w.doc_id
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL — the transform a training pipeline
+    actually ships (dedup_substring_spans is its decision signal): drop
+    every token position covered by a cross-document duplicated 5-token
+    window and re-emit the rewritten text plus token/byte deltas (the
+    clip-don't-drop form of suffix-array dedup: a doc that shares a
+    boilerplate paragraph keeps its unique remainder instead of dying
+    at a coverage threshold).
+
+    Shape: the same linear gram topology as dedup_substring_spans —
+    positions posexplode from the arrays_zip gram build, one
+    groupBy(gram) finds cross-doc spans, covered positions fan out
+    ×K and distinct per (doc, pos), then ONE per-doc array of covered
+    positions joins back onto documents and the rewrite itself is a
+    whole-stage-codegen filter/transform over the token array (no
+    second explode of tokens, no Python). Scale: two gram shuffles +
+    one doc-key join, all linear in corpus tokens; the per-doc
+    rewrite is O(tokens × covered) with both factors bounded by
+    document length — at 100 TB, ship xxhash64(gram) through the
+    shuffles and keep raw text only in the final doc-key join, and
+    skew on boilerplate grams is AQE-split exactly as in the spans
+    query."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    g = docs.filter(F.size("ws") >= _SPAN_K).select(
+        "doc_id",
+        F.posexplode(F.expr(_SPAN_GRAMS.replace("__W__", "ws"))).alias(
+            "pos0", "gram"
+        ),
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    cov = (
+        g.join(shared, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos0") + 1, F.col("pos0") + _SPAN_K
+                )
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    covd = cov.groupBy("doc_id").agg(
+        F.collect_list("cpos").alias("cps"),
+        F.count("*").alias("n_cov"),
+    )
+    kept = (
+        "transform(filter(sequence(1, size(ws)), "
+        "i -> NOT array_contains(coalesce(cps, array()), i)), "
+        "i -> element_at(ws, i))"
+    )
+    return docs.join(covd, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("n_removed"),
+        F.octet_length(F.array_join("ws", " "))
+        .cast("bigint")
+        .alias("bytes_before"),
+        F.octet_length(F.expr(f"array_join({kept}, ' ')"))
+        .cast("bigint")
+        .alias("bytes_after"),
+        F.expr(f"array_join({kept}, ' ')").alias("text_rewritten"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # RAG-style overlapping document chunking
 # ---------------------------------------------------------------------------
 _CHUNK_SIZE = 64
