@@ -599,24 +599,18 @@ def topk_cosine_pq(
 _DUCK_DOT = "list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
 
 
-def ivf_oracle_sql(
-    n_queries: int = 5,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    dim: int = 64,
-    lloyd_rounds: int = 4,
+def ivf_build_ctes(
+    n_cells: int = 16, dim: int = 64, lloyd_rounds: int = 4
 ) -> str:
-    """DuckDB twin of the Gonzalez-seeded IVF search (build_ivf_index +
-    topk_cosine_ivf). Unlike the LSH twin there are NO literals to
-    share: the centroids are derived from the embeddings table itself —
-    the farthest-point traversal is unrolled into n_cells chained CTEs
-    (seed = (md5(vec_id), vec_id)-ranked first vector; each next center
-    maximizes the least()-chained running min squared distance, ties to
-    the smallest vec_id — exactly the folds Spark runs), so the oracle
-    rebuilds centers, replays the argmin cell assignment, probes the
-    n_probe nearest cells per query, and exactly re-ranks — the
-    approximate INDEX is hash-checked end-to-end, not a recall bound."""
+    """The WITH-clause body (``e`` … ``assign``) that rebuilds the
+    Gonzalez-seeded, integer-Lloyd-refined IVF quantizer in DuckDB —
+    shared by the IVF search oracle (ivf_oracle_sql) and the KMeans
+    clustering-report oracle (plans/round11_ops.py): the farthest-point
+    traversal unrolled into n_cells chained MATERIALIZED CTEs, then
+    lloyd_rounds of exact-integer centroid refinement, the final
+    ``centers`` table, per-vector distances (``dist``) and the argmin
+    cell ``assign``ment. Every fold/tie-break replays Spark's
+    build_ivf_index bit-identically (see that docstring)."""
     dist = (
         "list_sum(list_transform(list_zip({a}, {b}),"
         " s -> (s[1] - s[2]) * (s[1] - s[2])))"
@@ -680,7 +674,7 @@ def ivf_oracle_sql(
     )"""
         )
     return f"""
-    WITH e AS (
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
@@ -705,7 +699,29 @@ def ivf_oracle_sql(
       SELECT vec_id, cell FROM dist
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d, cell) = 1
-    ),
+    )"""
+
+
+def ivf_oracle_sql(
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    lloyd_rounds: int = 4,
+) -> str:
+    """DuckDB twin of the Gonzalez-seeded IVF search (build_ivf_index +
+    topk_cosine_ivf). Unlike the LSH twin there are NO literals to
+    share: the centroids are derived from the embeddings table itself —
+    the farthest-point traversal is unrolled into n_cells chained CTEs
+    (seed = (md5(vec_id), vec_id)-ranked first vector; each next center
+    maximizes the least()-chained running min squared distance, ties to
+    the smallest vec_id — exactly the folds Spark runs), so the oracle
+    rebuilds centers, replays the argmin cell assignment, probes the
+    n_probe nearest cells per query, and exactly re-ranks — the
+    approximate INDEX is hash-checked end-to-end, not a recall bound."""
+    return f"""
+    WITH {ivf_build_ctes(n_cells, dim, lloyd_rounds)},
     probes AS (
       SELECT vec_id AS q_id, cell FROM dist WHERE vec_id < {n_queries}
       QUALIFY row_number() OVER (PARTITION BY vec_id

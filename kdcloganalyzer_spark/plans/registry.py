@@ -52,5 +52,6 @@ def load_all() -> None:
         round8_ops,
         round9_ops,
         round10_ops,
+        round11_ops,
         streaming_queries,
     )
