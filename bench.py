@@ -34,7 +34,11 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _wait_for_idle(threshold: float = 1.5, max_wait_sec: float = 240.0) -> float:
+def _wait_for_idle(
+    threshold: float = 1.5,
+    max_wait_sec: float = 240.0,
+    hard_cap_sec: float = 600.0,
+) -> float:
     """Block (bounded) until the 1-min loadavg drops below `threshold`.
 
     The driver calls bench.py right after its gate/pytest phase, so the
@@ -44,15 +48,34 @@ def _wait_for_idle(threshold: float = 1.5, max_wait_sec: float = 240.0) -> float
     stops, so a few minutes of waiting converts a busy-machine number
     into an attributable one; the cap keeps a genuinely-busy machine
     from stalling the run (we then record the load and move on).
+
+    VERDICT r10 item 8: BENCH_r10's 80 s cap expired mid-decay (load
+    1.49 at first timed query). The soft cap now EXTENDS while the load
+    is still clearly falling (≥10% drop over the trailing minute — a
+    decaying tail, not steady ambient work), up to `hard_cap_sec`;
+    a flat-but-high load still exits at `max_wait_sec` so a genuinely
+    busy box can't stall the driver.
     Returns seconds actually waited. Disable with SPARK_GRAFT_NO_WAIT=1.
     """
     if os.environ.get("SPARK_GRAFT_NO_WAIT"):
         return 0.0
     t0 = time.monotonic()
-    while time.monotonic() - t0 < max_wait_sec:
+    minute_ago: list[tuple[float, float]] = []  # (t, load) trail
+    while True:
         la = _loadavg()
         if not la or la[0] < threshold:
             break
+        now = time.monotonic()
+        elapsed = now - t0
+        if elapsed >= hard_cap_sec:
+            break
+        if elapsed >= max_wait_sec:
+            minute_ago = [(t, v) for t, v in minute_ago if now - t <= 75]
+            past = [v for t, v in minute_ago if now - t >= 45]
+            still_falling = bool(past) and la[0] <= 0.9 * max(past)
+            if not still_falling:
+                break
+        minute_ago.append((now, la[0]))
         time.sleep(10)
     return round(time.monotonic() - t0, 1)
 
@@ -88,6 +111,11 @@ def main() -> None:
     if load_mid and load_mid[0] >= 1.5:
         idle_wait_retry = _wait_for_idle(max_wait_sec=240.0)
     loadavg_warm = _loadavg()  # load when the first timed query runs
+    # Machine-readable discount flag (VERDICT r10 item 8): a run whose
+    # first timed query started at 1-min load >= 1.5 is ambient-inflated
+    # — consumers comparing round-over-round totals should prefer the
+    # nearest idle run instead of reading this one as a regression.
+    load_inflated = bool(loadavg_warm) and loadavg_warm[0] >= 1.5
 
     load_start = loadavg_warm
     timings: dict[str, float] = {}
@@ -162,6 +190,7 @@ def main() -> None:
         "idle_wait_mid_sec": idle_wait_mid,
         "idle_wait_retry_sec": idle_wait_retry,
         "loadavg_warm": loadavg_warm,
+        "load_inflated": load_inflated,
         "errors": errors,
         "sf": sf,
     }
@@ -190,6 +219,7 @@ def main() -> None:
         "idle_wait_mid_sec": idle_wait_mid,
         "idle_wait_retry_sec": idle_wait_retry,
         "loadavg_warm": loadavg_warm,
+        "load_inflated": load_inflated,
         "queries": {},
         "queries_file": "BENCH_LOCAL.json",
     }
