@@ -116,3 +116,301 @@ def embed_cluster_kmeans_int(
             ).alias("msd_r6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily event series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), k AS (
+      SELECT day, n_events,
+             CAST(sum(n_events) OVER () * 1000000
+                  // count(*) OVER () AS BIGINT) AS k_micro
+      FROM daily
+    ), r AS (
+      SELECT day, n_events, k_micro,
+             CAST(sum(n_events * 1000000 - k_micro)
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS r_micro
+      FROM k
+    )
+    SELECT day, n_events,
+           CAST(r_micro - min(least(r_micro, 0))
+                OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cusum_micro,
+           (r_micro - min(least(r_micro, 0))
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)) > 2 * k_micro AS alarm
+    FROM r
+    """,
+)
+def events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM change-point detector over the daily event-volume series —
+    the sequential drift alarm (Page 1954) monitoring teams run on
+    ingest volume: S_t = max(0, S_{t-1} + (x_t − k)) accumulates
+    positive deviation from the reference rate k and alarms when it
+    crosses h. The recurrence has the closed window form
+    S_t = R_t − min(0, min_{j≤t} R_j) with R the running deviation sum,
+    so the whole detector is two cumulative windows — no recursion, no
+    UDF. EXACT integers end-to-end: k is the global mean daily count in
+    micro-units via one floor division of exact sums, deviations and
+    cumulative sums are BIGINT micro-units (summation-order-free), and
+    the alarm threshold h = 2k needs no float anywhere.
+
+    Scale: the heavy step is the partial-agg'd daily rollup (one
+    shuffle, linear in events); the window runs on the aggregated
+    per-day frame, which is bounded by the CALENDAR (3650 rows/decade),
+    so its single-partition sort is a non-issue at any corpus size —
+    the standard two-level shape for time-series ops at 100 TB."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    k = daily.select(
+        "day",
+        "n_events",
+        F.expr(
+            "CAST(sum(n_events) OVER () * 1000000L"
+            " div count(*) OVER () AS BIGINT)"
+        ).alias("k_micro"),
+    )
+    r = k.select(
+        "day",
+        "n_events",
+        "k_micro",
+        F.expr(
+            "CAST(sum(n_events * 1000000L - k_micro) OVER ("
+            "ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) AS BIGINT)"
+        ).alias("r_micro"),
+    )
+    run_min = (
+        "min(least(r_micro, 0L)) OVER (ORDER BY day ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return r.select(
+        "day",
+        "n_events",
+        F.expr(f"CAST(r_micro - {run_min} AS BIGINT)").alias(
+            "cusum_micro"
+        ),
+        F.expr(f"(r_micro - {run_min}) > 2 * k_micro").alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive integer EWMA over the daily event series
+# ---------------------------------------------------------------------------
+
+# Identical SQL text on both engines (Spark 4 WITH RECURSIVE == DuckDB's).
+# alpha = 1/8: s_t = (7*s_{t-1} + x_t*1e6) / 8 keeps every term
+# NON-NEGATIVE (truncate == floor, engine-agnostic) and division by a
+# power of two is EXACT in doubles while the numerator < 2^53 — holds to
+# ~1e9 events/day; beyond that swap the micro-unit scale down.
+_EWMA_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM {events} GROUP BY 1
+    ),
+    seq AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             day, n_events
+      FROM daily
+    ),
+    ew(i, day, n_events, s_micro) AS (
+      SELECT i, day, n_events, n_events * 1000000 FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.day, s.n_events,
+             CAST(floor((7 * e.s_micro + s.n_events * 1000000) / 8)
+                  AS BIGINT)
+      FROM ew e JOIN seq s ON s.i = e.i + 1
+    )
+    SELECT day, n_events, CAST(s_micro AS BIGINT) AS ewma_micro,
+           n_events * 1000000 > s_micro AS above_trend
+    FROM ew
+    """
+
+
+@query(
+    "rollup_ewma_recursive",
+    oracle=_EWMA_SQL.format(events="events"),
+)
+def rollup_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume via
+    WITH RECURSIVE — the smoothing rollup monitoring dashboards draw,
+    expressed as the sequential recurrence itself instead of a UDF or
+    driver loop. EXACT integers: state is BIGINT micro-units, the
+    alpha=1/8 update (7·s + x·10^6)/8 stays non-negative so floor ==
+    truncate in both engines, and /8 is exact in doubles below 2^53.
+    Same SQL text runs on Spark 4 and DuckDB (zero dialect divergence).
+
+    Scale: recursion depth = calendar days (30 here; data-size
+    INDEPENDENT — each level is a fixed-cost job over the ≤1-row/day
+    frame); the corpus-scaled work is the single partial-agg'd daily
+    rollup underneath. At 100 TB the same plan holds: the heavy shuffle
+    is the day aggregate, the recursion runs on the driver-sized
+    calendar frame."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_events_ewma"
+    )
+    return spark.sql(_EWMA_SQL.format(events="v_events_ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on the daily delta signs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    delta AS (
+      SELECT day,
+             n_events - lag(n_events) OVER (ORDER BY day) AS d
+      FROM daily
+    ),
+    signs AS (
+      SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+      FROM delta WHERE d IS NOT NULL AND d <> 0
+    ),
+    flips AS (
+      SELECT sgn,
+             CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                    OR lag(sgn) OVER (ORDER BY day) <> sgn
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+             CAST(sum(new_run) AS BIGINT) AS runs
+      FROM flips
+    ),
+    m AS (
+      SELECT n_up, n_down, runs,
+             CAST(floor(1000000 + 2.0 * n_up * n_down * 1000000
+                        / (n_up + n_down)) AS BIGINT) AS mu_micro,
+             CAST(floor(2.0 * n_up * n_down
+                        * (2 * n_up * n_down - n_up - n_down) * 1000000
+                        / (CAST(n_up + n_down AS BIGINT)
+                           * (n_up + n_down) * (n_up + n_down - 1)))
+                  AS BIGINT) AS var_micro
+      FROM agg
+    )
+    SELECT n_up, n_down, runs, mu_micro, var_micro,
+           (runs * 1000000 - mu_micro) * (runs * 1000000 - mu_micro)
+             > 4 * var_micro * 1000000 AS nonrandom_2sigma
+    FROM m
+    """,
+)
+def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the signs of day-over-day event
+    deltas — the classic screen for "is this series random or
+    trending/oscillating" (runs far below the expectation = trending,
+    far above = oscillation). EXACT integers throughout: up/down/run
+    counts are BIGINTs from window comparisons; the mean 1 + 2·n1·n2/n
+    and variance 2·n1·n2(2·n1·n2−n)/(n²(n−1)) land in micro-units via
+    one floor each (the true rationals sit ≥1/n from any integer, so
+    the IEEE-rounded quotient floors identically in both engines); the
+    2σ alarm cross-multiplies — (R·10^6 − μ)² > 4σ²·10^6 — so no
+    square root is ever taken. Ties (zero deltas) drop, the standard
+    convention.
+
+    Scale: one partial-agg'd daily rollup (linear, one shuffle), then
+    windows over the calendar-bounded frame and a 1-row aggregate —
+    same two-level shape as the CUSUM detector above."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    w = Window.orderBy("day")
+    delta = daily.select(
+        "day", (F.col("n_events") - F.lag("n_events").over(w)).alias("d")
+    )
+    signs = delta.where(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("sgn")
+    )
+    flips = signs.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = flips.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    m = agg.select(
+        "n_up",
+        "n_down",
+        "runs",
+        F.floor(
+            1000000
+            + 2.0
+            * F.col("n_up")
+            * F.col("n_down")
+            * 1000000
+            / (F.col("n_up") + F.col("n_down"))
+        )
+        .cast("bigint")
+        .alias("mu_micro"),
+        F.floor(
+            2.0
+            * F.col("n_up")
+            * F.col("n_down")
+            * (2 * F.col("n_up") * F.col("n_down") - F.col("n_up") - F.col("n_down"))
+            * 1000000
+            / (
+                (F.col("n_up") + F.col("n_down")).cast("bigint")
+                * (F.col("n_up") + F.col("n_down"))
+                * (F.col("n_up") + F.col("n_down") - 1)
+            )
+        )
+        .cast("bigint")
+        .alias("var_micro"),
+    )
+    dev = F.col("runs") * 1000000 - F.col("mu_micro")
+    return m.select(
+        "n_up",
+        "n_down",
+        "runs",
+        "mu_micro",
+        "var_micro",
+        (dev * dev > 4 * F.col("var_micro") * 1000000).alias(
+            "nonrandom_2sigma"
+        ),
+    )
