@@ -1025,3 +1025,95 @@ def q_password_spray(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("breadth_micro"),
         )
     )
+
+
+@query(
+    "kdc_account_lockout",
+    oracle=f"""
+    WITH a AS (
+      SELECT client, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsu,
+             success
+      FROM {_R} WHERE valid AND req_type = 'AUTH'
+    ),
+    isl AS (
+      SELECT client, ts, tsu, success,
+             sum(CASE WHEN success THEN 1 ELSE 0 END) OVER (
+               PARTITION BY client ORDER BY tsu
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM a
+    ),
+    fails AS (
+      SELECT client, ts, tsu, island,
+             lag(tsu, 2) OVER (PARTITION BY client, island
+                               ORDER BY tsu) AS tsu2
+      FROM isl WHERE NOT success
+    ),
+    lock AS (
+      SELECT client, ts FROM fails
+      WHERE tsu2 IS NOT NULL AND tsu - tsu2 <= 1799
+    )
+    SELECT client, CAST(count(*) AS BIGINT) AS n_lockout_events,
+           min(ts) AS first_lockout
+    FROM lock GROUP BY client
+    """,
+)
+def q_account_lockout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCOUNT-LOCKOUT policy simulation: flag every failed AUTH that is
+    the 3rd-or-later consecutive failure (no intervening success) for
+    its client within a sliding 30-minute window — the detection twin
+    of the lockout rule an IdP enforces, run retroactively over the
+    log. Construction is fully VALUE-deterministic even under
+    same-second timestamp ties: success islands come from a RANGE
+    (not ROWS) running count, so tied rows share an island; the
+    3-back comparison is lag(tsu, 2) over an order keyed by tsu
+    itself, whose value sequence is the sorted multiset — unique
+    regardless of tiebreak. (The synthetic log's failure streaks top
+    out at 2 at sf0.001 — the rule structurally cannot fire there;
+    the driver's sf0.01 gate is where the detection is exercised.) Both engines floor to whole seconds
+    (Spark unix_timestamp ≡ DuckDB floor(epoch)).
+
+    Scale: one shuffle on client (both windows share it — the island
+    frame and the per-(client, island) lag re-use the exchange; the
+    finer partition key is a prefix-compatible sort), then a
+    partial-agg'd per-client rollup. Failure rows only enter the lag,
+    so the heavy frame is the failure subset. Detection, not
+    enforcement: events after a lockout still count (an enforcing
+    replay would be a stateful reaper — stream_session_timeout's
+    construction)."""
+    a = kdc_records(spark, sf_dir).where(
+        F.col("valid") & (F.col("req_type") == "AUTH")
+    ).select(
+        "client",
+        "ts",
+        F.unix_timestamp("ts").cast("bigint").alias("tsu"),
+        "success",
+    )
+    w_isl = (
+        Window.partitionBy("client")
+        .orderBy("tsu")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    isl = a.select(
+        "client",
+        "ts",
+        "tsu",
+        "success",
+        F.sum(F.when(F.col("success"), 1).otherwise(0))
+        .over(w_isl)
+        .alias("island"),
+    )
+    w_lag = Window.partitionBy("client", "island").orderBy("tsu")
+    fails = isl.where(~F.col("success")).select(
+        "client",
+        "ts",
+        "tsu",
+        F.lag("tsu", 2).over(w_lag).alias("tsu2"),
+    )
+    lock = fails.where(
+        F.col("tsu2").isNotNull() & (F.col("tsu") - F.col("tsu2") <= 1799)
+    )
+    return lock.groupBy("client").agg(
+        F.count("*").cast("bigint").alias("n_lockout_events"),
+        F.min("ts").alias("first_lockout"),
+    )

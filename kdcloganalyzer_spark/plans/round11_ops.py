@@ -414,3 +414,298 @@ def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonrandom_2sigma"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (adaptive k) via iterative peeling
+# ---------------------------------------------------------------------------
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    """One peel round: keep nodes with >= k surviving neighbors."""
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT e.src AS node FROM e
+      JOIN {prev} s ON e.src = s.node
+      JOIN {prev} d ON e.dst = d.node
+      GROUP BY e.src HAVING count(*) >= (SELECT k FROM kt)
+    )"""
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed
+    ),
+    kt AS MATERIALIZED (
+      SELECT CAST(count(*) // count(DISTINCT src) AS BIGINT) AS k
+      FROM e WHERE substr(src, 1, 1) = 'c'
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    {_kcore_round_sql('a0', 'a1')},
+    {_kcore_round_sql('a1', 'a2')},
+    {_kcore_round_sql('a2', 'a3')},
+    {_kcore_round_sql('a3', 'a4')},
+    deg AS (
+      SELECT e.src AS node, count(*) AS deg FROM e
+      JOIN a4 s ON e.src = s.node
+      JOIN a4 d ON e.dst = d.node
+      GROUP BY e.src
+    )
+    SELECT substr(node, 1, 1) AS side,
+           (SELECT k FROM kt) AS k_threshold,
+           CAST(count(*) AS BIGINT) AS n_core,
+           CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           CAST(sum(deg) AS BIGINT) AS sum_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition of the bipartite co-order graph by iterative
+    peeling — the standard dense-subgraph extraction (drop every node
+    with < k in-core neighbors until fixed point; the surviving maximal
+    subgraph is UNIQUE regardless of peel order, which is what makes it
+    hash-verifiable). k is data-derived: the floor-mean customer degree
+    as one exact-integer division of two counts (a collected control
+    scalar — never a lazy 1-row join). Spark peels to the TRUE fixed
+    point (loop, survivor-count compare); the DuckDB oracle unrolls 4
+    MATERIALIZED rounds — measured convergence is <= 2 rounds at every
+    test SF and a pytest law pins convergence <= 3, so the forms agree.
+
+    Scale: edges are the cached per-(session,sf) symmetric list; each
+    round is one aggregate over edges with the node-sized alive set
+    BROADCAST onto both endpoints (checkpointed frames carry no stats,
+    so the hint is explicit — the LP/BFS idiom), then an eager
+    localCheckpoint cuts lineage. Peel depth on real graphs is
+    O(log n)-ish rounds of linear work; the alive set only shrinks.
+    At 100 TB: alive outgrows broadcast -> the join degrades to a
+    shuffle join on node id, still linear per round; the output stays
+    a 2-row side summary."""
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+
+    sym = _coorder_edges(spark, sf_dir)
+    tot, nd = (
+        sym.where(F.substring("src", 1, 1) == "c")
+        .agg(F.count("*"), F.countDistinct("src"))
+        .first()
+    )
+    k = int(tot) // int(nd)
+    alive = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = alive.count()
+    for _ in range(50):
+        s_end = F.broadcast(alive.select(F.col("node").alias("s_node")))
+        d_end = F.broadcast(alive.select(F.col("node").alias("d_node")))
+        nxt = (
+            sym.join(s_end, sym["src"] == F.col("s_node"))
+            .join(d_end, sym["dst"] == F.col("d_node"))
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt.count()
+        alive = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - peeling always converges
+        raise RuntimeError("k-core peel did not converge in 50 rounds")
+    s_end = F.broadcast(alive.select(F.col("node").alias("s_node")))
+    d_end = F.broadcast(alive.select(F.col("node").alias("d_node")))
+    deg = (
+        sym.join(s_end, sym["src"] == F.col("s_node"))
+        .join(d_end, sym["dst"] == F.col("d_node"))
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.select(
+        F.substring("src", 1, 1).alias("side"),
+        F.lit(k).cast("bigint").alias("k_threshold"),
+        "deg",
+    ).groupBy("side", "k_threshold").agg(
+        F.count("*").cast("bigint").alias("n_core"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+        F.sum("deg").cast("bigint").alias("sum_deg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (integer-doubled) per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_median_int",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, cents,
+           CAST(2 * quantile_cont(cents, 0.5) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS med2_cents,
+           CAST(count(*) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_window
+    FROM ev
+    """,
+)
+def window_rolling_median_int(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING EXACT MEDIAN of purchase value per user over the last 7
+    events — the robust rolling-center feature (median shrugs off the
+    spikes that wreck a rolling mean). Hash-verifiable because the
+    median is the ONE interpolated quantile that is exactly
+    representable: weight 0.5 means the interpolated value is either an
+    integer cent or a .5 midpoint, so 2x the median is always an exact
+    BIGINT (Spark `percentile` == DuckDB `quantile_cont`, both over the
+    same ROWS frame). The frame orders by (ts, event_id) — a total
+    order, so frame membership is engine-independent even under ts
+    ties.
+
+    Scale: one shuffle on user_id, per-partition sort, then a bounded
+    7-row frame — Spark's WindowExec keeps a sliding buffer, so cost is
+    linear per user regardless of history length. Skewed users are
+    bounded by the frame, not their row count."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+            "ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "cents",
+        (2 * F.expr("percentile(cents, 0.5)").over(w))
+        .cast("bigint")
+        .alias("med2_cents"),
+        F.count("*").over(w).cast("bigint").alias("n_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT nationkey, suppkey,
+             CAST(rev_e4 * 10000 // sum(rev_e4) OVER (PARTITION BY nationkey)
+                  AS BIGINT) AS share_bp
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+           CAST(max(share_bp) AS BIGINT) AS top_share_bp
+    FROM shares JOIN nation n ON n.n_nationkey = shares.nationkey
+    GROUP BY 1
+    """,
+)
+def analytics_hhi_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
+    nation — the antitrust-style concentration screen (HHI < 0.15 loose
+    market, > 0.25 concentrated; here in basis-point-squared units, so
+    those cutoffs read 1.5e7 / 2.5e7). EXACT integers: revenue
+    accumulates in the repo's e4 units (cents x discount basis points,
+    order-free BIGINT sums), each supplier's share floors ONCE to basis
+    points via integer division against the nation total (per-row
+    division of exact ints - order-free), and HHI is the integer sum of
+    squared shares. share_bp <= 10^4 so each square <= 10^8 and a
+    nation's HHI <= 10^8 - no overflow headroom concern.
+
+    Scale: two partial-agg'd shuffles (supplier rollup, nation rollup)
+    + one window over the supplier frame partitioned by nation + a
+    broadcast nation-name join. Nation cardinality is tiny but the
+    same plan holds for high-cardinality markets - the window
+    partitions on the market key."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("rev_e4")
+        )
+    )
+    wn = Window.partitionBy("nationkey")
+    shares = rev.select(
+        "nationkey",
+        "suppkey",
+        F.expr("rev_e4 * 10000L div sum(rev_e4) OVER (PARTITION BY nationkey)")
+        .cast("bigint")
+        .alias("share_bp"),
+    )
+    return (
+        shares.join(
+            F.broadcast(nation),
+            nation["n_nationkey"] == shares["nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi_bp2"),
+            F.max("share_bp").cast("bigint").alias("top_share_bp"),
+        )
+    )

@@ -108,3 +108,101 @@ def test_runs_test_matches_replay(spark, sf_dir):
     assert row["nonrandom_2sigma"] == (
         dev * dev > 4 * row["var_micro"] * 1_000_000
     )
+
+
+def test_kcore_min_degree_law(spark, sf_dir):
+    """Every side of the surviving core has min in-core degree >= k
+    (the defining k-core property), and the core is non-empty at the
+    fixture SF (adaptive k guarantees survivors)."""
+    rows = registry.QUERIES["graph_kcore_peel"](spark, sf_dir).collect()
+    assert rows, "core must be non-empty with the adaptive threshold"
+    for r in rows:
+        assert r["min_deg"] >= r["k_threshold"], r
+        assert r["n_core"] >= 1 and r["sum_deg"] >= r["n_core"] * r["k_threshold"]
+
+
+def test_rolling_median_window_law(spark, sf_dir):
+    """Replay each user's (ts, event_id)-ordered stream with a 7-deep
+    window and check med2 == 2x the exact interpolated median."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    from collections import defaultdict, deque
+
+    streams = defaultdict(list)
+    for r in src:
+        streams[r["user_id"]].append(r)
+    expect: dict[int, tuple[int, int]] = {}
+    for uid, rs in streams.items():
+        dq: deque = deque(maxlen=7)
+        for r in sorted(rs, key=lambda x: (x["ts"], x["event_id"])):
+            dq.append(r["cents"])
+            vals = sorted(dq)
+            n = len(vals)
+            med2 = (
+                2 * vals[n // 2] if n % 2 else vals[n // 2 - 1] + vals[n // 2]
+            )
+            expect[r["event_id"]] = (med2, n)
+    rows = registry.QUERIES["window_rolling_median_int"](spark, sf_dir).collect()
+    assert rows and len(rows) == len(expect)
+    for r in rows:
+        assert (r["med2_cents"], r["n_window"]) == expect[r["event_id"]], r
+
+
+def test_hhi_share_bounds(spark, sf_dir):
+    """Shares are basis points: top share <= 10^4; HHI <= 10^8 and >=
+    the equal-share floor 10^8/n (within the floor-division slack of
+    one bp per supplier)."""
+    for r in registry.QUERIES["analytics_hhi_concentration"](
+        spark, sf_dir
+    ).collect():
+        assert 0 < r["top_share_bp"] <= 10_000
+        assert r["hhi_bp2"] <= 10_000 ** 2
+        n = r["n_suppliers"]
+        floor_hhi = (10_000 - n) ** 2 // n  # each share may lose <1bp to floor
+        assert r["hhi_bp2"] >= floor_hhi, r
+
+
+def test_lockout_replay(spark, sf_dir):
+    """Replay the lockout rule sequentially from the records frame:
+    same per-client counts (empty output allowed — sf0.001 streaks
+    top out at 2 by construction)."""
+    from kdcloganalyzer_spark.plans.kdc_queries import kdc_records
+
+    recs = (
+        kdc_records(spark, sf_dir)
+        .where(F.col("valid") & (F.col("req_type") == "AUTH"))
+        .select("client", F.unix_timestamp("ts").alias("tsu"), "success")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_client = defaultdict(list)
+    for r in recs:
+        per_client[r["client"]].append((r["tsu"], r["success"]))
+    expect = defaultdict(int)
+    for c, evs in per_client.items():
+        evs.sort()
+        streak: list[int] = []
+        for tsu, ok in evs:
+            if ok:
+                streak = []
+            else:
+                streak.append(tsu)
+                if len(streak) >= 3 and tsu - streak[-3] <= 1799:
+                    expect[c] += 1
+    got = {
+        r["client"]: r["n_lockout_events"]
+        for r in registry.QUERIES["kdc_account_lockout"](spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
