@@ -1117,3 +1117,77 @@ def q_account_lockout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lockout_events"),
         F.min("ts").alias("first_lockout"),
     )
+
+
+@query(
+    "fn_net_suite",
+    oracle=f"""
+    WITH ips AS (
+      SELECT DISTINCT client_ip FROM {_R}
+      WHERE valid AND client_ip IS NOT NULL
+    ),
+    oct AS (
+      SELECT client_ip,
+        CAST(regexp_extract(client_ip,
+          'IPv4:([0-9]+)\\.([0-9]+)\\.([0-9]+)\\.([0-9]+)', 1) AS BIGINT) AS a,
+        CAST(regexp_extract(client_ip,
+          'IPv4:([0-9]+)\\.([0-9]+)\\.([0-9]+)\\.([0-9]+)', 2) AS BIGINT) AS b,
+        CAST(regexp_extract(client_ip,
+          'IPv4:([0-9]+)\\.([0-9]+)\\.([0-9]+)\\.([0-9]+)', 3) AS BIGINT) AS c,
+        CAST(regexp_extract(client_ip,
+          'IPv4:([0-9]+)\\.([0-9]+)\\.([0-9]+)\\.([0-9]+)', 4) AS BIGINT) AS d
+      FROM ips
+    )
+    SELECT client_ip,
+           CAST(((a * 256 + b) * 256 + c) * 256 + d AS BIGINT) AS ip_u32,
+           a || '.' || b || '.' || c || '.0/24' AS net24,
+           (((a * 256 + b) * 256 + c) * 256 + d) // 8388608 = 20
+             AS in_10_0_0_0_9,
+           CAST(d AS BIGINT) AS host8
+    FROM oct
+    """,
+)
+def q_fn_net_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETWORK FUNCTION SUITE — the IPv4 arithmetic a log-analytics
+    engine needs and Spark/DuckDB both lack as builtins, derived from
+    string + integer primitives so the SAME math runs JVM-side in
+    codegen: dotted-quad -> u32 (Horner over the four regex-extracted
+    octets), /24 network rollup key, CIDR membership as ONE integer
+    division ((ip div 2^(32-prefix)) == net_prefix — here 10.0.0.0/9,
+    whose 9-bit prefix is 20), and the host byte. Distinct IPs only —
+    the suite probes the functions, not the traffic volume.
+
+    Scale: regexp extraction + integer math inside whole-stage codegen
+    over a distinct-IP frame (one shuffle); CIDR checks as integer
+    compares are sargable against a bucketed ip_u32 layout at 100 TB —
+    the reason to materialize ip_u32 rather than match strings."""
+    ips = (
+        kdc_records(spark, sf_dir)
+        .where(F.col("valid") & F.col("client_ip").isNotNull())
+        .select("client_ip")
+        .distinct()
+    )
+    pat = r"IPv4:([0-9]+)\.([0-9]+)\.([0-9]+)\.([0-9]+)"
+    o = ips.select(
+        "client_ip",
+        *[
+            F.regexp_extract("client_ip", pat, i)
+            .cast("bigint")
+            .alias(n)
+            for i, n in ((1, "a"), (2, "b"), (3, "c"), (4, "d"))
+        ],
+    )
+    u32 = (
+        (F.col("a") * 256 + F.col("b")) * 256 + F.col("c")
+    ) * 256 + F.col("d")
+    return o.select(
+        "client_ip",
+        u32.cast("bigint").alias("ip_u32"),
+        F.concat_ws(
+            ".", F.col("a"), F.col("b"), F.col("c"), F.lit("0/24")
+        ).alias("net24"),
+        F.expr(
+            "(((a * 256 + b) * 256 + c) * 256 + d) div 8388608 = 20"
+        ).alias("in_10_0_0_0_9"),
+        F.col("d").cast("bigint").alias("host8"),
+    )

@@ -709,3 +709,506 @@ def analytics_hhi_concentration(
             F.max("share_bp").cast("bigint").alias("top_share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer merge training (greedy pair merges over the corpus vocab)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: count adjacent symbol pairs (weighted by
+    corpus word frequency), pick the top pair (ties lexicographic),
+    merge it vocabulary-wide via delimited string replace."""
+    prev = f"v{i - 1}"
+    return f"""
+    pc{i} AS MATERIALIZED (
+      SELECT syms[i] AS pl, syms[i+1] AS pr,
+             CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT cnt, syms,
+               unnest(generate_series(1, length(syms) - 1)) AS i
+        FROM (SELECT cnt, string_split(trim(s, '<>'), '><') AS syms
+              FROM {prev})
+      ) GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT CAST({i} AS BIGINT) AS merge_rank, pl, pr, pc FROM pc{i}
+      ORDER BY pc DESC, pl, pr LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT cnt, replace(s,
+        '<' || (SELECT pl FROM m{i}) || '><'
+            || (SELECT pr FROM m{i}) || '>',
+        '<' || (SELECT pl FROM m{i}) || (SELECT pr FROM m{i}) || '>') AS s
+      FROM {prev}
+    )"""
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT unnest(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '))
+             AS word
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS cnt,
+             regexp_replace(word, '(.)', '<\\1>', 'g') AS s
+      FROM words WHERE word <> '' GROUP BY word
+    ),
+    """
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + """
+    SELECT merge_rank, pl AS left_sym, pr AS right_sym, pc AS pair_count
+    FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + ")",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING — the first 8 merge rules learned from the
+    corpus, the canonical subword-vocabulary construction (Sennrich
+    2016) an LLM data pipeline runs before tokenizing. Works at the
+    VOCABULARY level (word -> corpus frequency), the standard trick:
+    pair statistics are identical to streaming the corpus but the merge
+    loop touches |vocab| rows, not |corpus|. Each round: count adjacent
+    symbol pairs weighted by word frequency, take the argmax (ties
+    lexicographic on (left, right) — fully deterministic), merge every
+    occurrence. Symbols are kept as '<sym>'-wrapped strings so the
+    merge is ONE delimited string replace: '<a><b>' -> '<ab>' is
+    non-overlapping left-to-right in both engines, which IS greedy BPE
+    ('aaa' merges to [aa, a]); no fold, no branching lambda (the
+    DuckDB list_reduce chunk-contamination bug never enters). The
+    oracle unrolls the same 8 rounds as MATERIALIZED CTEs.
+
+    Per-round argmax is a collected 1-row control scalar (sanctioned);
+    the 8-row merge table is the output. Scale: the corpus-sized work
+    is ONE word-count aggregate; each round is a pair explode over the
+    vocabulary (bounded by distinct words x avg word length) — at
+    100 TB vocab is ~10^7 rows, still one partial-agg'd shuffle per
+    round, and rounds are sequential by nature (each merge depends on
+    the last). Reference: this engine's token_count_bpe applies a
+    FIXED regex scheme; this id TRAINS the merges."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+                " ",
+            )
+        ).alias("word")
+    ).where(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "cnt",
+            F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.split(F.expr("trim(BOTH '<>' FROM s)"), "><").alias(
+                    "syms"
+                ),
+            )
+            .select(
+                "cnt",
+                F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+            )
+            .select("cnt", F.explode(F.arrays_zip("a", "b")).alias("p"))
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p")["a"].alias("pl"), F.col("p")["b"].alias("pr")
+            )
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+            .orderBy(F.desc("pc"), "pl", "pr")
+            .first()
+        )
+        merges.append((rank, top["pl"], top["pr"], int(top["pc"])))
+        pl, pr = top["pl"], top["pr"]
+        vocab = vocab.withColumn(
+            "s", F.expr(f"replace(s, '<{pl}><{pr}>', '<{pl}{pr}>')")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed 2D nearest-neighbor join (the geospatial join pattern)
+# ---------------------------------------------------------------------------
+
+_GRID = 131072  # 2^17 quantized units = 0.125 in coordinate space
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)
+               AS xi,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1048576) AS BIGINT)
+               AS yi
+      FROM embeddings
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, xi, yi,
+             CAST(floor(CAST(xi AS DOUBLE) / {_GRID}) AS BIGINT) AS cx,
+             CAST(floor(CAST(yi AS DOUBLE) / {_GRID}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probes AS (
+      SELECT vec_id AS qid, xi AS qx, yi AS qy,
+             cx + dx.d AS pcx, cy + dy.d AS pcy
+      FROM cells,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+      WHERE vec_id % 5 = 0
+    ),
+    cand AS (
+      SELECT p.qid, p.qx, p.qy, c.vec_id AS nid,
+             (p.qx - c.xi) * (p.qx - c.xi)
+               + (p.qy - c.yi) * (p.qy - c.yi) AS d2
+      FROM probes p JOIN cells c
+        ON c.cx = p.pcx AND c.cy = p.pcy
+      WHERE c.vec_id <> p.qid
+    )
+    SELECT qid, nid AS nn_id, CAST(d2 AS BIGINT) AS d2q
+    FROM (
+      SELECT qid, nid, d2,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY d2, nid) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED nearest-neighbor join in 2D — the geospatial join
+    pattern (geohash/S2-cell bucketing) demonstrated on the first two
+    embedding dimensions: quantize coordinates to integer micro-units,
+    assign each point a grid cell, explode each query point to its 3x3
+    cell neighborhood, equi-join on the cell key, and take the integer
+    squared-distance argmin (ties to the smaller id). Every quantity is
+    BIGINT (coords round once at 2^20; cell ids floor-divide by a
+    power of two, exact in doubles), so the result hash-verifies.
+    Semantics: nearest within the 3x3 neighborhood (points with an
+    empty neighborhood drop) — the documented grid-local contract; a
+    cell is 0.125 units so the neighborhood covers every true neighbor
+    within 0.125.
+
+    Scale: this is THE shape that makes spatial joins linear — the
+    equi-join on (cx, cy) replaces a cross product; fan-out is a
+    constant 9 probes per query row. Skewed cells (urban hot spots)
+    salt like any hot key; AQE skew-split applies because it is a
+    plain shuffle join. At 100 TB the cell key extends to (cx, cy,
+    zoom) for multi-resolution pruning."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * 1048576)
+        .cast("bigint")
+        .alias("xi"),
+        F.round(F.element_at("embedding", 2).cast("double") * 1048576)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "xi",
+        "yi",
+        F.floor(F.col("xi").cast("double") / _GRID).cast("bigint").alias("cx"),
+        F.floor(F.col("yi").cast("double") / _GRID).cast("bigint").alias("cy"),
+    )
+    offsets = F.expr("explode(array(-1, 0, 1))")
+    probes = (
+        cells.where(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("xi").alias("qx"),
+            F.col("yi").alias("qy"),
+            "cx",
+            "cy",
+            offsets.alias("dx"),
+        )
+        .select("qid", "qx", "qy", "cx", "cy", "dx", offsets.alias("dy"))
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    cand = (
+        probes.alias("p")
+        .join(
+            cells.alias("c"),
+            (F.col("c.cx") == F.col("p.pcx"))
+            & (F.col("c.cy") == F.col("p.pcy")),
+        )
+        .where(F.col("c.vec_id") != F.col("p.qid"))
+        .select(
+            "p.qid",
+            F.col("c.vec_id").alias("nid"),
+            (
+                (F.col("p.qx") - F.col("c.xi"))
+                * (F.col("p.qx") - F.col("c.xi"))
+                + (F.col("p.qy") - F.col("c.yi"))
+                * (F.col("p.qy") - F.col("c.yi"))
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("nn_id"), F.col("d2").cast("bigint").alias("d2q"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: TTR + moving-average TTR (MATTR, window 20)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_ttr_mattr",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(generate_series(1, length(l))) AS i,
+             length(l) AS n
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                 x -> x <> '') AS l
+        FROM documents
+      )
+    ),
+    occ AS (
+      SELECT doc_id, i, n,
+             coalesce(lag(i) OVER (PARTITION BY doc_id, tok ORDER BY i), 0)
+               AS prev
+      FROM toks
+    ),
+    contrib AS (
+      SELECT doc_id, n,
+             greatest(0, least(i, n - 19)
+                         - greatest(1, i - 19, prev + 1) + 1) AS c,
+             CASE WHEN prev = 0 THEN 1 ELSE 0 END AS is_type
+      FROM occ
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(sum(is_type) AS BIGINT) AS n_types,
+           CAST(sum(is_type) * 1000000 // max(n) AS BIGINT) AS ttr_micro,
+           CASE WHEN max(n) >= 20
+                THEN CAST(sum(c) * 1000000 // (max(n) - 19) AS BIGINT)
+                ELSE NULL END AS mattr_micro
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def quality_ttr_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY scoring: type-token ratio plus MATTR
+    (moving-average TTR, window 20 — Covington 2010), the
+    length-robust diversity gate a curation pipeline uses where raw
+    TTR penalizes long documents. The naive MATTR explodes every
+    (window, token) pair — O(n·w); this plan uses the FIRST-OCCURRENCE
+    OVERLAP identity instead: occurrence i of a token is distinct in
+    window p iff prev_occurrence < p <= i, so its contribution to the
+    sum of per-window distinct counts is the length of the start-range
+    [max(1, i-19, prev+1), min(i, n-19)] — ONE lag per occurrence,
+    O(n) total. Ratios are exact integer micro-units (one floor
+    division per doc); docs under 20 tokens emit NULL MATTR.
+
+    Scale: one explode (corpus token count), one lag window on
+    (doc_id, tok), one per-doc aggregate — all partial-agg'd, no
+    window-sized fan-out. This is the form that survives 100 TB where
+    the O(n·w) explode (20x the corpus) does not."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+                " ",
+            ).alias("l0"),
+        )
+        .select(
+            "doc_id", F.filter("l0", lambda x: x != "").alias("l")
+        )
+        .select(
+            "doc_id",
+            F.size("l").alias("n"),
+            F.posexplode("l").alias("p0", "tok"),
+        )
+        .select("doc_id", "n", (F.col("p0") + 1).alias("i"), "tok")
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("i")
+    occ = toks.select(
+        "doc_id",
+        "i",
+        "n",
+        F.coalesce(F.lag("i").over(w), F.lit(0)).alias("prev"),
+    )
+    contrib = occ.select(
+        "doc_id",
+        "n",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("i"), F.col("n") - 19)
+            - F.greatest(F.lit(1), F.col("i") - 19, F.col("prev") + 1)
+            + 1,
+        ).alias("c"),
+        F.when(F.col("prev") == 0, 1).otherwise(0).alias("is_type"),
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.sum("is_type").cast("bigint").alias("n_types"),
+        F.expr("CAST(sum(is_type) * 1000000 div max(n) AS BIGINT)").alias(
+            "ttr_micro"
+        ),
+        F.expr(
+            "CASE WHEN max(n) >= 20 THEN "
+            "CAST(sum(c) * 1000000 div (max(n) - 19) AS BIGINT) "
+            "ELSE NULL END"
+        ).alias("mattr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge: exact Bennet price/volume decomposition 1995 -> 1996
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_revenue_bridge",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand AS brand, CAST(p.p_size AS BIGINT) AS psize,
+             CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT brand, psize,
+             max(CASE WHEN yr = 1995 THEN q END) AS q1,
+             max(CASE WHEN yr = 1996 THEN q END) AS q2,
+             max(CASE WHEN yr = 1995 THEN r END) AS r1,
+             max(CASE WHEN yr = 1996 THEN r END) AS r2
+      FROM g GROUP BY 1, 2
+      HAVING max(CASE WHEN yr = 1995 THEN q END) IS NOT NULL
+         AND max(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+    )
+    SELECT brand, psize, q1, q2, r1 AS r1_cents, r2 AS r2_cents,
+           CAST(r2 - r1 AS BIGINT) AS delta_cents,
+           CAST((r2 * q1 - r1 * q2) * (q1 + q2) AS BIGINT) AS pe_num,
+           CAST((q2 - q1) * (r1 * q2 + r2 * q1) AS BIGINT) AS ve_num,
+           CAST(2 * q1 * q2 AS BIGINT) AS denom2
+    FROM w
+    """,
+)
+def analytics_revenue_bridge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REVENUE BRIDGE — the Bennet (midpoint) price/volume
+    decomposition of year-over-year revenue change per (brand, size):
+    price effect (v2−v1)·(q1+q2)/2 and volume effect (q2−q1)·(v1+v2)/2
+    with v = r/q the unit value. DIVISION-FREE exactness: multiply
+    both effects by denom2 = 2·q1·q2 and they become pure BIGINT
+    polynomials — pe_num = (r2·q1 − r1·q2)(q1+q2), ve_num =
+    (q2−q1)(r1·q2 + r2·q1) — whose sum telescopes to EXACTLY
+    delta_cents·denom2 (the additive-bridge identity a pytest pins;
+    dashboards divide at render time). Quantities are exact BIGINT
+    sums, revenue is integer cents; measured headroom at sf0.1 is
+    ~2000x under int64 (finer group keys buy more — the documented
+    scale lever).
+
+    Scale: one broadcast part join (dim side), one (group, year)
+    partial-agg'd rollup, one pivot-by-CASE re-aggregate — two
+    shuffles total, no window, no self-join."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    g = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("bigint").alias("psize"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    w = (
+        g.groupBy("brand", "psize")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q2"),
+            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r2"),
+        )
+        .where(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    return w.select(
+        "brand",
+        "psize",
+        "q1",
+        "q2",
+        F.col("r1").alias("r1_cents"),
+        F.col("r2").alias("r2_cents"),
+        (F.col("r2") - F.col("r1")).cast("bigint").alias("delta_cents"),
+        (
+            (F.col("r2") * F.col("q1") - F.col("r1") * F.col("q2"))
+            * (F.col("q1") + F.col("q2"))
+        )
+        .cast("bigint")
+        .alias("pe_num"),
+        (
+            (F.col("q2") - F.col("q1"))
+            * (F.col("r1") * F.col("q2") + F.col("r2") * F.col("q1"))
+        )
+        .cast("bigint")
+        .alias("ve_num"),
+        (2 * F.col("q1") * F.col("q2")).cast("bigint").alias("denom2"),
+    )

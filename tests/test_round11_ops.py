@@ -206,3 +206,141 @@ def test_lockout_replay(spark, sf_dir):
         for r in registry.QUERIES["kdc_account_lockout"](spark, sf_dir).collect()
     }
     assert got == dict(expect)
+
+
+def test_bpe_merges_match_reference_trainer(spark, sf_dir):
+    """Replay greedy BPE training in plain Python from the word-count
+    table and require the identical 8 (left, right, count) merges."""
+    import re
+    from collections import Counter
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in re.sub("[^a-z]+", " ", t.lower()).split():
+            vocab[w] += 1
+    words = {w: [c for c in w] for w in vocab}
+    expect = []
+    for rank in range(1, 9):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        (pl, pr), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, pl, pr, pc))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pl and syms[i + 1] == pr:
+                    out.append(pl + pr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in sorted(
+            registry.QUERIES["text_bpe_train_merges"](spark, sf_dir).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    assert got == expect
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """Replay the grid NN in Python: quantize, bucket, 3x3 probe,
+    integer argmin with id tie-break."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    pts = {
+        r["vec_id"]: (
+            round(float(r["embedding"][0]) * 1048576),
+            round(float(r["embedding"][1]) * 1048576),
+        )
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    G = 131072
+    cells = {}
+    for vid, (x, y) in pts.items():
+        cells.setdefault((x // G, y // G), []).append(vid)
+    expect = {}
+    for qid, (qx, qy) in pts.items():
+        if qid % 5 != 0:
+            continue
+        cx, cy = qx // G, qy // G
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for nid in cells.get((cx + dx, cy + dy), ()):
+                    if nid == qid:
+                        continue
+                    nx, ny = pts[nid]
+                    d2 = (qx - nx) ** 2 + (qy - ny) ** 2
+                    if best is None or (d2, nid) < best:
+                        best = (d2, nid)
+        if best is not None:
+            expect[qid] = (best[1], best[0])
+    got = {
+        r["qid"]: (r["nn_id"], r["d2q"])
+        for r in registry.QUERIES["join_spatial_grid"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_mattr_bruteforce_windows(spark, sf_dir):
+    """The O(n) overlap form must equal the naive per-window distinct
+    average, floored to micro-units."""
+    import re
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: re.sub("[^a-z]+", " ", r["text"].lower()).split()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = registry.QUERIES["quality_ttr_mattr"](spark, sf_dir).collect()
+    assert len(rows) == len([d for d in docs.values() if d])
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        n = len(toks)
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(set(toks))
+        assert r["ttr_micro"] == len(set(toks)) * 1_000_000 // n
+        if n >= 20:
+            s = sum(
+                len(set(toks[p : p + 20])) for p in range(n - 19)
+            )
+            assert r["mattr_micro"] == s * 1_000_000 // (n - 19)
+        else:
+            assert r["mattr_micro"] is None
+
+
+def test_net_suite_ip_math(spark, sf_dir):
+    """u32 / net24 / CIDR membership recomputed from the string."""
+    for r in registry.QUERIES["fn_net_suite"](spark, sf_dir).collect():
+        a, b, c, d = map(int, r["client_ip"][5:].split("."))
+        u32 = (((a * 256) + b) * 256 + c) * 256 + d
+        assert r["ip_u32"] == u32
+        assert r["net24"] == f"{a}.{b}.{c}.0/24"
+        assert r["in_10_0_0_0_9"] == (u32 >> 23 == 20)
+        assert r["host8"] == d
+
+
+def test_revenue_bridge_identity(spark, sf_dir):
+    """The additive-bridge identity: price + volume numerators sum to
+    delta * denominator EXACTLY, for every group."""
+    rows = registry.QUERIES["analytics_revenue_bridge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["q1"] > 0 and r["q2"] > 0
+        assert r["pe_num"] + r["ve_num"] == r["delta_cents"] * r["denom2"], r
