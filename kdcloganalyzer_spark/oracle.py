@@ -69,6 +69,7 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
         registry,
         relational,
         round9_ops,
+        round11_ops,
         streaming_queries,
     )
     from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
@@ -112,6 +113,10 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
         .replace(
             round9_ops.DRIVER_CORRUPT,
             round9_ops.corrupt_scan_path_for_sf(sf_dir),
+        )
+        .replace(
+            round11_ops.DRIVER_ORDERS_RAW,
+            f"{sf_dir}/orders.parquet",
         )
     )
 

@@ -219,17 +219,18 @@ def events_cusum_changepoint(
 # NON-NEGATIVE (truncate == floor, engine-agnostic) and division by a
 # power of two is EXACT in doubles while the numerator < 2^53 — holds to
 # ~1e9 events/day; beyond that swap the micro-unit scale down.
-_EWMA_SQL = """
-    WITH RECURSIVE daily AS (
+_EWMA_SEQ_SQL = """
+    SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+           day, n_events
+    FROM (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(count(*) AS BIGINT) AS n_events
       FROM {events} GROUP BY 1
-    ),
-    seq AS (
-      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
-             day, n_events
-      FROM daily
-    ),
+    )
+    """
+
+_EWMA_SQL = """
+    WITH RECURSIVE seq AS ({seq}),
     ew(i, day, n_events, s_micro) AS (
       SELECT i, day, n_events, n_events * 1000000 FROM seq WHERE i = 1
       UNION ALL
@@ -244,9 +245,59 @@ _EWMA_SQL = """
     """
 
 
+_EWMA_STRIDE = 8  # days chained per recursion level on the Spark side
+
+
+def _ewma_batched_sql(k: int) -> str:
+    """Spark-side k-batched recursion: each level LEFT-joins the next k
+    days and applies k CHAINED integer updates as nested floor
+    expressions (u_j references u_{j-1} once — linear text), emitting
+    per-level ARRAYS that the final select explodes. Levels drop from
+    |days| to ceil(|days|/k): Spark pays one eager job per recursion
+    level, so levels are the cost driver (the sql_recursive_cte
+    lesson), not rows."""
+    joins = ["JOIN v_seq_ewma s1 ON s1.i = e.i + 1"] + [
+        f"LEFT JOIN v_seq_ewma s{j} ON s{j}.i = e.i + {j}"
+        for j in range(2, k + 1)
+    ]
+    u_prev = "e.s"
+    us = []
+    for j in range(1, k + 1):
+        us.append(
+            f"CAST(floor((7 * {u_prev} + s{j}.n_events * 1000000) / 8)"
+            " AS BIGINT)"
+        )
+        u_prev = us[-1]
+    days = ", ".join(f"s{j}.day" for j in range(1, k + 1))
+    ns = ", ".join(f"s{j}.n_events" for j in range(1, k + 1))
+    ss = ", ".join(us)
+    tip = ", ".join(reversed(us))
+    steps = ", ".join(f"s{j}.i" for j in range(1, k + 1))
+    return f"""
+    WITH RECURSIVE ew(i, s, days, ns, ss) AS (
+      SELECT i, n_events * 1000000,
+             array(day), array(n_events), array(n_events * 1000000)
+      FROM v_seq_ewma WHERE i = 1
+      UNION ALL
+      SELECT greatest({steps}),
+             coalesce({tip}),
+             array({days}), array({ns}), array({ss})
+      FROM ew e
+      {' '.join(joins)}
+    ),
+    flat AS (
+      SELECT posexplode(arrays_zip(days, ns, ss)) AS (pos, z) FROM ew
+    )
+    SELECT z.days AS day, z.ns AS n_events,
+           CAST(z.ss AS BIGINT) AS ewma_micro,
+           z.ns * 1000000 > z.ss AS above_trend
+    FROM flat WHERE z.days IS NOT NULL
+    """
+
+
 @query(
     "rollup_ewma_recursive",
-    oracle=_EWMA_SQL.format(events="events"),
+    oracle=_EWMA_SQL.format(seq=_EWMA_SEQ_SQL.format(events="events")),
 )
 def rollup_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event volume via
@@ -255,20 +306,33 @@ def rollup_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop. EXACT integers: state is BIGINT micro-units, the
     alpha=1/8 update (7·s + x·10^6)/8 stays non-negative so floor ==
     truncate in both engines, and /8 is exact in doubles below 2^53.
-    Same SQL text runs on Spark 4 and DuckDB (zero dialect divergence).
 
-    Scale: recursion depth = calendar days (30 here; data-size
-    INDEPENDENT — each level is a fixed-cost job over the ≤1-row/day
-    frame); the corpus-scaled work is the single partial-agg'd daily
-    rollup underneath. At 100 TB the same plan holds: the heavy shuffle
-    is the day aggregate, the recursion runs on the driver-sized
-    calendar frame."""
+    The DuckDB oracle recurses one day per level (the textbook form);
+    Spark executes the SAME recurrence but engineered for its
+    execution model, where EVERY recursion level is an eager job that
+    re-evaluates referenced plans: (1) the daily frame MATERIALIZES
+    once behind a temp view (inlined, 30 levels re-scanned the events
+    table 30x — measured 7.5 s at sf0.1), and (2) the recursion is
+    BATCHED 8 days per level (k LEFT-joined lookahead days, k chained
+    nested-floor updates, per-level arrays exploded at the end) so 30
+    days cost 4 levels, not 30. greatest(s1.i..s8.i) advances the
+    anchor past the consumed stride; NULL lookahead days propagate
+    NULL through their update chain and coalesce(u8..u1) recovers the
+    tip state at the ragged final level.
+
+    Scale: recursion depth = ceil(calendar days / 8) — data-size
+    INDEPENDENT; the corpus-scaled work is the single partial-agg'd
+    daily rollup, paid exactly once."""
     from kdcloganalyzer_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "v_events_ewma"
     )
-    return spark.sql(_EWMA_SQL.format(events="v_events_ewma"))
+    seq = spark.sql(
+        _EWMA_SEQ_SQL.format(events="v_events_ewma")
+    ).localCheckpoint(eager=True)
+    seq.createOrReplaceTempView("v_seq_ewma")
+    return spark.sql(_ewma_batched_sql(_EWMA_STRIDE))
 
 
 # ---------------------------------------------------------------------------
@@ -1211,4 +1275,398 @@ def analytics_revenue_bridge(
         .cast("bigint")
         .alias("ve_num"),
         (2 * F.col("q1") * F.col("q2")).cast("bigint").alias("denom2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over the daily series (median pairwise slope)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(row_number() OVER (
+               ORDER BY date_trunc('day', min(ts))) AS BIGINT) AS i
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    pairs AS (
+      SELECT b.n_events - a.n_events AS dy, b.i - a.i AS dx
+      FROM (SELECT i, n_events,
+                   unnest(generate_series(1, i - 1)) AS j FROM daily) b
+      JOIN daily a ON a.i = b.j
+    ),
+    ranked AS (
+      SELECT dy, dx,
+             row_number() OVER (
+               ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(dy AS BIGINT) AS dy_med,
+           CAST(dx AS BIGINT) AS dx_med
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def analytics_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend estimator over the daily event series:
+    the median of all pairwise slopes (n_j − n_i)/(j − i) — the
+    outlier-immune alternative to least squares (breakdown point 29%).
+    Exactness: the slope is emitted as the exact integer PAIR
+    (dy_med, dx_med) — no division ever rounds; the ordering key is
+    the IEEE double dy/dx (division of identical integers is
+    correctly rounded, hence bit-identical across engines) with
+    (dy, dx) tie-breaks, so the lower-median row is engine-unique
+    even when distinct rationals collide as doubles. Pair expansion
+    is explode(sequence(1, i−1)) + an EQUI-join back on the index —
+    never a theta self-join, so no nested-loop plan.
+
+    Scale: the pair count is (days choose 2) — calendar-bounded
+    (~6.6M pairs/decade), independent of corpus size; the corpus-
+    scaled work is the one daily rollup. At longer horizons swap the
+    exact median for the repeated-median estimator per anchor point,
+    the standard O(n log n) refinement."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "n_events",
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("i"),
+        )
+    )
+    # i >= 2 guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    # rather than DuckDB generate_series' empty list — without the
+    # guard the first day self-pairs with dx = 0.
+    b = daily.where(F.col("i") >= 2).select(
+        F.col("i").alias("bi"),
+        F.col("n_events").alias("bn"),
+        F.explode(F.sequence(F.lit(1), F.col("i") - 1)).alias("j"),
+    )
+    pairs = b.join(daily, daily["i"] == b["j"]).select(
+        (F.col("bn") - F.col("n_events")).alias("dy"),
+        (F.col("bi") - F.col("i")).alias("dx"),
+    )
+    ranked = pairs.select(
+        "dy",
+        "dx",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("dy").cast("double") / F.col("dx"), "dy", "dx"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("rn") == (F.col("n_pairs") + 1) / 2
+    ).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("dy").cast("bigint").alias("dy_med"),
+        F.col("dx").cast("bigint").alias("dx_med"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency phrase scoring)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "and", "for", "with", "from", "this", "that", "are", "was")
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, tok, i,
+             CASE WHEN tok IN {str(_RAKE_STOP)} THEN 1 ELSE 0 END AS stop
+      FROM (
+        SELECT doc_id, unnest(l) AS tok,
+               unnest(generate_series(1, length(l))) AS i
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z]+', ' ', 'g'), ' '), x -> x <> '') AS l
+          FROM documents
+        )
+      )
+    ),
+    isl AS MATERIALIZED (
+      SELECT doc_id, tok, i, g FROM (
+        SELECT doc_id, tok, i, stop,
+               sum(stop) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM toks
+      ) WHERE stop = 0
+    ),
+    phr AS MATERIALIZED (
+      SELECT doc_id, g, string_agg(tok, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM isl GROUP BY doc_id, g
+    ),
+    wstat AS MATERIALIZED (
+      SELECT tok,
+             CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS w_micro
+      FROM isl JOIN phr USING (doc_id, g)
+      GROUP BY tok
+    ),
+    occ_score AS (
+      SELECT p.doc_id, p.g, p.phrase,
+             CAST(sum(w.w_micro) AS BIGINT) AS ps
+      FROM phr p
+      JOIN isl t USING (doc_id, g)
+      JOIN wstat w ON w.tok = t.tok
+      GROUP BY p.doc_id, p.g, p.phrase
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(ps) AS BIGINT) AS score_micro
+    FROM occ_score GROUP BY phrase
+    HAVING max(ps) >= 2000000
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose 2010) — the classic unsupervised
+    keyword scorer a curation pipeline runs to label corpus topics:
+    candidate phrases are maximal stopword-free token runs (gaps-and-
+    islands on a running stopword count); each WORD scores
+    degree/frequency (degree = summed length of the phrases it appears
+    in), each PHRASE occurrence scores the sum of its words' scores,
+    and phrases scoring >= 2.0 survive. EXACT integers: freq/degree
+    are counts, the word score floors ONCE to micro-units, the phrase
+    score is an order-free integer sum of those (identical for every
+    occurrence of the same phrase — max() is just the hash-stable
+    projection of that constant).
+
+    Scale: segmentation is one doc-keyed window, word stats one
+    token-keyed partial agg, scoring one fan-back join on token — all
+    linear; at 100 TB the word-score table is vocabulary-sized and
+    broadcasts into the scoring join."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+                    " ",
+                ),
+                lambda x: x != "",
+            ).alias("l"),
+        )
+        .select("doc_id", F.posexplode("l").alias("p0", "tok"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            "tok",
+            F.when(F.col("tok").isin(*_RAKE_STOP), 1)
+            .otherwise(0)
+            .alias("stop"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = toks.select(
+        "doc_id", "tok", "i", "stop", F.sum("stop").over(w).alias("g")
+    ).where(F.col("stop") == 0).drop("stop")
+    phr = isl.groupBy("doc_id", "g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    wstat = (
+        isl.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("tok")
+        .agg(
+            F.expr(
+                "CAST(sum(plen) * 1000000 div count(*) AS BIGINT)"
+            ).alias("w_micro")
+        )
+    )
+    occ_score = (
+        phr.select("doc_id", "g", "phrase")
+        .join(isl.select("doc_id", "g", "tok"), ["doc_id", "g"])
+        .join(wstat, "tok")
+        .groupBy("doc_id", "g", "phrase")
+        .agg(F.sum("w_micro").cast("bigint").alias("ps"))
+    )
+    return (
+        occ_score.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("ps").cast("bigint").alias("score_micro"),
+        )
+        .where(F.col("score_micro") >= 2000000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic sampling within strata (every k-th by hash order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_systematic_strata",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, c_nationkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h60
+      FROM customer
+    ),
+    r AS (
+      SELECT c_custkey, c_nationkey, h60,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY h60, c_custkey) AS rn
+      FROM h
+    )
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn % 10 = 1
+    """,
+)
+def sample_systematic_strata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SYSTEMATIC SAMPLING within strata: every 10th customer per
+    nation in 60-bit-md5-of-key order — the equal-interval design
+    survey samplers use when strata need guaranteed proportional
+    coverage (hash order = reproducible random order, so this is
+    'randomized systematic' with a fixed seed; contrast
+    sample_hash_mixture, which Bernoulli-samples and only hits the
+    rate in expectation — systematic hits ceil(n/10) exactly, per
+    stratum, deterministically). The cross-engine md5-60bit idiom
+    keys the order; c_custkey breaks (never-observed) hash ties.
+
+    Scale: one shuffle on the stratum key + a per-partition sort —
+    the window never sees more than a stratum; rank-mod selection is
+    codegen. At 100 TB with giant strata, swap row_number for a
+    range-partitioned rank (pipeline_global_shuffle's construction)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    h = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h60"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("h60", "c_custkey")
+    return (
+        h.select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") % 10 == 1)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional deletion-vector application (Iceberg/Delta positional deletes)
+# ---------------------------------------------------------------------------
+
+#: The driver gate's raw orders file; oracle_sql_for rewrites it per sf.
+DRIVER_ORDERS_RAW = "/root/testdata/sf0.01/orders.parquet"
+
+
+@query(
+    "scan_deletion_vectors",
+    oracle=f"""
+    WITH scan AS (
+      SELECT o_orderkey, file_row_number AS pos
+      FROM read_parquet('{DRIVER_ORDERS_RAW}', file_row_number = true)
+    ),
+    applied AS (
+      SELECT o_orderkey, pos,
+             pos % 97 IN (0, 13, 51) AS deleted
+      FROM scan
+    )
+    SELECT CAST(pos // 1000 AS BIGINT) AS band,
+           CAST(count(*) FILTER (WHERE NOT deleted) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE deleted) AS BIGINT) AS n_deleted,
+           CAST(bit_xor(CASE WHEN NOT deleted THEN
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             ELSE 0 END) AS BIGINT) AS live_xor60
+    FROM applied GROUP BY 1
+    """,
+)
+def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL DELETE application — the Iceberg v2 / Delta
+    deletion-vector read path: a scan yields (row, file position), a
+    position bitmap marks deletes, and the live set is the scan minus
+    marked positions, verified here per 1000-row band with a live-row
+    content checksum (order/overflow-free bit_xor of 60-bit md5 keys).
+    The cross-engine ground truth for file positions: Spark's
+    `_metadata.row_index` == DuckDB's `file_row_number` — both count
+    rows in parquet file order. The DV itself is the deterministic
+    bitmap {{pos : pos % 97 in (0,13,51)}} applied as a codegen
+    predicate, exactly how an engine applies a decoded roaring bitmap.
+
+    Scale: position metadata is generated per row-group at scan time
+    (no shuffle); the DV predicate applies pre-shuffle so deleted rows
+    never leave the scan stage; the band rollup is one partial-agg'd
+    exchange. At 100 TB the bitmap arrives as a per-file sidecar
+    joined by (file, band) — same plan with one broadcast more."""
+    path = f"{sf_dir}/orders.parquet"
+    scan = spark.read.parquet(path).select(
+        "o_orderkey", F.col("_metadata.row_index").alias("pos")
+    )
+    applied = scan.select(
+        "o_orderkey",
+        "pos",
+        (F.col("pos") % 97).isin(0, 13, 51).alias("deleted"),
+    )
+    h60 = (
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    return applied.groupBy(
+        F.expr("CAST(pos div 1000 AS BIGINT)").alias("band")
+    ).agg(
+        F.sum(F.when(~F.col("deleted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_live"),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.expr(
+            f"CAST(bit_xor(CASE WHEN NOT deleted THEN {h60} "
+            "ELSE 0L END) AS BIGINT)"
+        ).alias("live_xor60"),
     )
