@@ -1191,3 +1191,49 @@ def q_fn_net_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("in_10_0_0_0_9"),
         F.col("d").cast("bigint").alias("host8"),
     )
+
+
+@query(
+    "kdc_referral_patterns",
+    oracle=f"""
+    SELECT crealm, srealm,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CASE WHEN referral THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_referrals,
+           CAST(sum(CASE WHEN referral THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS referral_rate_micro,
+           CAST(count(DISTINCT client) AS BIGINT) AS n_clients
+    FROM {_R}
+    WHERE valid AND req_type = 'TGS'
+      AND crealm IS NOT NULL AND srealm IS NOT NULL
+    GROUP BY crealm, srealm
+    """,
+)
+def q_referral_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-REALM REFERRAL matrix: TGS traffic and referral rates per
+    (client realm, service realm) pair — the trust-topology view a KDC
+    operator reads to spot unexpected realm hops (the reference parses
+    the referral marker, KDCLogRecordReader.java:250-266, but never
+    aggregates it; this is the missing rollup). Rates are exact
+    integer micro-units of exact counts.
+
+    Scale: one filter + one partial-agg'd groupBy on the realm pair;
+    the distinct-client count is the only expansion (exact here; the
+    documented HLL swap applies beyond memory)."""
+    r = kdc_records(spark, sf_dir).where(
+        F.col("valid")
+        & (F.col("req_type") == "TGS")
+        & F.col("crealm").isNotNull()
+        & F.col("srealm").isNotNull()
+    )
+    return r.groupBy("crealm", "srealm").agg(
+        F.count("*").cast("bigint").alias("n_requests"),
+        F.sum(F.when(F.col("referral"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_referrals"),
+        F.expr(
+            "CAST(sum(CASE WHEN referral THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("referral_rate_micro"),
+        F.countDistinct("client").cast("bigint").alias("n_clients"),
+    )

@@ -473,3 +473,148 @@ def test_deletion_vectors_band_accounting(spark, sf_dir):
     }
     assert got == bands
     assert sum(a + b for a, b, _ in bands.values()) == len(keys)
+
+
+def test_sql_scalar_udf_inlines(spark, sf_dir):
+    """The SQL UDF must inline: no Python eval nodes in the plan, and
+    values equal the hand-written expression."""
+    df = registry.QUERIES["sql_scalar_udf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    expect = {
+        r["l_returnflag"]: (r["rev_e4"], r["n_mid"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount*100) AS BIGINT)))"
+                " AS BIGINT)"
+            ).alias("rev_e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN CAST(round(l_discount*100) AS BIGINT)"
+                " BETWEEN 5 AND 7 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_mid"),
+        )
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: (r["rev_e4"], r["n_mid_discount"])
+        for r in df.collect()
+    }
+    assert got == expect
+
+
+def test_interpolate_linear_laws(spark, sf_dir):
+    """0 <= dt < 86400; num == (y2-y1)*dt; den constant; every purchase
+    with a next-day anchor appears exactly once."""
+    rows = registry.QUERIES["rollup_interpolate_linear"](spark, sf_dir).collect()
+    assert rows
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert 0 <= r["dt_sec"] < 86400
+        assert r["interp_num"] == (r["y2"] - r["y1"]) * r["dt_sec"]
+        assert r["interp_den"] == 86400
+
+
+def test_dormant_reactivation_replay(spark, sf_dir):
+    """Sequential replay of per-user day gaps."""
+    from collections import defaultdict
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    days = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .collect()
+    ):
+        days[r["user_id"]].add(r["d"])
+    expect = {}
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        gaps = [
+            (b, (b - a).days)
+            for a, b in zip(ds, ds[1:])
+            if (b - a).days >= 3
+        ]
+        if gaps:
+            expect[uid] = (
+                len(gaps),
+                max(g for _, g in gaps),
+                max(d for d, _ in gaps),
+            )
+    got = {
+        r["user_id"]: (
+            r["n_reactivations"],
+            r["max_gap_days"],
+            r["last_reactivation_day"],
+        )
+        for r in registry.QUERIES["events_dormant_reactivation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_referral_rate_math(spark, sf_dir):
+    """Rates are exact integer micro-divisions of the emitted counts."""
+    rows = registry.QUERIES["kdc_referral_patterns"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["referral_rate_micro"]
+            == r["n_referrals"] * 1_000_000 // r["n_requests"]
+        )
+        assert 0 <= r["n_referrals"] <= r["n_requests"]
+
+
+def test_bpe_tokenize_replay(spark, sf_dir):
+    """Tokenize a replayed corpus with the learned merges in Python and
+    match per-doc word/token/char counts; tokens are bounded by chars
+    below and words above."""
+    import re
+
+    from kdcloganalyzer_spark.plans.round11_ops import _bpe_merges
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    merges = [(pl, pr) for _, pl, pr, _ in _bpe_merges(spark, "" + sf_dir)]
+
+    def tokenize(word: str) -> int:
+        syms = list(word)
+        for pl, pr in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pl and syms[i + 1] == pr:
+                    out.append(pl + pr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        words = re.sub("[^a-z]+", " ", r["text"].lower()).split()
+        if words:
+            expect[r["doc_id"]] = (
+                len(words),
+                sum(tokenize(w) for w in words),
+                sum(len(w) for w in words),
+            )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars_az"])
+        for r in registry.QUERIES["pipeline_bpe_tokenize"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    for nw, nt, nc in got.values():
+        assert nw <= nt <= nc
