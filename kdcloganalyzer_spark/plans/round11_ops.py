@@ -1998,3 +1998,80 @@ def pipeline_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_tokens"),
         F.sum(F.length("word")).cast("bigint").alias("n_chars_az"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: byte-range bin packing of a file manifest
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65536  # target bin size in bytes (chars)
+
+
+@query(
+    "pipeline_compaction_bins",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT CAST(doc_id // 20 AS BIGINT) AS shard_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1
+    ),
+    planned AS (
+      SELECT shard_id, bytes,
+             CAST((sum(bytes) OVER (ORDER BY shard_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM manifest
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           CAST(min(shard_id) AS BIGINT) AS first_shard,
+           CAST(max(shard_id) AS BIGINT) AS last_shard
+    FROM planned GROUP BY bin_id
+    """,
+)
+def pipeline_compaction_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACTION PLANNING — assign a file manifest to target-sized
+    output bins, the small-files OPTIMIZE step every lakehouse table
+    needs: bin_id = floor(cumulative_bytes_before / target), i.e. a
+    file joins the bin its FIRST byte falls in. These are exactly
+    Spark's own FilePartition packing semantics (openCostInBytes
+    aside), deterministic and expressible as one cumulative window —
+    no sequential bin-capacity state like true next-fit would need.
+    The manifest here derives from the documents table (20-doc
+    shards, byte size = sum of n_chars); swap in a real file listing
+    (scan_binaryfile_source) unchanged.
+
+    Scale: the manifest is metadata (files, not data) — a window over
+    file-count rows; the single-partition ORDER BY is bounded by the
+    manifest, not the corpus. The plan's output IS the shuffle-free
+    execution plan for the rewrite job: each bin maps to one writer
+    task reading contiguous shards."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.groupBy(
+        (F.col("doc_id") / 20).cast("bigint").alias("shard_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    w = (
+        Window.orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = manifest.select(
+        "shard_id",
+        "bytes",
+        F.expr(
+            f"CAST((sum(bytes) OVER (ORDER BY shard_id ROWS BETWEEN"
+            f" UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)"
+            f" div {_COMPACT_TARGET} AS BIGINT)"
+        ).alias("bin_id"),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.min("shard_id").cast("bigint").alias("first_shard"),
+        F.max("shard_id").cast("bigint").alias("last_shard"),
+    )

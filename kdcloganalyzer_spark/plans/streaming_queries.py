@@ -437,3 +437,24 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts must equal the batch GROUP BY, so the ranked cut is
     deterministic under the (n DESC, event_type) total order."""
     return SQ.windowed_topk_types(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup whose per-key state EVICTS
+    once the watermark passes (event time + delay) — the variant that
+    stays bounded on unbounded streams; plain dropDuplicates state
+    grows with the key universe. Same doubled feed and oracle as
+    stream_dedup_exact: the two ids differ only in the state-eviction
+    contract, which is exactly the 100 TB difference."""
+    return SQ.stream_dedup_events_within_watermark(spark, sf_dir)

@@ -1186,3 +1186,52 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "user_id BIGINT, n_events BIGINT, last_ts TIMESTAMP"
     ).parquet(out_dir)
+
+
+def stream_dedup_events_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` — the
+    BOUNDED-STATE variant of stream_dedup_events: state for a key is
+    evicted once the watermark passes its event time plus the delay,
+    so an unbounded at-least-once replay holds state proportional to
+    the lateness horizon, never the key universe (plain
+    dropDuplicates under a watermark keeps keys forever unless the
+    key itself embeds event time). The staged double-replay arrives
+    well inside the 1-hour delay, so the bounded run dedups exactly
+    like the unbounded-state form and shares its oracle."""
+    import os
+
+    key = f"{sf_dir}::dup2ww"
+    if key not in _STAGE_CACHE:
+        d = appcache.tempdir(prefix="events_dupww_")
+        src = os.path.abspath(f"{sf_dir}/events.parquet")
+        os.symlink(src, f"{d}/copy_a.parquet")
+        os.symlink(src, f"{d}/copy_b.parquet")
+        _STAGE_CACHE[key] = d
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    from kdcloganalyzer_spark.sources.tables import (
+        ensure_utc_session,
+        normalize_ts,
+    )
+
+    ensure_utc_session(spark)
+    sdf = (
+        normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_STAGE_CACHE[key]),
+            "ts",
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    deduped = _run_to_memory(sdf, "append")
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_c"),
+    )

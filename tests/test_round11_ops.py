@@ -618,3 +618,44 @@ def test_bpe_tokenize_replay(spark, sf_dir):
     assert got == expect
     for nw, nt, nc in got.values():
         assert nw <= nt <= nc
+
+
+def test_compaction_bins_laws(spark, sf_dir):
+    """Bins are contiguous shard ranges covering the manifest exactly;
+    every bin except possibly the last spans the target boundary iff
+    its first byte range does (replay the cumsum rule)."""
+    from kdcloganalyzer_spark.plans.round11_ops import _COMPACT_TARGET
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    manifest = sorted(
+        (
+            (r["shard_id"], r["bytes"])
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy((F.col("doc_id") / 20).cast("bigint").alias("shard_id"))
+            .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+            .collect()
+        )
+    )
+    cum = 0
+    expect = {}
+    for sid, b in manifest:
+        bin_id = cum // _COMPACT_TARGET
+        n, bb, lo, hi = expect.get(bin_id, (0, 0, sid, sid))
+        expect[bin_id] = (n + 1, bb + b, min(lo, sid), max(hi, sid))
+        cum += b
+    got = {
+        r["bin_id"]: (
+            r["n_shards"],
+            r["bin_bytes"],
+            r["first_shard"],
+            r["last_shard"],
+        )
+        for r in registry.QUERIES["pipeline_compaction_bins"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+    # contiguity: ranges do not interleave across bins
+    spans = sorted((v[2], v[3]) for v in got.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
