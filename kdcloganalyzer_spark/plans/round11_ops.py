@@ -2075,3 +2075,198 @@ def pipeline_compaction_bins(
         F.min("shard_id").cast("bigint").alias("first_shard"),
         F.max("shard_id").cast("bigint").alias("last_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community modularity of the LP partition (exact cross-multiplied Q)
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from kdcloganalyzer_spark.plans.round8_ops import (
+        _LP_EDGES_SQL,
+        _lp_round_sql,
+    )
+
+    return f"""
+    WITH {_LP_EDGES_SQL},
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+    {_lp_round_sql('l0', 'l1')},
+    {_lp_round_sql('l1', 'l2')},
+    {_lp_round_sql('l2', 'l3')},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+    members AS (SELECT lab, CAST(count(*) AS BIGINT) AS n FROM l3
+                GROUP BY lab),
+    agg AS (
+      SELECT ls.lab AS community,
+             CAST(sum(CASE WHEN ld.lab = ls.lab THEN 1 ELSE 0 END)
+                  AS BIGINT) AS intra2,
+             CAST(count(*) AS BIGINT) AS deg_sum
+      FROM e
+      JOIN l3 ls ON ls.node = e.src
+      JOIN l3 ld ON ld.node = e.dst
+      GROUP BY ls.lab
+    )
+    SELECT a.community, mem.n AS n_members, a.intra2, a.deg_sum,
+           CAST(a.intra2 * m.m2 - a.deg_sum * a.deg_sum AS BIGINT)
+             AS q_num_scaled,
+           m.m2 AS m2
+    FROM agg a JOIN members mem ON mem.lab = a.community, m
+    """
+
+
+@query("graph_community_modularity", oracle=_modularity_oracle())
+def graph_community_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODULARITY of the 3-round label-propagation partition — the
+    standard partition-quality score Q = Σ_c [e_c/m − (d_c/2m)²],
+    i.e. intra-community edge mass minus the random-graph
+    expectation; the eval every community detector gets judged by
+    (Newman 2004). EXACT integers by cross-multiplying with (2m)²:
+    per community q_num_scaled = intra2·2m − d_c² where intra2
+    counts intra-community SYMMETRIC edges (= 2e_c) and d_c is the
+    symmetric-edge degree sum, so Q = Σ q_num_scaled / (2m)² with
+    every numerator a BIGINT (headroom: both terms ≤ (2m)² ≈ 1.4e12
+    at sf0.1; at 2m > ~3e9 swap to per-community DOUBLE of exact
+    ints). Deterministic because the LP vote itself is (ties to the
+    smallest label) — this id EVALUATES graph_label_propagation's
+    output the way the dedup/ANN evals grade their indexes.
+
+    Scale: 3 fused LP rounds (edge-keyed shuffles), one eager
+    checkpoint of the node-sized label table, then edges join labels
+    on both endpoints (the label side broadcasts — checkpointed
+    frames carry no stats, hint explicit) + one partial-agg'd
+    rollup."""
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+    from kdcloganalyzer_spark.plans.round8_ops import (
+        lp_initial_labels,
+        lp_vote_round,
+    )
+
+    sym = _coorder_edges(spark, sf_dir)
+    labels = lp_initial_labels(sym)
+    for _ in range(3):
+        labels = lp_vote_round(sym, labels)
+    labels = labels.localCheckpoint(eager=True)
+    m2 = sym.count()
+    members = labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    ls = F.broadcast(
+        labels.select(
+            F.col("node").alias("s_node"), F.col("lab").alias("s_lab")
+        )
+    )
+    ld = F.broadcast(
+        labels.select(
+            F.col("node").alias("d_node"), F.col("lab").alias("d_lab")
+        )
+    )
+    agg = (
+        sym.join(ls, sym["src"] == F.col("s_node"))
+        .join(ld, sym["dst"] == F.col("d_node"))
+        .groupBy(F.col("s_lab").alias("community"))
+        .agg(
+            F.sum(
+                F.when(F.col("d_lab") == F.col("s_lab"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("intra2"),
+            F.count("*").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return agg.join(F.broadcast(members), "community").select(
+        "community",
+        "n_members",
+        "intra2",
+        "deg_sum",
+        (
+            F.col("intra2") * F.lit(m2)
+            - F.col("deg_sum") * F.col("deg_sum")
+        )
+        .cast("bigint")
+        .alias("q_num_scaled"),
+        F.lit(m2).cast("bigint").alias("m2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF87a container build + header probe (little-endian geometry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_gif_probe",
+    oracle="""
+    SELECT doc_id,
+           true AS sig_ok,
+           CAST(1 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+           CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT AS BIGINT)
+             AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_data_bytes
+    FROM documents
+    """,
+)
+def multimodal_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a container BUILD + header PROBE — the third container
+    format after PNG/JPEG (multimodal_decode), chosen because GIF's
+    logical screen descriptor stores geometry LITTLE-ENDIAN u16 (PNG
+    is big-endian u32, JPEG big-endian u16): byte-order handling is
+    the classic header-parse bug, so it gets its own verified tier.
+    Build: 'GIF87a' + LE width + LE height + packed GCT byte +
+    background + aspect + the text bytes as the data stand-in + 0x3B
+    trailer — all concat/unhex codegen, no Python. Probe: validate
+    the 6-byte signature and re-decode geometry from the LE bytes
+    (b_lo + 256·b_hi). Geometry is content-derived exactly like the
+    PNG tier (width = 1 + n_bytes mod 1024, height = 1 + first md5
+    byte) so the oracle verifies the decoded values from text alone —
+    a hash match proves the build and the parse agree through the
+    byte order.
+
+    Scale: per-row codegen expressions; payload bytes never shuffle
+    (the probe projects header fields only)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    w = (F.lit(1) + F.length(payload) % 1024).cast("long")
+    h = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast(
+            "long"
+        )
+    )
+
+    def _le2(col):
+        return F.unhex(
+            F.concat(
+                F.lpad(F.hex(col % 256), 2, "0"),
+                F.lpad(F.hex((col / 256).cast("long")), 2, "0"),
+            )
+        )
+
+    gif = F.concat(
+        F.expr("X'474946383761'"),  # 'GIF87a'
+        _le2(w),
+        _le2(h),
+        F.expr("X'F70000'"),  # GCT flags, background, aspect
+        payload,
+        F.expr("X'3B'"),  # trailer
+    )
+    built = docs.select("doc_id", gif.alias("payload"))
+
+    def _byte(pos):
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {pos}, 1)")), 16, 10
+        ).cast("long")
+
+    return built.select(
+        "doc_id",
+        (
+            F.expr("substring(payload, 1, 6)") == F.expr("X'474946383761'")
+        ).alias("sig_ok"),
+        (_byte(7) + 256 * _byte(8)).cast("bigint").alias("width"),
+        (_byte(9) + 256 * _byte(10)).cast("bigint").alias("height"),
+        (F.length("payload") - 14).cast("bigint").alias("n_data_bytes"),
+    )

@@ -659,3 +659,55 @@ def test_compaction_bins_laws(spark, sf_dir):
     spans = sorted((v[2], v[3]) for v in got.values())
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo
+
+
+def test_modularity_accounting(spark, sf_dir):
+    """Degree sums partition the symmetric edge count; intra edges are
+    bounded by degree; members partition the node set; total Q <= 1."""
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+
+    sym = _coorder_edges(spark, sf_dir)
+    m2 = sym.count()
+    n_nodes = sym.select("src").distinct().count()
+    rows = registry.QUERIES["graph_community_modularity"](spark, sf_dir).collect()
+    assert sum(r["deg_sum"] for r in rows) == m2
+    assert sum(r["n_members"] for r in rows) == n_nodes
+    for r in rows:
+        assert 0 <= r["intra2"] <= r["deg_sum"]
+        assert r["m2"] == m2
+        assert r["q_num_scaled"] == r["intra2"] * m2 - r["deg_sum"] ** 2
+    q = sum(r["q_num_scaled"] for r in rows) / (m2 * m2)
+    assert -0.5 <= q <= 1.0
+
+
+def test_gif_probe_bytes_roundtrip(spark, sf_dir):
+    """Replay the GIF build in Python for every doc and parse the
+    header back byte-for-byte."""
+    import hashlib
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = registry.QUERIES["multimodal_gif_probe"](spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        data = texts[r["doc_id"]].encode("utf-8")
+        w = 1 + len(data) % 1024
+        h = 1 + int(hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()[:2], 16)
+        payload = (
+            b"GIF87a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00"
+            + data
+            + b"\x3b"
+        )
+        assert r["sig_ok"] and payload[:6] == b"GIF87a"
+        assert r["width"] == int.from_bytes(payload[6:8], "little") == w
+        assert r["height"] == int.from_bytes(payload[8:10], "little") == h
+        assert r["n_data_bytes"] == len(payload) - 14 == len(data)
