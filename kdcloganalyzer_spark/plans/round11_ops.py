@@ -2287,3 +2287,268 @@ def multimodal_gif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_byte(9) + 256 * _byte(10)).cast("bigint").alias("height"),
         (F.length("payload") - 14).cast("bigint").alias("n_data_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiline-quoted CSV scan (embedded newlines/quotes round-trip)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_csv_multiline_quoted",
+    oracle="""
+    WITH notes AS (
+      SELECT doc_id,
+             '"' || replace(substr(text, 1, 80), ' ', chr(10)) AS note
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(note) - length(replace(note, chr(10), ''))
+                AS BIGINT) AS n_newlines,
+           md5(note) AS note_md5
+    FROM notes
+    """,
+)
+def scan_csv_multiline_quoted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTILINE-QUOTED CSV scan — fields containing embedded newlines
+    AND a double-quote character, the classic CSV splittability
+    hazard: a naive line-oriented reader splits records mid-field.
+    The query WRITES such a file (RFC 4180 style: quote '"', escape
+    '"' so embedded quotes double) and reads it back with
+    ``multiLine=true`` + explicit schema; the oracle computes the
+    SAME per-doc newline counts and md5s from the base table, so a
+    hash match proves the quoted round-trip preserved every byte.
+
+    Scale: multiLine=true makes CSV files NON-SPLITTABLE (a record
+    can straddle any offset, so Spark reads whole files per task) —
+    the operator encodes the production rule: multiline CSV at scale
+    must arrive as many small files, or be rewritten to parquet at
+    ingest (this plan's write side IS that rewrite)."""
+    import os
+
+    from kdcloganalyzer_spark import appcache
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    notes = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('"'),
+            F.expr("replace(substring(text, 1, 80), ' ', '\\n')"),
+        ).alias("note"),
+    )
+    key = f"{sf_dir}::mlcsv"
+    if key not in _MLCSV_CACHE:
+        d = appcache.tempdir(prefix="mlcsv_")
+        out = os.path.join(d, "notes_csv")
+        (
+            notes.coalesce(2)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            # the WRITER trims field whitespace by default — a field
+            # ending in '\n' silently loses it (measured: one lost
+            # newline per space-terminated 80-char prefix)
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(out)
+        )
+        _MLCSV_CACHE[key] = out
+    back = (
+        spark.read.schema("doc_id bigint, note string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_MLCSV_CACHE[key])
+    )
+    return back.select(
+        "doc_id",
+        (
+            F.length("note")
+            - F.length(F.expr("replace(note, '\\n', '')"))
+        )
+        .cast("bigint")
+        .alias("n_newlines"),
+        F.md5(F.col("note")).alias("note_md5"),
+    )
+
+
+_MLCSV_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture planning (budget allocation before the sampler runs)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_TOKENS = 200000
+
+
+@query(
+    "pipeline_mixture_plan",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS tokens,
+             CAST(1 + CAST(substr(source, 4) AS BIGINT) % 5 AS BIGINT)
+               AS weight
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_sum FROM per_source)
+    SELECT source, tokens, weight,
+           CAST({_MIX_BUDGET_TOKENS} * weight // t.w_sum AS BIGINT)
+             AS target_tokens,
+           CAST({_MIX_BUDGET_TOKENS} * weight * 1000
+                // (t.w_sum * tokens) AS BIGINT) AS epochs_x1000
+    FROM per_source, tot t
+    """,
+)
+def pipeline_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIXTURE PLANNING — the allocation step that runs
+    BEFORE pipeline_mixture_weighted_epochs: given per-source token
+    inventories and mixture weights, compute each source's token
+    budget and the epoch multiplier (epochs > 1000‰ means the source
+    repeats; < 1000‰ means it downsamples). All exact integers: token
+    counts are whitespace-token sums, weights derive deterministically
+    from the source id (1 + id mod 5 — the stand-in for a config
+    table), targets and epoch ratios are single floor divisions of
+    BIGINT products. Together plan→apply mirror how a real mixture
+    ships: this id is the manifest the sampler executes.
+
+    Scale: one corpus-linear token count + a 20-row plan frame; the
+    1-row weight total is a scalar subquery over the tiny per-source
+    frame (sanctioned 1-row×N analytics join)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda x: x != ""
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("tokens")
+    ).select(
+        "source",
+        "tokens",
+        (
+            1 + F.substring("source", 4, 10).cast("bigint") % 5
+        ).cast("bigint").alias("weight"),
+    )
+    w_sum = per_source.agg(F.sum("weight")).first()[0]
+    b = _MIX_BUDGET_TOKENS
+    return per_source.select(
+        "source",
+        "tokens",
+        "weight",
+        F.expr(f"CAST({b} * weight div {w_sum} AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CAST({b} * weight * 1000 div ({w_sum} * tokens) AS BIGINT)"
+        ).alias("epochs_x1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDENTIFIER() clause: injection-safe dynamic table/column names
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_identifier_dynamic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDENTIFIER() clause — Spark 4's injection-safe dynamic SQL:
+    table and column names arrive as PARAMETERS and bind through
+    ``IDENTIFIER(:param)`` instead of f-string splicing, so a
+    malicious "name" cannot smuggle SQL (the templating mistake
+    behind most SQL injection in data platforms; sql_parameterized
+    covers VALUE parameters — this id covers NAME parameters). The
+    query itself is a plain rollup; what is under test is that the
+    dynamically-bound identifiers resolve to the same plan.
+
+    Scale: resolution happens at analysis time — zero runtime cost;
+    the plan is the ordinary partial-agg'd rollup."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_ident"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(IDENTIFIER(:val) * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "tbl": "v_orders_ident",
+            "grp": "o_orderpriority",
+            "val": "o_totalprice",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_arrow_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens_py,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED Python UDF (``useArrow=True``) — the third rung
+    of the Python-function ladder this repo demonstrates: SQL UDFs
+    inline into codegen (sql_scalar_udf), pandas UDFs vectorize over
+    Arrow batches (udf_surface), and scalar Python UDFs historically
+    pickled row-at-a-time — Spark 4's useArrow flag moves THEM onto
+    Arrow transport too (same per-row Python semantics, batch
+    serialization; plans as ArrowEvalPython, not BatchEvalPython —
+    the node the plan sweep bans). Body is a CLOSURE (executors
+    don't have the repo on sys.path). Integer outputs, so the
+    cross-engine compare is exact.
+
+    Scale: still the slow path — Python executes per row even though
+    transport batches; keep it off 100 TB hot paths (the oracle's
+    built-in spelling is the production form; this id pins the
+    SURFACE and its exact semantics)."""
+    from pyspark.sql.functions import udf
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    @udf("bigint", useArrow=True)
+    def n_tokens_py(text):
+        return len([t for t in (text or "").split(" ") if t])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens_py(F.col("text")).alias("n_tokens_py"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

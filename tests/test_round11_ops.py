@@ -711,3 +711,81 @@ def test_gif_probe_bytes_roundtrip(spark, sf_dir):
         assert r["width"] == int.from_bytes(payload[6:8], "little") == w
         assert r["height"] == int.from_bytes(payload[8:10], "little") == h
         assert r["n_data_bytes"] == len(payload) - 14 == len(data)
+
+
+def test_csv_multiline_roundtrip_replay(spark, sf_dir):
+    """Newline counts and md5s replayed from the base table — the
+    round-trip preserved every byte including trailing newlines."""
+    import hashlib
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    expect = {}
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        note = '"' + r["text"][:80].replace(" ", "\n")
+        expect[r["doc_id"]] = (
+            note.count("\n"),
+            hashlib.md5(note.encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_newlines"], r["note_md5"])
+        for r in registry.QUERIES["scan_csv_multiline_quoted"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_plan_budget_accounting(spark, sf_dir):
+    """Targets sum to the budget within per-source floor loss; epoch
+    ratios are the claimed floor divisions."""
+    from kdcloganalyzer_spark.plans.round11_ops import _MIX_BUDGET_TOKENS
+
+    rows = registry.QUERIES["pipeline_mixture_plan"](spark, sf_dir).collect()
+    assert rows
+    w_sum = sum(r["weight"] for r in rows)
+    t_sum = sum(r["target_tokens"] for r in rows)
+    assert _MIX_BUDGET_TOKENS - len(rows) < t_sum <= _MIX_BUDGET_TOKENS
+    for r in rows:
+        assert r["weight"] == 1 + int(r["source"][3:]) % 5
+        assert r["target_tokens"] == _MIX_BUDGET_TOKENS * r["weight"] // w_sum
+        assert (
+            r["epochs_x1000"]
+            == _MIX_BUDGET_TOKENS * r["weight"] * 1000 // (w_sum * r["tokens"])
+        )
+
+
+def test_identifier_matches_direct(spark, sf_dir):
+    """IDENTIFIER-bound names resolve to the same result as direct SQL."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    direct = {
+        r["o_orderpriority"]: (r["n"], r["tc"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+            ).alias("tc"),
+        )
+        .collect()
+    }
+    got = {
+        r["o_orderpriority"]: (r["n"], r["total_cents"])
+        for r in registry.QUERIES["sql_identifier_dynamic"](spark, sf_dir).collect()
+    }
+    assert got == direct
+
+
+def test_arrow_udf_plans_as_arrow(spark, sf_dir):
+    """The useArrow UDF must plan as ArrowEvalPython (never the
+    pickled-row BatchEvalPython node)."""
+    df = registry.QUERIES["udf_arrow_surface"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
