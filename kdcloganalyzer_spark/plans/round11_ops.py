@@ -2552,3 +2552,154 @@ def udf_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens_py(F.col("text")).alias("n_tokens_py"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment audit screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_duplicate_payments",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             o_orderkey
+      FROM orders
+    )
+    SELECT o_custkey, cents, day,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+    FROM o
+    GROUP BY o_custkey, cents, day
+    HAVING count(*) > 1
+    """,
+)
+def analytics_duplicate_payments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUPLICATE-PAYMENT screen — the audit/AP-controls query: same
+    customer, same exact amount, same day, more than once (double
+    billing, replayed webhooks, double-submitted orders). Amount
+    matches on EXACT integer cents — the float column never compares
+    directly — and the day truncation is the standard audit window.
+
+    Scale: one partial-agg'd groupBy on the composite key; HAVING
+    prunes to the (rare) duplicate groups before anything leaves the
+    aggregate. The natural extension (±1-day fuzziness) is the
+    join_interval_banded construction."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        "o_orderkey",
+    )
+    return (
+        o.groupBy("o_custkey", "cents", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("last_orderkey"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alert debouncing via gap islands (one alert per burst episode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_alert_debounce",
+    oracle="""
+    WITH eligible AS (
+      SELECT event_type, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsu
+      FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+      SELECT event_type, ts, tsu,
+             CASE WHEN tsu - lag(tsu) OVER (PARTITION BY event_type
+                                            ORDER BY tsu) > 1800
+                    OR lag(tsu) OVER (PARTITION BY event_type
+                                      ORDER BY tsu) IS NULL
+                  THEN 1 ELSE 0 END AS new_episode
+      FROM eligible
+    ),
+    episodes AS (
+      SELECT event_type, ts, tsu,
+             sum(new_episode) OVER (PARTITION BY event_type ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS episode
+      FROM marked
+    )
+    SELECT event_type, CAST(episode AS BIGINT) AS episode,
+           min(ts) AS alert_ts,
+           CAST(count(*) AS BIGINT) AS n_suppressed,
+           CAST(max(tsu) - min(tsu) AS BIGINT) AS episode_span_sec
+    FROM episodes GROUP BY event_type, episode
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT DEBOUNCING — collapse each burst of eligible events into
+    ONE alert (fire at the first event; suppress everything until a
+    30-minute quiet gap closes the episode): the dedup every paging
+    pipeline needs, or on-call drowns. Episodes are gap islands —
+    lag() marks episode starts, a running sum numbers them — which is
+    exactly the deterministic, order-free-under-ties formulation
+    (marks and sums are functions of the tsu VALUE sequence). Retro-
+    active/batch form of the stateful streaming debounce; the
+    streaming twin is stream_session_timeout's reaper with the
+    episode-open state.
+
+    Scale: one shuffle on the alert key; both windows share it. The
+    eligible filter runs first, so the windows see only alert-class
+    rows."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    eligible = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "event_type",
+            "ts",
+            F.unix_timestamp("ts").cast("bigint").alias("tsu"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("tsu")
+    marked = eligible.select(
+        "event_type",
+        "ts",
+        "tsu",
+        F.when(
+            F.lag("tsu").over(w).isNull()
+            | (F.col("tsu") - F.lag("tsu").over(w) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_episode"),
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("tsu")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    episodes = marked.select(
+        "event_type",
+        "ts",
+        "tsu",
+        F.sum("new_episode").over(wsum).alias("episode"),
+    )
+    return episodes.groupBy("event_type", "episode").agg(
+        F.min("ts").alias("alert_ts"),
+        F.count("*").cast("bigint").alias("n_suppressed"),
+        (F.max("tsu") - F.min("tsu")).cast("bigint").alias(
+            "episode_span_sec"
+        ),
+    )

@@ -789,3 +789,60 @@ def test_arrow_udf_plans_as_arrow(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_payments_groups(spark, sf_dir):
+    """Every reported group really has >1 orders at identical
+    (custkey, cents, day); counts replayed from the base table."""
+    from collections import Counter
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    base = Counter()
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .collect()
+    ):
+        base[(r["o_custkey"], r["c"], r["d"])] += 1
+    expect = {k: n for k, n in base.items() if n > 1}
+    got = {
+        (r["o_custkey"], r["cents"], r["day"]): r["n_dups"]
+        for r in registry.QUERIES["analytics_duplicate_payments"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_alert_debounce_episode_laws(spark, sf_dir):
+    """Episodes replayed sequentially: one alert per >30min-gap-
+    separated burst; suppressed counts partition the eligible set."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    tsus = sorted(
+        r["tsu"]
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(F.unix_timestamp("ts").cast("bigint").alias("tsu"))
+        .collect()
+    )
+    episodes = []
+    for t in tsus:
+        if not episodes or t - episodes[-1][-1] > 1800:
+            episodes.append([t])
+        else:
+            episodes[-1].append(t)
+    rows = sorted(
+        registry.QUERIES["events_alert_debounce"](spark, sf_dir).collect(),
+        key=lambda r: r["episode"],
+    )
+    assert len(rows) == len(episodes)
+    assert sum(r["n_suppressed"] for r in rows) == len(tsus)
+    for r, ep in zip(rows, episodes):
+        assert r["n_suppressed"] == len(ep)
+        assert r["episode_span_sec"] == ep[-1] - ep[0]
