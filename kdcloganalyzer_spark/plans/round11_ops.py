@@ -2703,3 +2703,231 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "episode_span_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity moments (graph mixing diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY src)
+    SELECT CAST(count(*) AS BIGINT) AS m2,
+           CAST(sum(ds.d * dd.d) AS BIGINT) AS s_jk,
+           CAST(sum(ds.d) AS BIGINT) AS s_j,
+           CAST(sum(ds.d * ds.d) AS BIGINT) AS s_j2
+    FROM e
+    JOIN deg ds ON ds.node = e.src
+    JOIN deg dd ON dd.node = e.dst
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY moments — do high-degree nodes attach to
+    high-degree nodes? (Newman 2002's r; social graphs are
+    assortative, bipartite transaction graphs like this one strongly
+    DISassortative.) Emits the EXACT INTEGER moment sums over directed
+    edge endpoints — m2, Σ(j·k), Σj, Σj² (the symmetric edge list
+    makes source and target moments identical, so one side suffices) —
+    from which r = (m2·s_jk − s_j²)/(m2·s_j2 − s_j²); the division
+    happens at render, keeping the id hash-exact. Headroom: degrees
+    ≤ ~10³ here, every sum ≤ 2^50 at sf0.1.
+
+    Scale: degree is one partial-agg'd groupBy over the cached edges;
+    the double degree join broadcasts the node-sized table onto both
+    endpoints; the final 1-row moment aggregate is map-side combined."""
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+
+    sym = _coorder_edges(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds = F.broadcast(
+        deg.select(F.col("node").alias("s_node"), F.col("d").alias("dj"))
+    )
+    dd = F.broadcast(
+        deg.select(F.col("node").alias("d_node"), F.col("d").alias("dk"))
+    )
+    return (
+        sym.join(ds, sym["src"] == F.col("s_node"))
+        .join(dd, sym["dst"] == F.col("d_node"))
+        .agg(
+            F.count("*").cast("bigint").alias("m2"),
+            F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("s_jk"),
+            F.sum("dj").cast("bigint").alias("s_j"),
+            F.sum(F.col("dj") * F.col("dj")).cast("bigint").alias("s_j2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE audio container build + header probe
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_wav_probe",
+    oracle="""
+    SELECT doc_id,
+           true AS riff_ok,
+           CAST(8000 + 8000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // 2) * 1000
+                // (8000 + 8000 * (doc_id % 3)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE audio container BUILD + PROBE — the audio leg of the
+    multimodal tier (PNG/JPEG big-endian, GIF little-endian u16; WAV
+    is little-endian u32, the fourth byte-layout variant): assemble a
+    spec-shaped header — 'RIFF' + chunk size LE32 + 'WAVE' + 'fmt '
+    block (PCM, mono, 16-bit, content-derived sample rate 8/16/24 kHz
+    by doc_id mod 3) + 'data' + payload-size LE32 — with the text
+    bytes standing in for PCM frames, then parse back the sample rate
+    (LE u32 at offset 25) and derive sample count and duration;
+    duration_ms = samples·1000 div rate stays exact-integer. A hash
+    match proves build and parse agree through the 4-byte little-
+    endian layout.
+
+    Scale: per-row codegen; payload bytes project away before any
+    shuffle — the same never-shuffle-payloads rule as every
+    multimodal id."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    rate = (8000 + 8000 * (F.col("doc_id") % 3)).cast("long")
+    n_bytes = F.length(payload)
+
+    def _le4(col):
+        b = [
+            F.lpad(F.hex((col / (1 << (8 * i))).cast("long") % 256), 2, "0")
+            for i in range(4)
+        ]
+        return F.unhex(F.concat(*b))
+
+    wav = F.concat(
+        F.expr("X'52494646'"),  # 'RIFF'
+        _le4(n_bytes + 36),
+        F.expr("X'57415645'"),  # 'WAVE'
+        F.expr("X'666D7420'"),  # 'fmt '
+        _le4(F.lit(16)),  # fmt chunk size
+        F.expr("X'01000100'"),  # PCM, mono
+        _le4(rate),
+        _le4(rate * 2),  # byte rate (16-bit mono)
+        F.expr("X'02001000'"),  # block align 2, bits 16
+        F.expr("X'64617461'"),  # 'data'
+        _le4(n_bytes),
+        payload,
+    )
+    built = docs.select("doc_id", wav.alias("payload"))
+
+    def _byte(pos):
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {pos}, 1)")), 16, 10
+        ).cast("long")
+
+    parsed_rate = (
+        _byte(25)
+        + 256 * _byte(26)
+        + 65536 * _byte(27)
+        + 16777216 * _byte(28)
+    )
+    data_bytes = (F.length("payload") - 44).cast("long")
+    return built.select(
+        "doc_id",
+        (
+            F.expr("substring(payload, 1, 4)") == F.expr("X'52494646'")
+        ).alias("riff_ok"),
+        parsed_rate.cast("bigint").alias("sample_rate"),
+        (data_bytes / 2).cast("bigint").alias("n_samples"),
+        F.expr(
+            "CAST((CAST((length(payload) - 44) / 2 AS BIGINT)) * 1000"
+            " div (conv(hex(substring(payload, 25, 1)), 16, 10)"
+            " + 256 * conv(hex(substring(payload, 26, 1)), 16, 10)"
+            " + 65536 * conv(hex(substring(payload, 27, 1)), 16, 10)"
+            " + 16777216 * conv(hex(substring(payload, 28, 1)), 16, 10))"
+            " AS BIGINT)"
+        ).alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend in exact numerator/denominator form (least-squares twin
+# of the Theil-Sen estimator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(count(*) AS BIGINT) AS y,
+             CAST(row_number() OVER (
+               ORDER BY date_trunc('day', min(ts))) AS BIGINT) AS x
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den,
+           CAST(sum(y) AS BIGINT) AS s_y,
+           CAST(sum(x) AS BIGINT) AS s_x
+    FROM daily
+    """,
+)
+def analytics_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINARY LEAST SQUARES trend over the daily series — the
+    parametric twin of analytics_theil_sen (one wild day drags OLS,
+    not Theil-Sen; shipping both is how a pipeline cross-checks its
+    trend calls). Emitted as the EXACT integer pair slope =
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) plus the sums needed for the
+    intercept (ȳ − slope·x̄ = (s_y·den − num·s_x)/(n·den)) — every
+    term a BIGINT, division at render. Order-free: all sums are
+    integer partial aggregates.
+
+    Scale: the usual two-level shape — corpus-linear daily rollup,
+    1-row moment aggregate over the calendar frame."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .select(
+            "y",
+            F.row_number()
+            .over(Window.orderBy("day"))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    return daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        (
+            F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum("x").cast("bigint").alias("s_x"),
+    )

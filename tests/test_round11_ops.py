@@ -846,3 +846,91 @@ def test_alert_debounce_episode_laws(spark, sf_dir):
     for r, ep in zip(rows, episodes):
         assert r["n_suppressed"] == len(ep)
         assert r["episode_span_sec"] == ep[-1] - ep[0]
+
+
+def test_assortativity_moment_replay(spark, sf_dir):
+    """Replay the endpoint-degree moments in Python and bound r in
+    [-1, 1]."""
+    from collections import Counter
+
+    from kdcloganalyzer_spark.plans.analytics import _coorder_edges
+
+    edges = [
+        (r["src"], r["dst"]) for r in _coorder_edges(spark, sf_dir).collect()
+    ]
+    deg = Counter(s for s, _ in edges)
+    m2 = len(edges)
+    s_jk = sum(deg[s] * deg[d] for s, d in edges)
+    s_j = sum(deg[s] for s, _ in edges)
+    s_j2 = sum(deg[s] ** 2 for s, _ in edges)
+    row = registry.QUERIES["graph_degree_assortativity"](spark, sf_dir).collect()[0]
+    assert (row["m2"], row["s_jk"], row["s_j"], row["s_j2"]) == (
+        m2,
+        s_jk,
+        s_j,
+        s_j2,
+    )
+    r = (m2 * s_jk - s_j * s_j) / (m2 * s_j2 - s_j * s_j)
+    assert -1.0 <= r <= 1.0
+
+
+def test_wav_probe_bytes_roundtrip(spark, sf_dir):
+    """Rebuild each WAV header in Python and parse it back."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = registry.QUERIES["multimodal_wav_probe"](spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        data = texts[r["doc_id"]]
+        rate = 8000 + 8000 * (r["doc_id"] % 3)
+        header = (
+            b"RIFF"
+            + (len(data) + 36).to_bytes(4, "little")
+            + b"WAVE"
+            + b"fmt "
+            + (16).to_bytes(4, "little")
+            + b"\x01\x00\x01\x00"
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + b"\x02\x00\x10\x00"
+            + b"data"
+            + len(data).to_bytes(4, "little")
+        )
+        payload = header + data
+        assert r["riff_ok"] and payload[:4] == b"RIFF"
+        assert r["sample_rate"] == int.from_bytes(payload[24:28], "little") == rate
+        assert r["n_samples"] == len(data) // 2
+        assert r["duration_ms"] == (len(data) // 2) * 1000 // rate
+
+
+def test_ols_trend_replay(spark, sf_dir):
+    """Moments replayed from the daily series; slope agrees with a
+    float least-squares fit to 1e-9 relative."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    daily = sorted(
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("y"))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    ys = [r["y"] for r in daily]
+    xs = list(range(1, len(ys) + 1))
+    n = len(xs)
+    row = registry.QUERIES["analytics_ols_trend"](spark, sf_dir).collect()[0]
+    assert row["n"] == n and row["s_y"] == sum(ys) and row["s_x"] == sum(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert (row["slope_num"], row["slope_den"]) == (num, den)
+    mean_x, mean_y = sum(xs) / n, sum(ys) / n
+    ref = sum((x - mean_x) * (y - mean_y) for x, y in zip(xs, ys)) / sum(
+        (x - mean_x) ** 2 for x in xs
+    )
+    assert abs(num / den - ref) < 1e-9 * max(1.0, abs(ref))
