@@ -2931,3 +2931,128 @@ def analytics_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("s_y"),
         F.sum("x").cast("bigint").alias("s_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregate suite (same SQL text on both engines)
+# ---------------------------------------------------------------------------
+
+_FILTER_AGG_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE value > 180) AS BIGINT) AS n_high,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE value > 180) AS BIGINT) AS high_cents,
+           CAST(count(DISTINCT user_id) FILTER (WHERE value > 180)
+                AS BIGINT) AS n_high_users,
+           CAST(min(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE value > 180) AS BIGINT) AS min_high_cents
+    FROM {events} GROUP BY event_type
+    """
+
+
+@query(
+    "agg_filter_clause_suite",
+    oracle=_FILTER_AGG_SQL.format(events="events"),
+)
+def agg_filter_clause_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTER-clause aggregates — the SQL:2003 per-aggregate predicate
+    (`agg(x) FILTER (WHERE p)`): one pass computes conditional counts,
+    sums, distincts and mins without CASE-wrapping every argument
+    (CASE NULL-feeding changes count(*) semantics and defeats min/max
+    sargability; FILTER is the spelling that says what it means). Same
+    SQL text on Spark 4 and DuckDB — including the DISTINCT+FILTER
+    combination. Sums in exact integer cents; empty filter groups
+    yield NULL on both engines.
+
+    Scale: Catalyst rewrites FILTER into conditional partial
+    aggregates — still one shuffle, map-side combined; the multi-
+    distinct expands like agg_multi_distinct (documented there)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_events_filter"
+    )
+    return spark.sql(_FILTER_AGG_SQL.format(events="v_events_filter"))
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window suite (LOCF and friends)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_ignore_nulls_suite",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS p_cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(p_cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_cents,
+           first_value(p_cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_purchase_cents,
+           nth_value(p_cents, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_purchase_cents
+    FROM ev
+    """,
+)
+def fn_ignore_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics — the sparse-series toolkit:
+    last_value IGNORE NULLS over a running frame is LOCF (carry the
+    last purchase amount across non-purchase events), first_value /
+    nth_value IGNORE NULLS pick the nth non-null over the full
+    partition. These are the functions gap-filling and
+    feature-engineering pipelines lean on (rollup_gap_fill uses the
+    LOCF form on a time spine; this suite pins the FUNCTION semantics
+    over a total (ts, event_id) order, cents-exact).
+
+    Scale: one user-keyed shuffle; the running and full frames share
+    the sort. IGNORE NULLS costs nothing extra — the window buffer
+    just skips nulls."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("p_cents"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last("p_cents", ignorenulls=True).over(run).alias("locf_cents"),
+        F.first("p_cents", ignorenulls=True)
+        .over(full)
+        .alias("first_purchase_cents"),
+        F.nth_value("p_cents", 2, ignoreNulls=True)
+        .over(full)
+        .alias("second_purchase_cents"),
+    )

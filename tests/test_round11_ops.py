@@ -934,3 +934,97 @@ def test_ols_trend_replay(spark, sf_dir):
         (x - mean_x) ** 2 for x in xs
     )
     assert abs(num / den - ref) < 1e-9 * max(1.0, abs(ref))
+
+
+def test_filter_clause_matches_case_form(spark, sf_dir):
+    """FILTER aggregates equal their CASE-wrapped equivalents (with
+    count(*) FILTER == sum of predicate, not count of CASE NULLs)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ref = {
+        r["event_type"]: (
+            r["nt"],
+            r["nh"],
+            r["hc"],
+            r["nu"],
+            r["mh"],
+        )
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("nt"),
+            F.sum(F.when(F.col("value") > 180, 1).otherwise(0)).alias("nh"),
+            F.sum(
+                F.when(
+                    F.col("value") > 180,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ).alias("hc"),
+            F.countDistinct(
+                F.when(F.col("value") > 180, F.col("user_id"))
+            ).alias("nu"),
+            F.min(
+                F.when(
+                    F.col("value") > 180,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                )
+            ).alias("mh"),
+        )
+        .collect()
+    }
+    got = {
+        r["event_type"]: (
+            r["n_total"],
+            r["n_high"],
+            r["high_cents"],
+            r["n_high_users"],
+            r["min_high_cents"],
+        )
+        for r in registry.QUERIES["agg_filter_clause_suite"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ignore_nulls_locf_replay(spark, sf_dir):
+    """Replay LOCF / first / second non-null per user sequentially."""
+    from collections import defaultdict
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    streams = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).alias("p"),
+        )
+        .collect()
+    ):
+        streams[r["user_id"]].append(r)
+    expect = {}
+    for uid, rs in streams.items():
+        rs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        nn = [r["p"] for r in rs if r["p"] is not None]
+        first = nn[0] if nn else None
+        second = nn[1] if len(nn) > 1 else None
+        carry = None
+        for r in rs:
+            if r["p"] is not None:
+                carry = r["p"]
+            expect[r["event_id"]] = (carry, first, second)
+    got = {
+        r["event_id"]: (
+            r["locf_cents"],
+            r["first_purchase_cents"],
+            r["second_purchase_cents"],
+        )
+        for r in registry.QUERIES["fn_ignore_nulls_suite"](spark, sf_dir).collect()
+    }
+    assert got == expect
