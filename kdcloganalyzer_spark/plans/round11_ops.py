@@ -3056,3 +3056,186 @@ def fn_ignore_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(full)
         .alias("second_purchase_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limit simulation (per-user CUSUM with irregular gaps)
+# ---------------------------------------------------------------------------
+
+# cost 600k micro-tokens/event, refill 1k micro-tokens/sec
+# (1 token / 10 min), burst capacity 3 tokens = 1.8M micro.
+_RL_COST = 600000
+_RL_RATE = 1000
+_RL_BURST = 1800000
+
+
+@query(
+    "events_rate_limit_sim",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsu
+      FROM events WHERE event_type = 'click'
+    ),
+    inc AS (
+      SELECT user_id, tsu,
+             {_RL_COST} - {_RL_RATE} * coalesce(
+               tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu),
+               0) AS d
+      FROM ev
+    ),
+    r AS (
+      SELECT user_id, tsu,
+             CAST(sum(d) OVER (PARTITION BY user_id ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rsum
+      FROM inc
+    ),
+    s AS (
+      SELECT user_id, tsu,
+             rsum - least(0, min(least(rsum, 0)) OVER (
+               PARTITION BY user_id ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS deficit
+      FROM r
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN deficit > {_RL_BURST} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttled,
+           CAST(max(deficit) AS BIGINT) AS max_deficit_micro
+    FROM s GROUP BY user_id
+    """,
+)
+def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET RATE-LIMIT simulation replayed over the log — the
+    capacity-planning question every throttling rollout asks first:
+    "with cost c, refill r, burst B, who would we have throttled?".
+    The bucket deficit follows the CUSUM recurrence with IRREGULAR
+    time steps — S_t = max(0, S_{{t-1}} + (c − r·Δt)) — and therefore
+    the same closed window form (S = R − min(0, running_min R)) as
+    events_cusum_changepoint, but PER USER with Δt from lag(tsu):
+    two stacked windows on one user-keyed shuffle, no recursion, no
+    state store. All integer micro-tokens; the value sequence is a
+    function of the sorted per-user tsu multiset, so same-second ties
+    cannot flip the hash. (The deficit cap-at-burst variant — reject
+    AND DON'T charge — is sequential-only; this sim charges throttled
+    events, the standard shadow-mode accounting.)
+
+    Scale: filter first, one shuffle on user_id shared by both
+    windows, per-user frames. The streaming twin is an
+    applyInPandasWithState keeper with (deficit, last_ts) state."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id", F.unix_timestamp("ts").cast("bigint").alias("tsu")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    inc = ev.select(
+        "user_id",
+        "tsu",
+        (
+            _RL_COST
+            - _RL_RATE
+            * F.coalesce(
+                F.col("tsu") - F.lag("tsu").over(w), F.lit(0)
+            )
+        ).alias("d"),
+    )
+    r = inc.select(
+        "user_id", "tsu", F.sum("d").over(wrun).cast("bigint").alias("rsum")
+    )
+    run_min = F.min(F.least(F.col("rsum"), F.lit(0).cast("bigint"))).over(
+        wrun
+    )
+    s = r.select(
+        "user_id",
+        "tsu",
+        (F.col("rsum") - F.least(F.lit(0).cast("bigint"), run_min)).alias(
+            "deficit"
+        ),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("deficit") > _RL_BURST, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_throttled"),
+        F.max("deficit").cast("bigint").alias("max_deficit_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_seasonal_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    dow AS (
+      SELECT CAST(date_part('dow', day) + 1 AS BIGINT) AS dow,
+             CAST(sum(n) AS BIGINT) AS dow_events,
+             CAST(count(*) AS BIGINT) AS dow_days
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(dow_events) AS BIGINT) AS all_events,
+             CAST(sum(dow_days) AS BIGINT) AS all_days
+      FROM dow
+    )
+    SELECT dow, dow_events, dow_days,
+           CAST(dow_events * t.all_days * 1000000
+                // (dow_days * t.all_events) AS BIGINT) AS index_micro
+    FROM dow, tot t
+    """,
+)
+def analytics_seasonal_dow_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAY-OF-WEEK SEASONALITY INDEX — mean daily volume per weekday
+    relative to the overall mean (index 1.0 = typical; the
+    multiplicative seasonal factors a capacity planner or forecaster
+    divides out before trending). One exact integer division per
+    weekday: (dow_events·all_days·10^6) div (dow_days·all_events) —
+    numerators ≤ 10^6·corpus·31, well inside BIGINT. Spark's
+    dayofweek is 1=Sunday; DuckDB's dow is 0=Sunday (+1 — the
+    documented equivalence).
+
+    Scale: the daily rollup is the only corpus-scaled shuffle; the
+    7-row index math is a broadcast-scalar fold (the 1-row total is
+    the sanctioned 1-row×7 analytics join in the oracle; Spark
+    collects it as a control scalar)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    dow = daily.groupBy(
+        F.dayofweek("day").cast("bigint").alias("dow")
+    ).agg(
+        F.sum("n").cast("bigint").alias("dow_events"),
+        F.count("*").cast("bigint").alias("dow_days"),
+    )
+    all_events, all_days = dow.agg(
+        F.sum("dow_events"), F.sum("dow_days")
+    ).first()
+    return dow.select(
+        "dow",
+        "dow_events",
+        "dow_days",
+        F.expr(
+            f"CAST(dow_events * {int(all_days)}L * 1000000 div"
+            f" (dow_days * {int(all_events)}L) AS BIGINT)"
+        ).alias("index_micro"),
+    )

@@ -1028,3 +1028,61 @@ def test_ignore_nulls_locf_replay(spark, sf_dir):
         for r in registry.QUERIES["fn_ignore_nulls_suite"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_rate_limit_sim_replay(spark, sf_dir):
+    """Replay the token bucket sequentially per user: deficit
+    recurrence max(0, s + cost - rate*dt), throttle when > burst."""
+    from collections import defaultdict
+
+    from kdcloganalyzer_spark.plans.round11_ops import (
+        _RL_BURST,
+        _RL_COST,
+        _RL_RATE,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.unix_timestamp("ts").cast("bigint").alias("tsu"))
+        .collect()
+    ):
+        per_user[r["user_id"]].append(r["tsu"])
+    expect = {}
+    for uid, ts in per_user.items():
+        ts.sort()
+        s, prev = 0, None
+        n_thr, mx = 0, 0
+        for t in ts:
+            dt = 0 if prev is None else t - prev
+            s = max(0, s + _RL_COST - _RL_RATE * dt)
+            prev = t
+            mx = max(mx, s)
+            if s > _RL_BURST:
+                n_thr += 1
+        expect[uid] = (len(ts), n_thr, mx)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_throttled"], r["max_deficit_micro"])
+        for r in registry.QUERIES["events_rate_limit_sim"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_dow_index_weighted_mean_is_one(spark, sf_dir):
+    """The day-weighted mean of the indexes is 1.0 (up to per-dow
+    floor loss) and each index replays from the emitted counts."""
+    rows = registry.QUERIES["analytics_seasonal_dow_index"](spark, sf_dir).collect()
+    all_events = sum(r["dow_events"] for r in rows)
+    all_days = sum(r["dow_days"] for r in rows)
+    for r in rows:
+        assert (
+            r["index_micro"]
+            == r["dow_events"] * all_days * 1_000_000 // (r["dow_days"] * all_events)
+        )
+    # day-weighted mean of the indexes is 1.0 up to one floored
+    # micro-unit per weekday: Σ dow_days·idx == 1e6·all_days − slack
+    approx = sum(r["dow_days"] * r["index_micro"] for r in rows)
+    slack = sum(r["dow_days"] for r in rows)
+    assert 1_000_000 * all_days - slack <= approx <= 1_000_000 * all_days
