@@ -458,3 +458,54 @@ def stream_dedup_within_watermark(
     stream_dedup_exact: the two ids differ only in the state-eviction
     contract, which is exactly the 100 TB difference."""
     return SQ.stream_dedup_events_within_watermark(spark, sf_dir)
+
+
+@query(
+    "stream_rate_limit_alert",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsu
+      FROM events WHERE event_type = 'click'
+    ),
+    inc AS (
+      SELECT user_id, tsu,
+             600000 - 1000 * coalesce(
+               tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu),
+               0) AS d
+      FROM ev
+    ),
+    r AS (
+      SELECT user_id, tsu,
+             CAST(sum(d) OVER (PARTITION BY user_id ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rsum
+      FROM inc
+    ),
+    s AS (
+      SELECT user_id, tsu,
+             rsum - least(0, min(least(rsum, 0)) OVER (
+               PARTITION BY user_id ORDER BY tsu
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS deficit
+      FROM r
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN deficit > 1800000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_throttled,
+           CAST(max(deficit) AS BIGINT) AS max_deficit_micro
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_rate_limit_alert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stateful streaming TOKEN-BUCKET keeper — the
+    applyInPandasWithState twin of events_rate_limit_sim, sharing its
+    closed-form oracle: the per-user (deficit, last_ts) state replays
+    the recurrence in exact integer micro-tokens as batches arrive,
+    which IS how a live throttler runs; the batch id is the shadow-
+    mode backtest of the same policy. A hash match between the
+    sequential stateful replay and the window closed form proves the
+    two implementations compute the same function."""
+    return SQ.stream_rate_limit_keeper(spark, sf_dir)

@@ -1235,3 +1235,73 @@ def stream_dedup_events_within_watermark(
         .cast("bigint")
         .alias("sum_value_c"),
     )
+
+
+def stream_rate_limit_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket keeper — the stateful twin of
+    events_rate_limit_sim (plans/round11_ops.py): per-user
+    ``applyInPandasWithState`` carrying (deficit, last_tsu, counts)
+    across micro-batches, replaying S = max(0, S + cost − rate·Δt) in
+    exact integer micro-tokens. Rows are sorted by event time INSIDE
+    each batch (arrival order across the key shuffle is not
+    chronological — the applyInPandasWithState gotcha), and the file
+    source delivers batches oldest-first, so the recurrence order is
+    the event-time order and the final per-user summary equals the
+    batch closed-form exactly (shared oracle).
+
+    Scale: state is 5 integers per user; an EventTimeTimeout would
+    evict idle buckets on an unbounded stream (the bounded bench run
+    keeps NoTimeout so every user's final state emits)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("bigint").alias("tsu"),
+        )
+    )
+    cost, rate, burst = 600000, 1000, 1800000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        deficit, last_tsu, n, n_thr, mx = (
+            state.get if state.exists else (0, -1, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for tsu in sorted(int(t) for t in pdf["tsu"]):
+                dt = 0 if last_tsu < 0 else tsu - last_tsu
+                deficit = max(0, deficit + cost - rate * dt)
+                last_tsu = tsu
+                n += 1
+                mx = max(mx, deficit)
+                if deficit > burst:
+                    n_thr += 1
+        state.update((deficit, last_tsu, n, n_thr, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_throttled": [n_thr],
+                "max_deficit_micro": [mx],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, n_throttled BIGINT, "
+            "max_deficit_micro BIGINT"
+        ),
+        stateStructType=(
+            "deficit BIGINT, last_tsu BIGINT, n BIGINT, n_thr BIGINT, "
+            "mx BIGINT"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
