@@ -3239,3 +3239,166 @@ def analytics_seasonal_dow_index(
             f" (dow_days * {int(all_events)}L) AS BIGINT)"
         ).alias("index_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap distribution (scaled exact quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_percentiles_exact",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)
+               AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(floor(2 * quantile_cont(gap, 0.5) + 0.5) AS BIGINT)
+             AS med2_gap,
+           CAST(floor(20 * quantile_cont(gap, 0.95) + 0.5) AS BIGINT)
+             AS p95x20_gap,
+           CAST(max(gap) AS BIGINT) AS max_gap
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_gap_percentiles_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTER-ARRIVAL GAP distribution per event type — the traffic-
+    shape diagnostic behind timeout tuning and sessionization gap
+    choices (sessionize_events_gap's 30-minute constant should come
+    from THIS query's tail). Quantiles ship in the scaled-exact idiom:
+    2x the median (0.5 is exactly representable) and 20x the p95
+    (0.95·(n−1) lands on twentieths), each recovered with
+    floor(x + 0.5) on BOTH engines — the ulp-safe form the verify
+    skill documents (a bare CAST truncates x.99999 vs x.00001
+    non-deterministically across engines). Gap order is the total
+    (ts, event_id) order.
+
+    Scale: one shuffle on event_type shared by the lag window and the
+    aggregate; exact percentile sorts within each type partition —
+    the documented approx_percentile swap applies beyond memory."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").cast("bigint").alias("tsu"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (F.col("tsu") - F.lag("tsu").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap"),
+        F.floor(2 * F.expr("percentile(gap, 0.5)") + 0.5)
+        .cast("bigint")
+        .alias("med2_gap"),
+        F.floor(20 * F.expr("percentile(gap, 0.95)") + 0.5)
+        .cast("bigint")
+        .alias("p95x20_gap"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (current + longest run of consecutive active days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+               AS dayno
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, dayno,
+             dayno - row_number() OVER (PARTITION BY user_id
+                                        ORDER BY dayno) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(count(*) AS BIGINT) AS len,
+             CAST(max(dayno) AS BIGINT) AS last_day
+      FROM isl GROUP BY user_id, grp
+    ),
+    tot AS (SELECT CAST(max(dayno) AS BIGINT) AS corpus_last FROM days)
+    SELECT s.user_id,
+           CAST(max(s.len) AS BIGINT) AS longest_streak,
+           CAST(max(CASE WHEN s.last_day = t.corpus_last
+                         THEN s.len ELSE 0 END) AS BIGINT)
+             AS current_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks s, tot t
+    GROUP BY s.user_id
+    """,
+)
+def events_activity_streaks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACTIVITY STREAKS — longest and current runs of consecutive
+    active days per user, the engagement metric every product
+    dashboard shows (and the classic gaps-and-islands interview
+    question, shipped for real): island key = dayno − row_number()
+    (consecutive days share it), streak = island size, current streak
+    = the island ending on the corpus's last day (a collected control
+    scalar on the Spark side; its 1-row join in the oracle is the
+    sanctioned 1-row×N form). Day numbers are exact epoch-div of
+    day-truncated timestamps.
+
+    Scale: distinct (user, day) collapse first — the only
+    corpus-scaled shuffle; islands and streaks ride the same user
+    partitioning."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp(F.date_trunc("day", "ts")) / 86400
+            )
+            .cast("bigint")
+            .alias("dayno"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dayno")
+    isl = days.select(
+        "user_id",
+        "dayno",
+        (F.col("dayno") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.max("dayno").cast("bigint").alias("last_day"),
+    )
+    corpus_last = int(days.agg(F.max("dayno")).first()[0])
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.max(
+            F.when(F.col("last_day") == corpus_last, F.col("len")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("current_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

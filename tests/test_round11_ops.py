@@ -1086,3 +1086,104 @@ def test_dow_index_weighted_mean_is_one(spark, sf_dir):
     approx = sum(r["dow_days"] * r["index_micro"] for r in rows)
     slack = sum(r["dow_days"] for r in rows)
     assert 1_000_000 * all_days - slack <= approx <= 1_000_000 * all_days
+
+
+def test_gap_percentiles_replay(spark, sf_dir):
+    """Replay gaps and exact interpolated quantiles in Python."""
+    from collections import defaultdict
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    per_type = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_timestamp("ts").cast("bigint").alias("tsu"),
+        )
+        .collect()
+    ):
+        per_type[r["event_type"]].append((r["ts"], r["event_id"], r["tsu"]))
+
+    def quant(sorted_vals, q):
+        n = len(sorted_vals)
+        pos = q * (n - 1)
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < n:
+            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return float(sorted_vals[lo])
+
+    expect = {}
+    for et, rows in per_type.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        gaps = sorted(
+            b[2] - a[2] for a, b in zip(rows, rows[1:])
+        )
+        if not gaps:
+            continue
+        expect[et] = (
+            len(gaps),
+            min(gaps),
+            int(2 * quant(gaps, 0.5) + 0.5),
+            int(20 * quant(gaps, 0.95) + 0.5),
+            max(gaps),
+        )
+    got = {
+        r["event_type"]: (
+            r["n_gaps"],
+            r["min_gap"],
+            r["med2_gap"],
+            r["p95x20_gap"],
+            r["max_gap"],
+        )
+        for r in registry.QUERIES["events_gap_percentiles_exact"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_activity_streaks_replay(spark, sf_dir):
+    """Replay streaks per user from the distinct day sets."""
+    from collections import defaultdict
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    days = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+        .collect()
+    ):
+        days[r["user_id"]].add(r["d"])
+    corpus_last = max(max(s) for s in days.values())
+    expect = {}
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        runs = []
+        for d in ds:
+            if runs and d == runs[-1][-1] + 1:
+                runs[-1].append(d)
+            else:
+                runs.append([d])
+        longest = max(len(r) for r in runs)
+        current = len(runs[-1]) if runs[-1][-1] == corpus_last else 0
+        expect[uid] = (longest, current, len(runs))
+    got = {
+        r["user_id"]: (
+            r["longest_streak"],
+            r["current_streak"],
+            r["n_streaks"],
+        )
+        for r in registry.QUERIES["events_activity_streaks"](spark, sf_dir).collect()
+    }
+    assert got == expect
