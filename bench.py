@@ -111,11 +111,14 @@ def main() -> None:
     if load_mid and load_mid[0] >= 1.5:
         idle_wait_retry = _wait_for_idle(max_wait_sec=240.0)
     loadavg_warm = _loadavg()  # load when the first timed query runs
-    # Machine-readable discount flag (VERDICT r10 item 8): a run whose
-    # first timed query started at 1-min load >= 1.5 is ambient-inflated
-    # — consumers comparing round-over-round totals should prefer the
-    # nearest idle run instead of reading this one as a regression.
-    load_inflated = bool(loadavg_warm) and loadavg_warm[0] >= 1.5
+    # Machine-readable discount flag (VERDICT r10 item 8, threshold
+    # tightened per VERDICT r11: BENCH_r11 started at warm load 1.4 with
+    # the flag false — anything above ~1.0 at warm start is ambient work
+    # competing with the first timed queries). Consumers comparing
+    # round-over-round totals should prefer the nearest idle run instead
+    # of reading a flagged run as a regression. (The bench itself drives
+    # loadavg_end to ~3 — only the WARM-start value is diagnostic.)
+    load_inflated = bool(loadavg_warm) and loadavg_warm[0] > 1.0
 
     load_start = loadavg_warm
     timings: dict[str, float] = {}

@@ -36,6 +36,14 @@ _CACHE: dict[tuple[str, str], DataFrame] = {}
 # embeds the synth corpus's own versioned dir name, so regenerating or
 # re-versioning the corpus (kdc_synth.py) auto-invalidates these records
 # without anyone having to remember a second bump.
+#
+# WHOLE-SECOND INVARIANT: `ts` is parsed from the raw log's second-
+# precision string, so rows tied on tsu share an IDENTICAL ts. Queries
+# lean on this for tie-safety — kdc_account_lockout's
+# first_lockout = min(ts) is deterministic under same-second ties only
+# because tied rows have equal ts. If the parser ever gains sub-second
+# precision, bump this AND rework min(ts)-style aggregates to key on
+# tsu (or the whole-second floor) instead.
 RECORDS_VERSION = 1
 
 

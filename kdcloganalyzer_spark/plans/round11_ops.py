@@ -1391,8 +1391,12 @@ def analytics_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy()
         ).alias("n_pairs"),
     )
+    # Integer division (`div`), NOT `/`: Spark `/` is DOUBLE division,
+    # so for an even pair count the comparison would be rn == x.5 —
+    # never true — and the frame would silently come back empty while
+    # the oracle's `//` returns the lower-median row.
     return ranked.where(
-        F.col("rn") == (F.col("n_pairs") + 1) / 2
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
     ).select(
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.col("dy").cast("bigint").alias("dy_med"),

@@ -1242,9 +1242,11 @@ def stream_rate_limit_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_rate_limit_sim (plans/round11_ops.py): per-user
     ``applyInPandasWithState`` carrying (deficit, last_tsu, counts)
     across micro-batches, replaying S = max(0, S + cost − rate·Δt) in
-    exact integer micro-tokens. Rows are sorted by event time INSIDE
-    each batch (arrival order across the key shuffle is not
-    chronological — the applyInPandasWithState gotcha), and the file
+    exact integer micro-tokens. Rows are sorted by event time across
+    the WHOLE per-batch group delivery — all Arrow chunks concatenated
+    before one global sort (arrival order across the key shuffle is not
+    chronological, and a >maxRecordsPerBatch group spans chunks — the
+    applyInPandasWithState gotchas), and the file
     source delivers batches oldest-first, so the recurrence order is
     the event-time order and the final per-user summary equals the
     batch closed-form exactly (shared oracle).
@@ -1270,17 +1272,18 @@ def stream_rate_limit_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         deficit, last_tsu, n, n_thr, mx = (
             state.get if state.exists else (0, -1, 0, 0, 0)
         )
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for tsu in sorted(int(t) for t in pdf["tsu"]):
-                dt = 0 if last_tsu < 0 else tsu - last_tsu
-                deficit = max(0, deficit + cost - rate * dt)
-                last_tsu = tsu
-                n += 1
-                mx = max(mx, deficit)
-                if deficit > burst:
-                    n_thr += 1
+        # One global sort over the WHOLE group delivery: a key whose
+        # micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+        # multiple chunks, and per-chunk sorting would replay the
+        # recurrence out of event-time order.
+        for tsu in sorted(int(t) for pdf in pdfs for t in pdf["tsu"]):
+            dt = 0 if last_tsu < 0 else tsu - last_tsu
+            deficit = max(0, deficit + cost - rate * dt)
+            last_tsu = tsu
+            n += 1
+            mx = max(mx, deficit)
+            if deficit > burst:
+                n_thr += 1
         state.update((deficit, last_tsu, n, n_thr, mx))
         yield pd.DataFrame(
             {

@@ -371,6 +371,48 @@ def test_theil_sen_matches_replay(spark, sf_dir):
     assert (row["dy_med"], row["dx_med"]) == med
 
 
+def test_theil_sen_even_pair_count(spark, sf_dir, tmp_path):
+    """Regression (r11 ADVICE): with an EVEN pair count the lower-median
+    filter must still select a row — the old `(n_pairs + 1) / 2`
+    DOUBLE division compared rn == x.5 and silently emitted an empty
+    frame. 4 distinct days → C(4,2) = 6 pairs (even)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = [
+        r["day"]
+        for r in ev.select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .orderBy("day")
+        .limit(4)
+        .collect()
+    ]
+    assert len(days) == 4
+    # Single-FILE parquet, like the driver's testdata layout (the
+    # loader's nano-ts sniff reads the file footer directly).
+    mini = str(tmp_path / "mini_sf")
+    (tmp_path / "mini_sf").mkdir()
+    ev.where(F.date_trunc("day", "ts") <= F.lit(days[-1])).toPandas().to_parquet(
+        f"{mini}/events.parquet", index=False
+    )
+    rows = registry.QUERIES["analytics_theil_sen"](spark, mini).collect()
+    assert len(rows) == 1, "even pair count must still yield the lower median"
+    row = rows[0]
+    assert row["n_pairs"] == 6
+    daily = sorted(
+        load_table(spark, mini, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    ns = [r["n"] for r in daily]
+    pairs = [(ns[j] - ns[i], j - i) for j in range(len(ns)) for i in range(j)]
+    pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+    med = pairs[(len(pairs) + 1) // 2 - 1]
+    assert (row["dy_med"], row["dx_med"]) == med
+
+
 def test_rake_matches_replay(spark, sf_dir):
     """Full RAKE replay: islands, degree/freq word scores in floored
     micro-units, phrase-score integer sums, the >=2.0 gate."""

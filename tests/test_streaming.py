@@ -109,3 +109,69 @@ def test_watermark_drops_late_batch(spark, sf_dir):
     first_hour = min(r["win_start"] for r in rows)
     # No window may predate the recent half (old rows were dropped).
     assert first_hour >= split_ts.replace(minute=0, second=0, microsecond=0)
+
+
+def test_rate_limit_keeper_multichunk_groups(spark, sf_dir, tmp_path):
+    """Regression (r11 ADVICE): a group whose micro-batch delivery spans
+    MULTIPLE Arrow chunks must replay the token-bucket recurrence in
+    one global event-time order — per-chunk sorting diverges from the
+    batch closed form whenever arrival order isn't chronological.
+    Build a ts-DESCENDING events copy (so within-key arrival order is
+    reversed) and force tiny chunks (maxRecordsPerBatch=4) so every
+    multi-click user spans chunks, then demand exact equality with a
+    sequential Python replay on the globally sorted series."""
+    from kdcloganalyzer_spark.plans.round11_ops import (
+        _RL_BURST,
+        _RL_COST,
+        _RL_RATE,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    mini = str(tmp_path / "rl_sf")
+    (tmp_path / "rl_sf").mkdir()
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc())
+        .toPandas()
+    )
+    pdf.to_parquet(f"{mini}/events.parquet", index=False)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        got = {
+            r["user_id"]: (
+                r["n_events"], r["n_throttled"], r["max_deficit_micro"]
+            )
+            for r in SQ.stream_rate_limit_keeper(spark, mini).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, mini, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.unix_timestamp("ts").cast("bigint").alias("tsu"))
+        .collect()
+    ):
+        per_user[r["user_id"]].append(r["tsu"])
+    expect = {}
+    for uid, ts in per_user.items():
+        ts.sort()
+        s, prev_t, n_thr, mx = 0, None, 0, 0
+        for t in ts:
+            dt = 0 if prev_t is None else t - prev_t
+            s = max(0, s + _RL_COST - _RL_RATE * dt)
+            prev_t = t
+            mx = max(mx, s)
+            if s > _RL_BURST:
+                n_thr += 1
+        expect[uid] = (len(ts), n_thr, mx)
+    assert max(len(v) for v in per_user.values()) > 4, (
+        "fixture must have a user spanning >1 Arrow chunk"
+    )
+    assert got == expect
