@@ -987,27 +987,57 @@ def semdedup_dropped(assigned: DataFrame, threshold: float = 0.8) -> DataFrame:
     which is also exactly the bound that keeps each applyInPandas
     group an executor-sized batch; the shuffle is one exchange on the
     cell key.
+
+    EXACT-RATIONAL THRESHOLD TEST (r12 — what made dedup_semantic
+    hash-verifiable): the cosine comparison runs on 2^-20-QUANTIZED
+    unit vectors (q = round(unit · 2^20) computed IN THE SPARK PLAN,
+    so quantization is the engine-neutral round-half-away both engines
+    share — measured bit-identical vs DuckDB at sf0.01/0.1) as the
+    cross-multiplied integer inequality
+        d > 0  AND  den² · d² ≥ num² · N_i · N_k
+    with threshold = num/den (0.35 = 7/20), d = ⟨q_i, q_k⟩ and
+    N = ⟨q, q⟩ — every quantity an exact integer, so the drop set is
+    order-free and engine-independent (no BLAS-vs-fold summation-order
+    ulp at the threshold boundary; measured: identical drop sets to
+    the float form at every fixture SF). numpy does the int64 matvec
+    (exact — |d| ≤ 64·2^40), Python bigints the overflowing squares.
     """
-    t = float(threshold)
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num2 = fr.numerator * fr.numerator
+    den2 = fr.denominator * fr.denominator
 
     def dropped_per_cell(pdf):
         import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id")
-        u = np.vstack(pdf["unit"].to_numpy()).astype("float64")
+        q = np.vstack(pdf["q"].to_numpy()).astype("int64")
+        nq = [int(x) for x in (q * q).sum(axis=1)]
         ids = pdf["vec_id"].to_numpy()
         kept_rows: list[int] = []
         out = []
         for i in range(len(ids)):
-            if kept_rows and (u[kept_rows] @ u[i]).max() >= t:
+            ni = nq[i]
+            dots = q[kept_rows] @ q[i] if kept_rows else ()
+            if any(
+                int(d) > 0 and den2 * int(d) * int(d) >= num2 * ni * nq[k]
+                for d, k in zip(dots, kept_rows)
+            ):
                 out.append(ids[i])
             else:
                 kept_rows.append(i)
         return pd.DataFrame({"vec_id": pd.Series(out, dtype="int64")})
 
     return (
-        assigned.select("cell", "vec_id", "unit")
+        assigned.select(
+            "cell",
+            "vec_id",
+            F.expr(
+                "transform(unit, x -> CAST(round(x * 1048576) AS BIGINT))"
+            ).alias("q"),
+        )
         .groupBy("cell")
         .applyInPandas(dropped_per_cell, "vec_id long")
     )

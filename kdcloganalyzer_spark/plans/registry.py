@@ -53,5 +53,6 @@ def load_all() -> None:
         round9_ops,
         round10_ops,
         round11_ops,
+        round12_ops,
         streaming_queries,
     )
