@@ -452,7 +452,7 @@ def analytics_customer_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT l_partkey AS part,
                date_trunc('month', l_shipdate) AS m,
-               CAST(round(sum(l_quantity)) AS BIGINT) AS q
+               sum(CAST(round(l_quantity) AS BIGINT)) AS q
         FROM lineitem GROUP BY 1, 2
       ) GROUP BY part
     )
@@ -511,7 +511,7 @@ def analytics_abc_classification(
     qm = li.groupBy(
         F.col("l_partkey").alias("part"),
         F.date_trunc("month", "l_shipdate").alias("m"),
-    ).agg(F.round(F.sum("l_quantity")).cast("bigint").alias("q"))
+    ).agg(F.sum(F.round("l_quantity").cast("bigint")).alias("q"))
     xyz = qm.groupBy("part").agg(
         F.count("*").alias("n_m"),
         F.sum("q").alias("s"),
