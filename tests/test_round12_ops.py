@@ -131,3 +131,125 @@ def test_url_suite_component_consistency(spark, sf_dir):
         assert r["q_decoded"] == r["q_raw"].replace("%20", " ")
         assert r["path"].startswith("/path/")
         assert r["ref"].startswith("frag")
+
+
+def test_neyman_allocation_laws(spark, sf_dir):
+    """Allocations must sum exactly to the budget, selection fills the
+    allocation up to stratum size, and the milli-weight replays from
+    the stratum stats."""
+    import math
+
+    from kdcloganalyzer_spark.plans.round12_ops import _NEYMAN_K
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["sample_stratified_neyman"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r["n_alloc"] for r in rows) == _NEYMAN_K
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("qq"),
+        )
+        .collect()
+    )
+    by_src = {r["source"]: r for r in stats}
+    for r in rows:
+        st = by_src[r["source"]]
+        assert r["n_docs"] == st["n"]
+        var_num = st["n"] * st["qq"] - st["s"] * st["s"]
+        w = math.floor(abs(math.sqrt(float(var_num)) * 1000) + 0.5)
+        assert r["w_milli"] == w, (r["source"], r["w_milli"], w)
+        assert r["n_selected"] == min(r["n_alloc"], r["n_docs"])
+
+
+def test_coreset_kcenter_laws(spark, sf_dir):
+    """16 distinct centers; the selection distances are non-increasing
+    (each new center can only shrink every dmin); the final coverage
+    radius never exceeds the last selection distance."""
+    rows = sorted(
+        registry.QUERIES["sample_coreset_kcenter"](spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == list(range(16))
+    assert len({r["vec_id"] for r in rows}) == 16
+    sel = [r["d2_sel_r6"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(sel, sel[1:])), sel
+    assert all(r["cover_d2_r6"] == rows[0]["cover_d2_r6"] for r in rows)
+    assert rows[0]["cover_d2_r6"] <= sel[-1]
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """Replaying the exact integer iteration in pure Python must
+    reproduce the top-10 report, and the Rayleigh quotient must be
+    non-decreasing across rounds (the invariant every power-iteration
+    step guarantees — this synthetic corpus is near-isotropic, so a
+    convergence-to-PC1 floor would be unmeetable by ANY rank-1 method;
+    see the operator docstring)."""
+    import math
+
+    import numpy as np
+
+    from kdcloganalyzer_spark.plans.round12_ops import (
+        _PCA_ROUNDS,
+        _PCA_SCALE,
+        _duck_round_half_away,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    x = np.array(
+        [[float(v) for v in r["embedding"]] for r in emb], dtype="float64"
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    s = _PCA_SCALE
+    q = np.array(
+        [[_duck_round_half_away(v * s) for v in row] for row in x],
+        dtype="int64",
+    )
+    n = len(q)
+    mbar = np.array(
+        [_duck_round_half_away(float(int(c)) / n) for c in q.sum(axis=0)],
+        dtype="int64",
+    )
+    c = q - mbar
+    cf = c.astype("float64")
+    cov = cf.T @ cf
+
+    def rayleigh(vec):
+        u = np.array(vec, dtype="float64")
+        return float(u @ cov @ u) / float(u @ u)
+
+    v = [s] * 64
+    rq = [rayleigh(v)]
+    for _ in range(_PCA_ROUNDS):
+        dots = c @ np.array(v, dtype="int64")
+        w = np.array(
+            [int(math.floor(float(int(d)) / 268435456.0)) for d in dots],
+            dtype="int64",
+        )
+        sd = c.T @ w
+        t = [int(math.floor(float(int(x_)) / 1024.0)) for x_ in sd]
+        acc = 0.0
+        for td in t:
+            acc += float(td) * float(td)
+        nrm = math.sqrt(acc)
+        v = [_duck_round_half_away(float(td) / nrm * s) for td in t]
+        rq.append(rayleigh(v))
+    proj = c @ np.array(v, dtype="int64")
+    order = np.lexsort((ids, -np.abs(proj)))[:10]
+    expect = [(int(ids[i]), int(proj[i])) for i in order]
+    got = sorted(
+        registry.QUERIES["embed_pca_power_iteration"](spark, sf_dir)
+        .collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["vec_id"], r["proj_q"]) for r in got] == expect
+    # Rayleigh quotient non-decreasing (tiny slack for the integer
+    # re-quantization each round) and strictly improved overall.
+    for a, b in zip(rq, rq[1:]):
+        assert b >= a * (1 - 1e-9), rq
+    assert rq[-1] > rq[0]
