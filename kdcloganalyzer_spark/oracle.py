@@ -70,6 +70,7 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
         relational,
         round9_ops,
         round11_ops,
+        round12_ops,
         streaming_queries,
     )
     from kdcloganalyzer_spark.sources.kdc_synth import synth_path_for_sf
@@ -118,6 +119,7 @@ def oracle_sql_for(qid: str, sf_dir: str) -> str:
             round11_ops.DRIVER_ORDERS_RAW,
             f"{sf_dir}/orders.parquet",
         )
+        .replace(round12_ops.DRIVER_SF_DIR, sf_dir)
     )
 
 

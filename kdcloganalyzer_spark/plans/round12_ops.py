@@ -1061,3 +1061,507 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PCA_CACHE[key] = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer statistics surface (row-group metadata as a table)
+# ---------------------------------------------------------------------------
+
+#: The driver gate always compares at this sf; other sfs go through
+#: kdcloganalyzer_spark.oracle.oracle_sql_for's path rewrite.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+_FOOTER_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+)
+
+
+@query(
+    "scan_parquet_footer_stats",
+    oracle=f"""
+    SELECT CAST(row_group_id AS INT) AS row_group,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS n_values,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           CAST(round(stats_min_value::DOUBLE * 100) AS BIGINT) AS min_q,
+           CAST(round(stats_max_value::DOUBLE * 100) AS BIGINT) AS max_q
+    FROM parquet_metadata('{DRIVER_SF_DIR}/lineitem.parquet')
+    WHERE path_in_schema IN {_FOOTER_COLS}
+    """,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER STATISTICS AS A TABLE — the row-group metadata
+    surface (value counts, null counts, min/max per column chunk) that
+    drives zone-map pruning: what the engine consults when it skips a
+    row group, exposed as a queryable manifest (DuckDB calls it
+    parquet_metadata(); Delta/Iceberg persist the same stats in their
+    manifests — scan_manifest_pruned consumes that form). The Spark
+    side reads the SAME footers via pyarrow on the driver — footers are
+    KB-sized and row-group-counted, a bounded manifest by construction,
+    never row data — so the oracle cross-checks two INDEPENDENT footer
+    parsers against each other. Min/max land in a uniform exact-integer
+    unit (value·100) so double-vs-string formatting never enters the
+    hash.
+
+    Scale: footer reads are O(row groups), not O(rows) — this is
+    exactly the planning-time cost model; at 100 TB the same operator
+    runs over the file listing in parallel (mapInPandas over paths,
+    one footer read per file) and feeds min/max pruning decisions
+    without touching data pages."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    md = f.metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema not in _FOOTER_COLS:
+                continue
+            st = col.statistics
+            rows.append(
+                (
+                    rg,
+                    col.path_in_schema,
+                    int(col.num_values),
+                    int(st.null_count),
+                    _duck_round_half_away(float(st.min) * 100),
+                    _duck_round_half_away(float(st.max) * 100),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group int, column_name string, n_values long,"
+        " null_count long, min_q long, max_q long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price indices (Laspeyres / Paasche / Fisher, exact integer micro-units)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey AS part,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS v_cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pp AS (
+      SELECT part, yr, q,
+             CAST((v_cents * 1000) // q AS BIGINT) AS p_milli
+      FROM py
+    ),
+    base AS (
+      SELECT part, q AS q0, p_milli AS p0
+      FROM pp WHERE yr = (SELECT min(yr) FROM pp)
+    ),
+    j AS (
+      SELECT t.yr, t.part, t.p_milli AS pt, t.q AS qt, b.p0, b.q0
+      FROM pp t JOIN base b ON b.part = t.part
+      WHERE t.yr > (SELECT min(yr) FROM pp)
+    ),
+    ix AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST((CAST(sum(pt * q0) AS HUGEINT) * 1000000)
+                  // sum(p0 * q0) AS BIGINT) AS laspeyres_micro,
+             CAST((CAST(sum(pt * qt) AS HUGEINT) * 1000000)
+                  // sum(p0 * qt) AS BIGINT) AS paasche_micro
+      FROM j GROUP BY yr
+    )
+    SELECT yr, n_parts, laspeyres_micro, paasche_micro,
+           CAST(round(sqrt(CAST(laspeyres_micro * paasche_micro
+                                AS DOUBLE))) AS BIGINT) AS fisher_micro
+    FROM ix
+    """,
+)
+def analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX SUITE — Laspeyres (base-period basket), Paasche
+    (current-period basket) and Fisher (their geometric mean) against
+    the first shipping year: the standard inflation/price-drift monitor
+    for any priced catalog, and a curation analogue for token-cost
+    drift. Unit prices are exact integer MILLI-cents (one flooring div
+    of two exact sums per part-year, both engines positive//positive);
+    index numerators/denominators are exact integer basket products
+    (the scaled numerator widens through DECIMAL(38,0) ⇄ HUGEINT);
+    each index is ONE scaled div, and Fisher is the only float — a
+    sqrt of an exact (<2^53) integer product, correctly rounded in
+    both engines, re-rounded to an integer micro.
+
+    Scale: the corpus collapses once to (part, year) — map-side
+    combined on the lineitem scan; basket joins run per part on the
+    summary (co-partitioned equi-join, base side is one year's slice);
+    the index rollup is calendar-bounded. Nothing rescans raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from kdcloganalyzer_spark.plans.relational import _cents
+
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("v_cents"),
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    pp = py.select(
+        "part",
+        "yr",
+        "q",
+        F.expr("CAST((v_cents * 1000) div q AS BIGINT)").alias(
+            "p_milli"
+        ),
+    ).localCheckpoint(eager=False)
+    y0 = pp.agg(F.min("yr")).collect()[0][0]
+    base = pp.where(F.col("yr") == y0).select(
+        "part", F.col("q").alias("q0"), F.col("p_milli").alias("p0")
+    )
+    j = (
+        pp.where(F.col("yr") > y0)
+        .select("yr", "part", F.col("p_milli").alias("pt"), F.col("q").alias("qt"))
+        .join(base, "part")
+    )
+    # The x1e6 scaled numerator exceeds BIGINT (basket sums reach
+    # ~2e14 milli-cent-units) — widen through DECIMAL(38,0), the Spark
+    # twin of DuckDB's HUGEINT; `div` on decimals returns BIGINT in
+    # both engines (verified value-identical).
+    ix = j.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST((CAST(sum(pt * q0) AS DECIMAL(38,0)) * 1000000)"
+            " div sum(p0 * q0) AS BIGINT)"
+        ).alias("laspeyres_micro"),
+        F.expr(
+            "CAST((CAST(sum(pt * qt) AS DECIMAL(38,0)) * 1000000)"
+            " div sum(p0 * qt) AS BIGINT)"
+        ).alias("paasche_micro"),
+    )
+    return ix.select(
+        "yr",
+        "n_parts",
+        "laspeyres_micro",
+        "paasche_micro",
+        F.expr(
+            "CAST(round(sqrt(CAST(laspeyres_micro * paasche_micro"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("fisher_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (two-state recursive recurrence)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 1/4; floor((..)/4) with numerators < 2^53 is exact and
+# engine-neutral EVEN FOR NEGATIVES (the trend state b goes negative on
+# declines — a bare integer `div`/`//` would diverge: Spark truncates
+# toward zero, DuckDB floors).
+_HOLT_SEQ_SQL = """
+    SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+           day, n_events
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM {events} GROUP BY 1
+    )
+    """
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE seq AS ({_HOLT_SEQ_SQL.format(events="events")}),
+    hw(i, day, n_events, l, b) AS (
+      SELECT i, day, n_events, n_events * 1000000, CAST(0 AS BIGINT)
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT i, day, n_events, l_new,
+             CAST(floor((l_new - l_old + 3 * b_old) / 4) AS BIGINT)
+      FROM (
+        SELECT s.i, s.day, s.n_events,
+               CAST(floor((s.n_events * 1000000 + 3 * (e.l + e.b)) / 4)
+                    AS BIGINT) AS l_new,
+               e.l AS l_old, e.b AS b_old
+        FROM hw e JOIN seq s ON s.i = e.i + 1
+      )
+    )
+    SELECT day, n_events, CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(l + b AS BIGINT) AS forecast_next_micro
+    FROM hw
+    """
+
+_HOLT_STRIDE = 8
+
+
+def _holt_batched_sql(k: int) -> str:
+    """Spark-side k-batched two-state recursion: lateral column aliases
+    keep the interleaved (l, b) chain LINEAR in text (a nested-text
+    chain doubles per step — 2^k blowup), the same 8-days-per-level
+    batching as rollup_ewma_recursive otherwise."""
+    joins = ["JOIN v_seq_holt s1 ON s1.i = e.i + 1"] + [
+        f"LEFT JOIN v_seq_holt s{j} ON s{j}.i = e.i + {j}"
+        for j in range(2, k + 1)
+    ]
+    chain = []
+    lp, bp = "e.l", "e.b"
+    for j in range(1, k + 1):
+        chain.append(
+            f"CAST(floor((s{j}.n_events * 1000000 + 3 * ({lp} + {bp}))"
+            f" / 4) AS BIGINT) AS l{j}"
+        )
+        chain.append(
+            f"CAST(floor((l{j} - {lp} + 3 * {bp}) / 4) AS BIGINT)"
+            f" AS b{j}"
+        )
+        lp, bp = f"l{j}", f"b{j}"
+    iis = ", ".join(f"i{j}" for j in range(1, k + 1))
+    days = ", ".join(f"day{j}" for j in range(1, k + 1))
+    ns = ", ".join(f"n{j}" for j in range(1, k + 1))
+    ls = ", ".join(f"l{j}" for j in range(1, k + 1))
+    bs = ", ".join(f"b{j}" for j in range(1, k + 1))
+    il_tip = ", ".join(f"i{j}" for j in range(k, 0, -1))
+    l_tip = ", ".join(f"l{j}" for j in range(k, 0, -1))
+    b_tip = ", ".join(f"b{j}" for j in range(k, 0, -1))
+    inner = ", ".join(
+        [f"s{j}.i AS i{j}" for j in range(1, k + 1)]
+        + [f"s{j}.day AS day{j}" for j in range(1, k + 1)]
+        + [f"s{j}.n_events AS n{j}" for j in range(1, k + 1)]
+        + chain
+    )
+    return f"""
+    WITH RECURSIVE hw(i, l, b, days, ns, ls, bs) AS (
+      SELECT i, n_events * 1000000, CAST(0 AS BIGINT),
+             array(day), array(n_events),
+             array(n_events * 1000000), array(CAST(0 AS BIGINT))
+      FROM v_seq_holt WHERE i = 1
+      UNION ALL
+      SELECT coalesce({il_tip}), coalesce({l_tip}), coalesce({b_tip}),
+             array({days}), array({ns}), array({ls}), array({bs})
+      FROM (
+        SELECT {inner}
+        FROM hw e
+        {" ".join(joins)}
+      )
+    ),
+    flat AS (
+      SELECT posexplode(arrays_zip(days, ns, ls, bs)) AS (pos, z)
+      FROM hw
+    )
+    SELECT z.days AS day, z.ns AS n_events,
+           CAST(z.ls AS BIGINT) AS level_micro,
+           CAST(z.bs AS BIGINT) AS trend_micro,
+           CAST(z.ls + z.bs AS BIGINT) AS forecast_next_micro
+    FROM flat WHERE z.days IS NOT NULL
+    """
+
+
+@query("analytics_holt_linear", oracle=_HOLT_ORACLE)
+def analytics_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND smoothing (double exponential smoothing) of
+    daily event volume — the level+trend forecaster one step up from
+    rollup_ewma_recursive's flat EWMA: l_t = α·x_t + (1−α)(l+b),
+    b_t = β(l_t−l) + (1−β)b with α=β=1/4, emitting level, trend and
+    the one-step-ahead forecast l+b per day. EXACT integers: both
+    states are BIGINT micro-units; every update is floor((…)/4) — an
+    exact power-of-two float division under 2^53 then an exact floor,
+    which (unlike bare integer division) is engine-neutral even when
+    the TREND GOES NEGATIVE on declines (Spark div truncates toward
+    zero, DuckDB // floors — they disagree exactly there).
+
+    The DuckDB oracle recurses one day per level (textbook form, the
+    two-state update staged through a subquery); Spark executes the
+    SAME recurrence batched 8 days per level like the EWMA id — with
+    one new trick: LATERAL COLUMN ALIASES keep the interleaved (l, b)
+    chain linear in text, where nested-text substitution would double
+    per step (2^8 blowup at stride 8).
+
+    Scale: recursion depth = ceil(days/8), data-size independent; the
+    corpus-scaled work is the one partial-agg'd daily rollup."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "v_events_holt"
+    )
+    seq = spark.sql(
+        _HOLT_SEQ_SQL.format(events="v_events_holt")
+    ).localCheckpoint(eager=True)
+    seq.createOrReplaceTempView("v_seq_holt")
+    return spark.sql(_holt_batched_sql(_HOLT_STRIDE))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report (per-language tokens/word, chars/token)
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from kdcloganalyzer_spark.plans.round11_ops import (
+        _BPE_ROUNDS,
+        _BPE_TRAIN_CTES,
+    )
+
+    return (
+        "WITH "
+        + _BPE_TRAIN_CTES
+        + f""",
+    docw AS (
+      SELECT lang, unnest(list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               x -> x <> '')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((length(v.s) - length(replace(v.s, '><', ''))) / 2
+                      + 1) AS BIGINT) AS n_tokens,
+             CAST(sum(length(d.word)) AS BIGINT) AS n_chars
+      FROM docw d JOIN v{_BPE_ROUNDS} v ON v.word = d.word
+      GROUP BY d.lang
+    )
+    SELECT lang, n_words, n_tokens, n_chars,
+           CAST(n_tokens * 1000000 // n_words AS BIGINT)
+             AS fertility_micro,
+           CAST(n_chars * 1000000 // n_tokens AS BIGINT)
+             AS chars_per_token_micro
+    FROM cnt
+    """
+    )
+
+
+@query("pipeline_tokenizer_fertility", oracle=_fertility_oracle())
+def pipeline_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKENIZER FERTILITY REPORT — the per-language tokenizer-equity
+    metric every multilingual training effort publishes: fertility =
+    BPE tokens per word (higher = the tokenizer fragments that
+    language more, inflating its effective cost per document) and
+    chars-per-token compression, from the SAME learned merges as
+    text_bpe_train_merges / pipeline_bpe_tokenize (shared per-(session,
+    sf) _bpe_merges cache — one training serves all three ids). Counts
+    are exact integers via the delimited-form length arithmetic; the
+    two ratios are single scaled integer divs.
+
+    Scale: corpus-linear explode + 8 codegen replaces (the replace
+    chain IS the tokenizer — no vocabulary join on the Spark side),
+    one partial-agg'd lang rollup; |langs| output rows."""
+    from kdcloganalyzer_spark.plans.round11_ops import _bpe_merges
+
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z]+", " "
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    expr = "regexp_replace(word, '(.)', '<$1>')"
+    for _, pl, pr, _pc in merges:
+        expr = f"replace({expr}, '<{pl}><{pr}>', '<{pl}{pr}>')"
+    cnt = occ.select("lang", "word", F.expr(expr).alias("s")).groupBy(
+        "lang"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(sum((length(s) - length(replace(s, '><', ''))) / 2 + 1)"
+            " AS BIGINT)"
+        ).alias("n_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+    )
+    return cnt.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.expr("CAST(n_tokens * 1000000 div n_words AS BIGINT)").alias(
+            "fertility_micro"
+        ),
+        F.expr("CAST(n_chars * 1000000 div n_tokens AS BIGINT)").alias(
+            "chars_per_token_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drawdown curve (running-peak shortfall of daily revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT period, rev_cents,
+             max(rev_cents) OVER (ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_cents
+      FROM d
+    )
+    SELECT period, rev_cents, CAST(peak_cents AS BIGINT) AS peak_cents,
+           CAST(peak_cents - rev_cents AS BIGINT) AS drawdown_cents,
+           CAST((peak_cents - rev_cents) * 1000000 // peak_cents
+                AS BIGINT) AS drawdown_micro
+    FROM p
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAWDOWN CURVE — the running-peak shortfall (finance's max-
+    drawdown generalized to any KPI series): per month, revenue, the
+    best month SO FAR, and how far below that peak the current month
+    sits, absolute cents and scaled-integer relative micro. The
+    max-drawdown row is just the curve's argmax — emitting the whole
+    curve keeps the operator composable (alerting reads the last row,
+    reporting plots the series). All exact integers; the relative
+    drawdown is one positive//positive scaled div.
+
+    Scale: the corpus collapses to one row per month in a single
+    partial-agg'd shuffle; the running-max window runs on the
+    calendar-bounded summary (a ~80-row single partition — acceptable
+    because it IS the final report; per-series drawdowns would add
+    partitionBy and parallelize)."""
+    o = load_table(spark, sf_dir, "orders")
+    from kdcloganalyzer_spark.plans.relational import _cents
+
+    d = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("period")
+    ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_cents"))
+    w = Window.orderBy("period").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.select(
+        "period",
+        "rev_cents",
+        F.max("rev_cents").over(w).cast("bigint").alias("peak_cents"),
+    )
+    return p.select(
+        "period",
+        "rev_cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("rev_cents"))
+        .cast("bigint")
+        .alias("drawdown_cents"),
+        F.expr(
+            "CAST((peak_cents - rev_cents) * 1000000 div peak_cents"
+            " AS BIGINT)"
+        ).alias("drawdown_micro"),
+    )

@@ -253,3 +253,145 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     for a, b in zip(rq, rq[1:]):
         assert b >= a * (1 - 1e-9), rq
     assert rq[-1] > rq[0]
+
+
+def test_footer_stats_cross_foot(spark, sf_dir):
+    """Footer value counts must sum to the table's row count for every
+    column, min <= max, and the column set is the declared one."""
+    from kdcloganalyzer_spark.plans.round12_ops import _FOOTER_COLS
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["scan_parquet_footer_stats"](
+        spark, sf_dir
+    ).collect()
+    n = load_table(spark, sf_dir, "lineitem").count()
+    per_col: dict = {}
+    for r in rows:
+        per_col.setdefault(r["column_name"], 0)
+        per_col[r["column_name"]] += r["n_values"]
+        assert r["min_q"] <= r["max_q"]
+        assert r["null_count"] == 0
+    assert set(per_col) == set(_FOOTER_COLS)
+    assert all(v == n for v in per_col.values()), per_col
+
+
+def test_price_index_cross_foots(spark, sf_dir):
+    """Fisher must be the rounded geometric mean of the emitted integer
+    indices; baskets are bounded by the base year's parts; the base
+    year itself is excluded."""
+    import math
+
+    rows = registry.QUERIES["analytics_price_index"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y0 = li.agg(F.min(F.year("l_shipdate"))).collect()[0][0]
+    n0 = (
+        li.where(F.year("l_shipdate") == y0)
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["yr"] > y0
+        assert 0 < r["n_parts"] <= n0
+        f = math.floor(
+            abs(
+                math.sqrt(
+                    float(r["laspeyres_micro"] * r["paasche_micro"])
+                )
+            )
+            + 0.5
+        )
+        assert r["fisher_micro"] == f
+        assert min(r["laspeyres_micro"], r["paasche_micro"]) <= f <= max(
+            r["laspeyres_micro"], r["paasche_micro"]
+        )
+
+
+def test_holt_linear_matches_python_replay(spark, sf_dir):
+    """The batched Spark recursion must equal the sequential two-state
+    integer recurrence replayed in Python, and the forecast column must
+    be l + b exactly."""
+    import math
+
+    rows = (
+        registry.QUERIES["analytics_holt_linear"](spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows
+    l = b = None
+    for r in rows:
+        x = r["n_events"] * 1_000_000
+        if l is None:
+            l, b = x, 0
+        else:
+            ln = math.floor((x + 3 * (l + b)) / 4)
+            b = math.floor((ln - l + 3 * b) / 4)
+            l = ln
+        assert r["level_micro"] == l, (r["day"], r["level_micro"], l)
+        assert r["trend_micro"] == b
+        assert r["forecast_next_micro"] == l + b
+
+
+def test_tokenizer_fertility_consistent_with_per_doc(spark, sf_dir):
+    """Per-lang counts must equal the per-doc tokenize id's counts
+    rolled up by language, and each ratio must be the single scaled
+    div of its integers (fertility >= 1: a word is >= 1 token)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    fert = registry.QUERIES["pipeline_tokenizer_fertility"](
+        spark, sf_dir
+    ).collect()
+    per_doc = registry.QUERIES["pipeline_bpe_tokenize"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    agg = {
+        r["lang"]: r
+        for r in per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_bpe_tokens").alias("t"),
+            F.sum("n_chars_az").alias("c"),
+        )
+        .collect()
+    }
+    assert fert and len(fert) == len(agg)
+    for r in fert:
+        a = agg[r["lang"]]
+        assert (r["n_words"], r["n_tokens"], r["n_chars"]) == (
+            a["w"],
+            a["t"],
+            a["c"],
+        )
+        assert r["fertility_micro"] == r["n_tokens"] * 1_000_000 // r["n_words"]
+        assert r["fertility_micro"] >= 1_000_000
+        assert (
+            r["chars_per_token_micro"]
+            == r["n_chars"] * 1_000_000 // r["n_tokens"]
+        )
+
+
+def test_drawdown_laws(spark, sf_dir):
+    """Peak is the running max (non-decreasing), drawdown is zero at
+    every new peak and never negative, relative micro is the scaled
+    div of the emitted integers."""
+    rows = (
+        registry.QUERIES["window_drawdown"](spark, sf_dir)
+        .orderBy("period")
+        .collect()
+    )
+    assert rows
+    peak = -1
+    for r in rows:
+        peak = max(peak, r["rev_cents"])
+        assert r["peak_cents"] == peak
+        assert r["drawdown_cents"] == peak - r["rev_cents"] >= 0
+        assert (
+            r["drawdown_micro"]
+            == r["drawdown_cents"] * 1_000_000 // r["peak_cents"]
+        )
