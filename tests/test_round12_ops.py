@@ -395,3 +395,109 @@ def test_drawdown_laws(spark, sf_dir):
             r["drawdown_micro"]
             == r["drawdown_cents"] * 1_000_000 // r["peak_cents"]
         )
+
+
+def test_audio_energy_matches_struct_replay(spark, sf_dir):
+    """Energy/peak must equal a struct-unpack replay of the 16-bit LE
+    interpretation of the text bytes, and rms_milli must be the rounded
+    sqrt(energy/n)*1000."""
+    import math
+    import struct
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["multimodal_audio_energy"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    )
+    assert rows
+    for d in docs:
+        b = d["text"].encode("utf-8")
+        b = b[: len(b) // 2 * 2]
+        s = list(struct.unpack(f"<{len(b) // 2}h", b))
+        r = rows[d["doc_id"]]
+        assert r["n_samples"] == len(s)
+        assert r["energy_q"] == sum(x * x for x in s)
+        assert r["peak_q"] == (max(abs(x) for x in s) if s else 0)
+        rms = math.floor(
+            math.sqrt(r["energy_q"] / r["n_samples"]) * 1000 + 0.5
+        )
+        assert r["rms_milli"] == rms
+
+
+def test_bollinger_matches_rolling_replay(spark, sf_dir):
+    """The integer breach test must equal a Python rolling-window
+    replay, and a breach implies |x·n − S| exceeds 2·sqrt(n·Q − S²)."""
+    rows = (
+        registry.QUERIES["events_bollinger_bands"](spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows
+    xs = [r["n_events"] for r in rows]
+    for i, r in enumerate(rows):
+        win = xs[max(0, i - 6) : i + 1]
+        n, s, q = len(win), sum(win), sum(x * x for x in win)
+        assert r["win_n"] == n
+        assert r["mean_milli"] == s * 1000 // n
+        assert r["var_num"] == n * q - s * s
+        dev = xs[i] * n - s
+        assert r["breach_hi"] == (dev > 0 and dev * dev > 4 * (n * q - s * s))
+        assert r["breach_lo"] == (dev < 0 and dev * dev > 4 * (n * q - s * s))
+
+
+def test_hits_matches_python_replay(spark, sf_dir):
+    """The integer max-normalized HITS iteration replayed in Python
+    must produce the same top-5 hubs and authorities, and each side's
+    best score is exactly the 2^20 normalizer."""
+    from kdcloganalyzer_spark.plans.round12_ops import (
+        _HITS_ROUNDS,
+        _HITS_S,
+    )
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    edges = [(r["o_custkey"], r["l_suppkey"]) for r in ed]
+    h = {c: _HITS_S for c, _ in edges}
+    a: dict = {}
+    for _ in range(_HITS_ROUNDS):
+        a = {}
+        for c, sp in edges:
+            a[sp] = a.get(sp, 0) + h[c]
+        m = max(a.values())
+        a = {k: v * _HITS_S // m for k, v in a.items()}
+        h = dict.fromkeys(h, 0)
+        for c, sp in edges:
+            h[c] += a[sp]
+        m = max(h.values())
+        h = {k: v * _HITS_S // m for k, v in h.items()}
+    top = lambda d: sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = registry.QUERIES["graph_hits_bipartite"](spark, sf_dir).collect()
+    hubs = sorted(
+        [r for r in got if r["kind"] == "hub"], key=lambda r: r["rank"]
+    )
+    auths = sorted(
+        [r for r in got if r["kind"] == "authority"],
+        key=lambda r: r["rank"],
+    )
+    assert [(r["node_id"], r["score_q"]) for r in hubs] == top(h)
+    assert [(r["node_id"], r["score_q"]) for r in auths] == top(a)
+    assert hubs[0]["score_q"] == _HITS_S
+    assert auths[0]["score_q"] == _HITS_S
