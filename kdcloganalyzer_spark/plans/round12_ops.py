@@ -1885,3 +1885,198 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hubs.unionAll(auths).localCheckpoint(eager=True)
     _HITS_CACHE[key] = out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (log-log OLS in exact integer micro-nats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT unnest(list_filter(string_split(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                 x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    rk AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM wc
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_words,
+           CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+             AS slope_micro,
+           CAST(sx AS BIGINT) AS sum_lnr_micro,
+           CAST(sy AS BIGINT) AS sum_lnf_micro
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF RANK-FREQUENCY SLOPE — the log-log OLS fit of the corpus
+    word-frequency curve (natural language sits near −1; a synthetic or
+    templated corpus shows up immediately as a flatter slope — one of
+    the cheapest generated-text detectors, and the statistic that
+    justifies vocabulary truncation points alongside
+    text_vocab_coverage). Per the micro-nat idiom, each point's
+    (ln rank, ln freq) is rounded ONCE to integer micro-nats; the OLS
+    slope is then pure integer algebra (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    widened through DECIMAL(38,0) ⇄ HUGEINT (Σxy reaches ~10^19 at
+    sf0.1) and emitted as one scaled integer division. The numerator
+    is NEGATIVE on a Zipf curve — measured: DuckDB's integer `//`
+    TRUNCATES toward zero exactly like Spark's `div` (-7//2 = -3 in
+    both; `//` floors only on floats), so plain division is engine-
+    neutral even at negative values and no floor emulation is needed.
+
+    Scale: one word-count collapse (map-combined), a rank window over
+    the Heaps-bounded vocabulary summary, and a 1-row reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(
+                            F.lower(F.col("text")), "[^a-z]+", " "
+                        ),
+                        " ",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    rk = wc.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("word")))
+        .alias("r"),
+    )
+    pts = rk.select(
+        F.expr(
+            "CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("y"))
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x"))
+        ).alias("sxx"),
+    )
+    return s.selectExpr(
+        "n AS n_words",
+        "CAST(((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000)"
+        " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        " AS slope_micro",
+        "CAST(sx AS BIGINT) AS sum_lnr_micro",
+        "CAST(sy AS BIGINT) AS sum_lnf_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-repeat revenue split (acquisition-quality ledger)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_new_vs_repeat",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey AS cust,
+             min(CAST(date_trunc('month', o_orderdate) AS DATE))
+               AS first_m
+      FROM orders GROUP BY 1
+    ),
+    om AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT om.m AS month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN om.m = fo.first_m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN om.m = fo.first_m
+                         THEN om.rev_cents ELSE 0 END)
+                AS BIGINT) AS new_cents,
+           CAST(sum(CASE WHEN om.m <> fo.first_m
+                         THEN om.rev_cents ELSE 0 END)
+                AS BIGINT) AS repeat_cents,
+           CAST(sum(CASE WHEN om.m <> fo.first_m
+                         THEN om.rev_cents ELSE 0 END) * 1000000
+                // sum(om.rev_cents) AS BIGINT) AS repeat_share_micro
+    FROM om JOIN fo ON fo.cust = om.cust
+    GROUP BY om.m
+    """,
+)
+def analytics_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-VS-REPEAT REVENUE SPLIT — per month, how much revenue comes
+    from first-ever customers vs returning ones (the acquisition-
+    quality ledger that pairs with analytics_customer_nrr's retention
+    view: NRR tracks the installed base, this tracks the mix funding
+    growth). A customer is NEW in exactly the month of their first
+    order. Exact integer cents; the repeat share is one scaled
+    positive//positive div.
+
+    Scale: two partial-agg'd collapses of orders share the customer
+    key (first-month min and per-(customer, month) revenue), then one
+    co-partitioned equi-join on cust — no raw-order self-join; the
+    month rollup is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    from kdcloganalyzer_spark.plans.relational import _cents
+
+    fo = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(
+            F.date_trunc("month", "o_orderdate").cast("date")
+        ).alias("first_m")
+    )
+    om = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_cents"))
+    j = om.join(fo, "cust")
+    is_new = F.col("m") == F.col("first_m")
+    return j.groupBy(F.col("m").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.when(is_new, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(is_new, F.col("rev_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("new_cents"),
+        F.sum(F.when(~is_new, F.col("rev_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("repeat_cents"),
+        F.expr(
+            "CAST(sum(CASE WHEN m <> first_m THEN rev_cents ELSE 0 END)"
+            " * 1000000 div sum(rev_cents) AS BIGINT)"
+        ).alias("repeat_share_micro"),
+    )

@@ -501,3 +501,65 @@ def test_hits_matches_python_replay(spark, sf_dir):
     assert [(r["node_id"], r["score_q"]) for r in auths] == top(a)
     assert hubs[0]["score_q"] == _HITS_S
     assert auths[0]["score_q"] == _HITS_S
+
+
+def test_zipf_slope_matches_python_replay(spark, sf_dir):
+    """The OLS micro-slope must equal a full-precision Python replay of
+    the integer algebra, and a Zipf curve slopes downward."""
+    import math
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["text_zipf_slope"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from collections import Counter
+    import re
+
+    wc = Counter(
+        w
+        for d in docs
+        for w in re.sub(r"[^a-z]+", " ", d["text"].lower()).split()
+        if w
+    )
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (
+            round(math.log(i + 1) * 1_000_000),
+            round(math.log(f) * 1_000_000),
+        )
+        for i, (_, f) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
+    assert r["n_words"] == n
+    assert r["sum_lnr_micro"] == sx
+    assert r["sum_lnf_micro"] == sy
+    assert r["slope_micro"] == slope
+    assert r["slope_micro"] < 0
+
+
+def test_new_vs_repeat_cross_foots(spark, sf_dir):
+    """new + repeat cents partition the month's revenue; the first
+    month is 100% new; the share is the scaled div of the integers."""
+    rows = (
+        registry.QUERIES["analytics_new_vs_repeat"](spark, sf_dir)
+        .orderBy("month")
+        .collect()
+    )
+    assert rows
+    first = rows[0]
+    assert first["repeat_cents"] == 0
+    assert first["n_new"] == first["n_customers"]
+    for r in rows:
+        total = r["new_cents"] + r["repeat_cents"]
+        assert total > 0
+        assert 0 <= r["n_new"] <= r["n_customers"]
+        assert (
+            r["repeat_share_micro"]
+            == r["repeat_cents"] * 1_000_000 // total
+        )
