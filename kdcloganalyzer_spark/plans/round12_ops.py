@@ -2080,3 +2080,137 @@ def analytics_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div sum(rev_cents) AS BIGINT)"
         ).alias("repeat_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucket batching report (padding-waste accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_padding_waste",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(power(2, ceil(log2(greatest(n_chars, 1))))
+                  AS BIGINT) AS bucket_cap
+      FROM documents
+    )
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) * bucket_cap AS BIGINT) AS capacity,
+           CAST((count(*) * bucket_cap - sum(n_chars)) * 1000000
+                // (count(*) * bucket_cap) AS BIGINT) AS waste_micro,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKET BATCHING REPORT — the padding-waste accounting
+    behind sequence-length bucketing (batch documents with similar
+    lengths so fixed-shape batches waste less padding): docs bucket to
+    the next power-of-2 capacity, and each bucket reports occupancy,
+    capacity, and the scaled padding-waste share — the number that
+    justifies bucketed batching over one global max-length pad (compare
+    Σ waste here against (N·global_max − Σ chars)). ceil(log2(n)) is
+    exact in IEEE for integer inputs (powers of two are representable;
+    non-powers can't land on integers), the bucket capacity is an exact
+    power of two, and the waste share is one scaled positive division.
+
+    Scale: a pure codegen bucket key at the scan, one partial-agg'd
+    groupBy into ≤ log2(max_len) rows — the report is bounded by the
+    length domain, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "n_chars",
+        F.expr(
+            "CAST(power(2, ceil(log2(greatest(n_chars, 1))))"
+            " AS BIGINT)"
+        ).alias("bucket_cap"),
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.expr("CAST(count(*) * bucket_cap AS BIGINT)").alias("capacity"),
+        F.expr(
+            "CAST((count(*) * bucket_cap - sum(n_chars)) * 1000000"
+            " div (count(*) * bucket_cap) AS BIGINT)"
+        ).alias("waste_micro"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness classification (dispersion in exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burstiness_class",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_us) AS BIGINT) AS sg,
+             CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT)
+               AS qg
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_us,
+           n * qg - CAST(sg AS HUGEINT) * sg > CAST(sg AS HUGEINT) * sg
+             AS bursty,
+           CAST((n * qg - CAST(sg AS HUGEINT) * sg) * 1000000
+                // (CAST(sg AS HUGEINT) * sg) AS BIGINT)
+             AS cv2_micro
+    FROM s
+    """,
+)
+def events_burstiness_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL BURSTINESS — per user, is the event stream bursty
+    or Poisson-like? The classifier is the coefficient of variation of
+    inter-arrival gaps: CV > 1 (σ > μ) marks bursts-and-silences,
+    CV < 1 marks pacemaker regularity, exponential arrivals sit at 1.
+    Entirely exact integers: gaps in microseconds, the test cross-
+    multiplied to n·Σg² − (Σg)² > (Σg)² (no σ, no sqrt), and CV² in
+    scaled micro as ONE division of the exact HUGEINT ⇄ DECIMAL(38)
+    quantities (Σg² reaches ~10^21 at month-long gaps). The
+    bot/scraper screen that complements events_user_entropy's
+    diversity axis.
+
+    Scale: one user-keyed shuffle shared by the lag window and the
+    rollup; output is |users| rows. The HAVING ≥2 guard keeps the
+    division total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_us").cast("bigint").alias("sg"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us")
+        ).alias("qg"),
+    ).where(F.col("n") >= 2)
+    return s.selectExpr(
+        "user_id",
+        "n AS n_gaps",
+        "CAST(sg div n AS BIGINT) AS mean_gap_us",
+        "n * qg - CAST(sg AS DECIMAL(38,0)) * sg"
+        " > CAST(sg AS DECIMAL(38,0)) * sg AS bursty",
+        "CAST((n * qg - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000"
+        " div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT) AS cv2_micro",
+    )

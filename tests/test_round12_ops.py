@@ -563,3 +563,69 @@ def test_new_vs_repeat_cross_foots(spark, sf_dir):
             r["repeat_share_micro"]
             == r["repeat_cents"] * 1_000_000 // total
         )
+
+
+def test_padding_waste_cross_foots(spark, sf_dir):
+    """Buckets partition the corpus; capacities are powers of two >=
+    every member; waste is the scaled div of the emitted integers."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["pipeline_padding_waste"](
+        spark, sf_dir
+    ).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["sum_chars"] for r in rows) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    for r in rows:
+        cap = r["bucket_cap"]
+        assert cap & (cap - 1) == 0 and cap > 0  # power of two
+        assert r["max_chars"] <= cap
+        assert cap // 2 < r["max_chars"] or cap == 1
+        assert r["capacity"] == r["n_docs"] * cap
+        assert (
+            r["waste_micro"]
+            == (r["capacity"] - r["sum_chars"]) * 1_000_000 // r["capacity"]
+        )
+
+
+def test_burstiness_matches_python_replay(spark, sf_dir):
+    """Replay gaps per user in Python; the cross-multiplied bursty flag
+    and the scaled CV^2 must match exactly."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["user_id"]: r
+        for r in registry.QUERIES["events_burstiness_class"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("user_id", "ts", "event_id")
+        .select(
+            "user_id", F.unix_micros("ts").alias("us")
+        )
+        .collect()
+    )
+    gaps: dict = {}
+    prev: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        if u in prev:
+            gaps.setdefault(u, []).append(r["us"] - prev[u])
+        prev[u] = r["us"]
+    checked = 0
+    for u, g in gaps.items():
+        if len(g) < 2:
+            assert u not in rows
+            continue
+        n, sg, qg = len(g), sum(g), sum(x * x for x in g)
+        r = rows[u]
+        assert r["n_gaps"] == n
+        assert r["mean_gap_us"] == sg // n
+        assert r["bursty"] == (n * qg - sg * sg > sg * sg)
+        assert r["cv2_micro"] == (n * qg - sg * sg) * 1_000_000 // (sg * sg)
+        checked += 1
+    assert checked == len(rows)
