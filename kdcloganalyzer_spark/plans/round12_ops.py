@@ -2214,3 +2214,135 @@ def events_burstiness_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((n * qg - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000"
         " div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT) AS cv2_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period = first half of the event window
+
+
+@query(
+    "events_cuped_adjusted",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('exp1#' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST((n * sxy - CAST(sx AS HUGEINT) * sy)
+                            * 1000000
+                            // (n * sxx - CAST(sx AS HUGEINT) * sx)
+                            AS BIGINT) END AS theta_micro
+      FROM g
+    )
+    SELECT u.variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.x) AS BIGINT) AS pre_cents,
+           CAST(sum(u.y) AS BIGINT) AS post_cents,
+           t.theta_micro,
+           CAST(sum(u.y) * 1000000 // count(*) AS BIGINT)
+             AS mean_post_micro,
+           CAST(sum(u.y) * 1000000 // count(*)
+                - t.theta_micro
+                  * (sum(u.x) * 1000000 // count(*)
+                     - t.sx * 1000000 // t.n) // 1000000
+                AS BIGINT) AS adj_mean_micro
+    FROM u CROSS JOIN th t
+    GROUP BY u.variant, t.theta_micro, t.sx, t.n
+    """,
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE-REDUCED A/B READOUT (Deng et al., WSDM 2013) —
+    the experimentation-platform standard: adjust each arm's
+    post-period metric by the pooled pre-period covariate,
+    ŷ = ȳ_arm − θ·(x̄_arm − x̄), θ = cov(x,y)/var(x), which strips
+    pre-existing user-spend differences out of the treatment contrast.
+    Everything is exact integers: per-user pre/post purchase cents
+    (deterministic hashed arms — the events_ab_test_report idiom), θ
+    as ONE scaled division of exact DECIMAL(38) ⇄ HUGEINT covariance
+    algebra (trunc-div engine-neutral at any sign — r12 measured), and
+    the adjusted mean as a fixed sequence of scaled integer ops both
+    engines replay verbatim. The split date is a constant of the
+    experiment window, not data-derived.
+
+    Scale: ONE user-keyed partial-agg'd shuffle produces (x, y) per
+    user; θ is a 1-row reduction over that summary (broadcast back by
+    the tiny cross join); the arm rollup is 2 rows. No raw-event
+    self-joins, no assignment table."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.expr(
+            "CAST(conv(substring(md5(concat('exp1#',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    is_p = F.col("event_type") == "purchase"
+    pre = is_p & (F.col("ts") < F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp"))
+    post = is_p & (F.col("ts") >= F.lit(f"{_CUPED_SPLIT} 00:00:00").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(post, cents).otherwise(0)).cast("bigint").alias("y"),
+    )
+    g = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    th = g.selectExpr(
+        "n",
+        "sx",
+        """CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                          * 1000000
+                          div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                          AS BIGINT) END AS theta_micro""",
+    )
+    # 1-row global stats: collect as sanctioned control scalars (a lazy
+    # 1-row cross join would plan as BNLJ).
+    trow = th.collect()[0]
+    n_g, sx_g, theta = int(trow["n"]), int(trow["sx"]), int(trow["theta_micro"])
+    return u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("pre_cents"),
+        F.sum("y").cast("bigint").alias("post_cents"),
+        F.lit(theta).cast("bigint").alias("theta_micro"),
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias(
+            "mean_post_micro"
+        ),
+        F.expr(
+            f"CAST(sum(y) * 1000000 div count(*)"
+            f" - {theta}L * (sum(x) * 1000000 div count(*)"
+            f" - {sx_g}L * 1000000 div {n_g}L) div 1000000 AS BIGINT)"
+        ).alias("adj_mean_micro"),
+    )

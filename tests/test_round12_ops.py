@@ -629,3 +629,72 @@ def test_burstiness_matches_python_replay(spark, sf_dir):
         assert r["cv2_micro"] == (n * qg - sg * sg) * 1_000_000 // (sg * sg)
         checked += 1
     assert checked == len(rows)
+
+
+def test_cuped_matches_python_replay(spark, sf_dir):
+    """θ and the adjusted means must equal a pure-Python replay of the
+    declared integer op sequence over per-user (pre, post) cents."""
+    import hashlib
+
+    from kdcloganalyzer_spark.plans.round12_ops import _CUPED_SPLIT
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    split = _CUPED_SPLIT
+    users: dict = {}
+    for r in ev:
+        u = users.setdefault(r["user_id"], [0, 0])
+        if r["event_type"] != "purchase":
+            continue
+        cents = int(round(r["value"] * 100))
+        if str(r["ts"]) < f"{split} 00:00:00":
+            u[0] += cents
+        else:
+            u[1] += cents
+
+    def arm(uid):
+        h = int(hashlib.md5(f"exp1#{uid}".encode()).hexdigest()[:15], 16)
+        return "control" if h % 2 == 0 else "treatment"
+
+    n = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    sxx = sum(x * x for x, _ in users.values())
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    theta = (
+        0
+        if den == 0
+        else abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
+    )
+    rows = {
+        r["variant"]: r
+        for r in registry.QUERIES["events_cuped_adjusted"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"control", "treatment"}
+    for v, r in rows.items():
+        grp = [(x, y) for (u, (x, y)) in users.items() if arm(u) == v]
+        na = len(grp)
+        sxa, sya = sum(x for x, _ in grp), sum(y for _, y in grp)
+        assert r["n_users"] == na
+        assert (r["pre_cents"], r["post_cents"]) == (sxa, sya)
+        assert r["theta_micro"] == theta
+        mean_post = sya * 1_000_000 // na
+        assert r["mean_post_micro"] == mean_post
+        inner = sxa * 1_000_000 // na - sx * 1_000_000 // n
+        adj = mean_post - _trunc_div(theta * inner, 1_000_000)
+        assert r["adj_mean_micro"] == adj, (v, r["adj_mean_micro"], adj)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark `div` / DuckDB `//`-on-integers semantics: truncate toward
+    zero (Python's // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
