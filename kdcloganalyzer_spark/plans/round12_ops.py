@@ -2346,3 +2346,129 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - {sx_g}L * 1000000 div {n_g}L) div 1000000 AS BIGINT)"
         ).alias("adj_mean_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA on day-of-week (exact integer sum-of-squares decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_anova_dow",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_part('dow', CAST(date_trunc('day', ts) AS DATE))
+                  + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(x) AS BIGINT) AS sw
+      FROM d GROUP BY dow
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q,
+             CAST(count(DISTINCT dow) AS BIGINT) AS k
+      FROM d
+    ),
+    f AS (
+      SELECT list_reduce(list(nw ORDER BY dow), (a, b) -> a * b) AS p,
+             list(nw ORDER BY dow) AS nws,
+             list(sw ORDER BY dow) AS sws
+      FROM g
+    ),
+    alg AS (
+      SELECT t.n, t.s, t.q, t.k, f.p,
+             list_sum(list_transform(list_zip(f.sws, f.nws),
+               z -> CAST(z[1] AS HUGEINT) * z[1] * (f.p // z[2])))
+               AS a
+      FROM t CROSS JOIN f
+    )
+    SELECT n AS n_days, k AS n_groups,
+           CAST(n * a - CAST(s AS HUGEINT) * s * p AS BIGINT)
+             AS ss_between_np,
+           CAST((n * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * s) * p
+                AS BIGINT) AS ss_total_np,
+           CAST((n * a - CAST(s AS HUGEINT) * s * p) * 1000000
+                // ((n * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * s)
+                    * p) AS BIGINT) AS eta2_micro,
+           CAST((n * a - CAST(s AS HUGEINT) * s * p) * (n - k) * 1000
+                // (((n * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * s)
+                     * p - (n * a - CAST(s AS HUGEINT) * s * p))
+                    * (k - 1)) AS BIGINT) AS f_milli
+    FROM alg
+    """,
+)
+def analytics_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA on day-of-week — is weekday a real factor in daily
+    volume? The classical decomposition SS_total = SS_between + SS_within
+    carried out in EXACT integers: multiplying through by n·P (P = Π
+    group sizes, ≤ 5^7 here) clears every fractional group mean, so
+    SS_between·n·P = n·Σ_w S_w²·(P/n_w) − S²·P and SS_total·n·P =
+    (n·Σx² − S²)·P are exact BIGINTs (HUGEINT ⇄ DECIMAL(38) for the
+    products); η² (effect size) and the F statistic are then single
+    scaled divisions of these integers — no float enters anywhere. The
+    group arrays fold in dow-sorted order on both engines (integer
+    product/sums are order-free anyway; the sort pins it).
+
+    Scale: daily rollup is the only corpus-scaled pass; the group and
+    total summaries are ≤7 and 1 rows; folds run over 7-element
+    arrays. The same construction generalizes to any low-cardinality
+    factor (source, lang, shard)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    d = d.select(
+        "day", F.dayofweek("day").cast("bigint").alias("dow"), "x"
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("nw"),
+        F.sum("x").cast("bigint").alias("sw"),
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+        F.count_distinct("dow").cast("bigint").alias("k"),
+    )
+    f = g.agg(
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(struct(dow, nw))),"
+            " z -> z.nw), 1L, (a, b) -> a * b)"
+        ).alias("p"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(dow, nw, sw))),"
+            " z -> struct(z.nw AS nw, z.sw AS sw))"
+        ).alias("grps"),
+    )
+    alg = t.crossJoin(F.broadcast(f)).selectExpr(
+        "n",
+        "s",
+        "q",
+        "k",
+        "p",
+        "aggregate(grps, CAST(0 AS DECIMAL(38,0)),"
+        " (a, z) -> a + CAST(z.sw AS DECIMAL(38,0)) * z.sw"
+        " * CAST(p div z.nw AS DECIMAL(38,0))) AS a",
+    )
+    return alg.selectExpr(
+        "n AS n_days",
+        "k AS n_groups",
+        "CAST(n * a - CAST(s AS DECIMAL(38,0)) * s * p AS BIGINT)"
+        " AS ss_between_np",
+        "CAST((n * CAST(q AS DECIMAL(38,0))"
+        " - CAST(s AS DECIMAL(38,0)) * s) * p AS BIGINT) AS ss_total_np",
+        "CAST((n * a - CAST(s AS DECIMAL(38,0)) * s * p) * 1000000"
+        " div ((n * CAST(q AS DECIMAL(38,0))"
+        " - CAST(s AS DECIMAL(38,0)) * s) * p) AS BIGINT) AS eta2_micro",
+        "CAST((n * a - CAST(s AS DECIMAL(38,0)) * s * p) * (n - k) * 1000"
+        " div (((n * CAST(q AS DECIMAL(38,0))"
+        " - CAST(s AS DECIMAL(38,0)) * s) * p"
+        " - (n * a - CAST(s AS DECIMAL(38,0)) * s * p)) * (k - 1))"
+        " AS BIGINT) AS f_milli",
+    )

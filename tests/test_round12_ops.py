@@ -698,3 +698,38 @@ def _trunc_div(a: int, b: int) -> int:
     zero (Python's // floors)."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_anova_dow_matches_python_replay(spark, sf_dir):
+    """The scaled sum-of-squares decomposition must match a Python
+    replay, partition (between <= total), and bound eta^2 in [0, 1e6]."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["analytics_anova_dow"](spark, sf_dir).collect()[0]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .select(F.dayofweek("day").alias("dow"), "x")
+        .collect()
+    )
+    groups: dict = {}
+    for row in d:
+        groups.setdefault(row["dow"], []).append(row["x"])
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    k = len(groups)
+    p = 1
+    for v in groups.values():
+        p *= len(v)
+    a = sum(sum(v) ** 2 * (p // len(v)) for v in groups.values())
+    ssb = n * a - s * s * p
+    sst = (n * q - s * s) * p
+    assert r["n_days"] == n and r["n_groups"] == k
+    assert r["ss_between_np"] == ssb
+    assert r["ss_total_np"] == sst
+    assert 0 <= ssb <= sst
+    assert r["eta2_micro"] == ssb * 1_000_000 // sst
+    assert 0 <= r["eta2_micro"] <= 1_000_000
+    assert r["f_milli"] == ssb * (n - k) * 1000 // ((sst - ssb) * (k - 1))
