@@ -2472,3 +2472,112 @@ def analytics_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - (n * a - CAST(s AS DECIMAL(38,0)) * s * p)) * (k - 1))"
         " AS BIGINT) AS f_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship merge (golden-record consolidation of exact-dup groups)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_survivorship_merge",
+    oracle="""
+    WITH g AS (
+      SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               AS grp,
+             doc_id, lang, source, n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT grp,
+             CAST(min(doc_id) AS BIGINT) AS survivor_id,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(max(n_chars) AS BIGINT) AS n_chars,
+             array_to_string(list(DISTINCT lang ORDER BY lang), ',')
+               AS langs,
+             array_to_string(list(DISTINCT source ORDER BY source), ',')
+               AS sources
+      FROM g GROUP BY grp
+    ),
+    cl AS (
+      SELECT grp, lang AS canonical_lang FROM (
+        SELECT grp, lang, count(*) AS c,
+               row_number() OVER (PARTITION BY grp
+                 ORDER BY count(*) DESC, lang) AS rn
+        FROM g GROUP BY grp, lang
+      ) WHERE rn = 1
+    )
+    SELECT m.survivor_id, m.n_copies, m.n_chars, m.langs, m.sources,
+           cl.canonical_lang
+    FROM m JOIN cl ON cl.grp = m.grp
+    WHERE m.n_copies > 1
+    """,
+)
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP MERGE (golden-record consolidation) — the step
+    AFTER dedup detection that MDM pipelines run: for every duplicate
+    group (here keyed by the md5 of the first-8-words fingerprint —
+    the crude cluster key standing in for whatever the upstream dedup
+    tier emitted; byte-exact md5(text) finds zero groups in the small
+    fixtures), emit ONE merged record under
+    deterministic field-level survivorship rules — lowest id survives,
+    metadata unions canonicalize (sorted distinct joins — the
+    array-order gotcha), the canonical language is the group MODE with
+    a total tie-break (the agg_mode_exact lesson: native mode() is
+    tie-nondeterministic). Only multi-copy groups emit, so the output
+    IS the merge worklist.
+
+    Scale: one partial-agg'd groupBy on the content hash (the
+    dedup_exact shuffle) + one mode sub-aggregate sharing the same
+    grp partitioning; no pairs, no text shuffled beyond the 32-char
+    digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("grp"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    m = g.groupBy("grp").agg(
+        F.min("doc_id").cast("bigint").alias("survivor_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.max("n_chars").cast("bigint").alias("n_chars"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+            "langs"
+        ),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+    )
+    cl = (
+        g.groupBy("grp", "lang")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "grp",
+            "lang",
+            F.row_number()
+            .over(
+                Window.partitionBy("grp").orderBy(
+                    F.desc("c"), F.asc("lang")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("grp", F.col("lang").alias("canonical_lang"))
+    )
+    return (
+        m.where(F.col("n_copies") > 1)
+        .join(cl, "grp")
+        .select(
+            "survivor_id",
+            "n_copies",
+            "n_chars",
+            "langs",
+            "sources",
+            "canonical_lang",
+        )
+    )

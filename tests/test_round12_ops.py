@@ -733,3 +733,40 @@ def test_anova_dow_matches_python_replay(spark, sf_dir):
     assert r["eta2_micro"] == ssb * 1_000_000 // sst
     assert 0 <= r["eta2_micro"] <= 1_000_000
     assert r["f_milli"] == ssb * (n - k) * 1000 // ((sst - ssb) * (k - 1))
+
+
+def test_survivorship_merge_laws(spark, sf_dir):
+    """Survivor is the group's min doc_id; langs/sources are sorted
+    unions; canonical_lang is the tie-broken group mode; only
+    multi-copy groups emit."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["dedup_survivorship_merge"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("fp"),
+    ).collect()
+    groups: dict = {}
+    for d in docs:
+        groups.setdefault(d["fp"], []).append(d)
+    multi = {
+        min(g, key=lambda d: d["doc_id"])["doc_id"]: g
+        for g in groups.values()
+        if len(g) > 1
+    }
+    assert {r["survivor_id"] for r in rows} == set(multi)
+    from collections import Counter
+
+    for r in rows:
+        g = multi[r["survivor_id"]]
+        assert r["n_copies"] == len(g)
+        assert r["langs"] == ",".join(sorted({d["lang"] for d in g}))
+        assert r["sources"] == ",".join(sorted({d["source"] for d in g}))
+        cnt = Counter(d["lang"] for d in g)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r["canonical_lang"] == best
