@@ -2436,25 +2436,21 @@ def analytics_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
         F.count_distinct("dow").cast("bigint").alias("k"),
     )
-    f = g.agg(
-        F.expr(
-            "aggregate(transform(sort_array(collect_list(struct(dow, nw))),"
-            " z -> z.nw), 1L, (a, b) -> a * b)"
-        ).alias("p"),
-        F.expr(
-            "transform(sort_array(collect_list(struct(dow, nw, sw))),"
-            " z -> struct(z.nw AS nw, z.sw AS sw))"
-        ).alias("grps"),
-    )
-    alg = t.crossJoin(F.broadcast(f)).selectExpr(
+    # p and a are bounded control scalars (≤7 group rows collected) —
+    # a lazy 1-row × 1-row cross join would plan as BNLJ (sweep-
+    # rejected); the collect() is the sanctioned pattern.
+    grows = g.collect()
+    p = 1
+    for r in grows:
+        p *= int(r["nw"])
+    a = sum(int(r["sw"]) ** 2 * (p // int(r["nw"])) for r in grows)
+    alg = t.selectExpr(
         "n",
         "s",
         "q",
         "k",
-        "p",
-        "aggregate(grps, CAST(0 AS DECIMAL(38,0)),"
-        " (a, z) -> a + CAST(z.sw AS DECIMAL(38,0)) * z.sw"
-        " * CAST(p div z.nw AS DECIMAL(38,0))) AS a",
+        f"CAST({p} AS BIGINT) AS p",
+        f"CAST('{a}' AS DECIMAL(38,0)) AS a",
     )
     return alg.selectExpr(
         "n AS n_days",
@@ -2580,4 +2576,242 @@ def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sources",
             "canonical_lang",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-7 autocorrelation of daily volume (exact integer ACF point)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_autocorr_lag7",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM d
+    ),
+    p AS (
+      SELECT d.x AS x0,
+             lead(d.x, 7) OVER (ORDER BY d.day) AS x7
+      FROM d
+    ),
+    alg AS (
+      SELECT t.n, t.s,
+             CAST(sum((CAST(p.x0 AS HUGEINT) * t.n - t.s)
+                      * (CAST(p.x7 AS HUGEINT) * t.n - t.s))
+                  AS HUGEINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p CROSS JOIN t WHERE p.x7 IS NOT NULL
+      GROUP BY t.n, t.s
+    ),
+    den AS (
+      SELECT CAST(sum((CAST(d.x AS HUGEINT) * t.n - t.s)
+                      * (CAST(d.x AS HUGEINT) * t.n - t.s))
+                  AS HUGEINT) AS den
+      FROM d CROSS JOIN t
+    )
+    SELECT alg.n AS n_days, alg.n_pairs,
+           CAST(alg.num * 1000000 // den.den AS BIGINT) AS acf7_micro
+    FROM alg CROSS JOIN den
+    """,
+)
+def events_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-7 AUTOCORRELATION of daily event volume — THE weekly-
+    periodicity statistic (the ACF point every seasonal model checks
+    before committing to a 7-day cycle; pairs with analytics_anova_dow,
+    which tests the same structure as a factor). Exact integers by the
+    n-scaling trick: centering x − S/n becomes x·n − S after scaling
+    by n, so the lag products Σ(x_t·n − S)(x_{t+7}·n − S) and the
+    variance Σ(x·n − S)² are exact HUGEINT ⇄ DECIMAL(38) sums and the
+    ACF is ONE scaled division (sign-safe: trunc-div is engine-neutral
+    on integers, measured r12).
+
+    Scale: the corpus collapses to the daily summary once; the lead
+    window, both reductions, and the division run on the calendar-
+    bounded frame. The n/S scalars ride a broadcast 1-row cross join
+    on the SUMMARY (≤ days rows — the sanctioned 1-row×small-N
+    analytics join, not a data-path BNLJ)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    trow = t.collect()[0]
+    n, s = int(trow["n"]), int(trow["s"])
+    p = d.select(
+        F.col("x").alias("x0"),
+        F.lead("x", 7).over(Window.orderBy("day")).alias("x7"),
+    )
+    alg = p.where(F.col("x7").isNotNull()).agg(
+        F.sum(
+            (F.col("x0").cast("decimal(38,0)") * n - s)
+            * (F.col("x7").cast("decimal(38,0)") * n - s)
+        ).alias("num"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    den = d.agg(
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * n - s)
+            * (F.col("x").cast("decimal(38,0)") * n - s)
+        ).alias("den")
+    )
+    drow = den.collect()[0]
+    return alg.selectExpr(
+        f"CAST({n} AS BIGINT) AS n_days",
+        "n_pairs",
+        f"CAST(num * 1000000 div CAST('{int(drow['den'])}' AS"
+        " DECIMAL(38,0)) AS BIGINT) AS acf7_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload byte-value histogram (corpus byte distribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT unnest(generate_series(1, octet_length(encode(text))))
+               AS i,
+             hex(encode(text)) AS h
+      FROM documents
+    )
+    SELECT CAST(('0x' || substr(h, i*2-1, 2))::BIGINT AS INT)
+             AS byte_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD BYTE-VALUE HISTOGRAM — the corpus-level byte distribution
+    (≤256 rows): the cheapest corruption / encoding / format-drift
+    detector for binary columns (truncated UTF-8, unexpected control
+    bytes, and header-vs-payload mix shifts all show up here before any
+    decoder runs). The Spark side is the multimodal execution shape —
+    numpy bincount per Arrow batch inside mapInPandas, emitting ≤256
+    partial rows per batch that one tiny groupBy folds (map-side
+    combine in Python, merge in the engine — the mergeable-summary
+    pattern at the byte level); the oracle re-counts every byte via
+    hex-pair arithmetic, so an independent path checks the decode.
+
+    Scale: one pass, payload bytes never shuffle — only ≤256-row
+    partials do; the report is domain-bounded regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def bincounts(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            total = np.zeros(256, dtype="int64")
+            for text in pdf["text"]:
+                b = np.frombuffer(text.encode("utf-8"), dtype="uint8")
+                total += np.bincount(b, minlength=256)
+            nz = np.nonzero(total)[0]
+            yield pd.DataFrame(
+                {"byte_value": nz.astype("int32"), "n": total[nz]}
+            )
+
+    partial = docs.mapInPandas(bincounts, "byte_value int, n long")
+    return partial.groupBy("byte_value").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (lang × source contingency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    cell AS (
+      SELECT o.lang, o.source,
+             CAST((CAST(o.obs AS HUGEINT) * t.n - CAST(r.rt AS HUGEINT)
+                   * c.ct)
+                  * (CAST(o.obs AS HUGEINT) * t.n
+                     - CAST(r.rt AS HUGEINT) * c.ct) * 1000000
+                  // (CAST(t.n AS HUGEINT) * r.rt * c.ct) AS BIGINT)
+               AS term_micro
+      FROM o
+      JOIN r ON r.lang = o.lang
+      JOIN c ON c.source = o.source
+      CROSS JOIN t
+    )
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols,
+           CAST((SELECT count(*) FROM cell) AS BIGINT) AS n_cells,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+           CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+    FROM cell
+    """,
+)
+def analytics_chi2_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """χ² TEST OF INDEPENDENCE on the lang × source contingency table —
+    is the language mix independent of the source (the dataset-bias
+    screen run before mixing sources into a training corpus)? The
+    classical Σ(O−E)²/E with E = r·c/N is cleared to integers per
+    CELL: term = (O·N − r·c)²·10⁶ // (N·r·c) — each term floored ONCE
+    to integer micro-units (the bigram-LM per-term idiom; all
+    quantities positive), then summed exactly, so the statistic is
+    order-free. dof = (rows−1)(cols−1) rides along; the critical-value
+    comparison is a driver-side lookup over these integers. Zero-count
+    cells contribute no row (GROUP BY only sees observed pairs) — the
+    convention both engines share; E > 0 always since marginals are
+    positive.
+
+    Scale: one (lang, source) collapse — the contingency table — then
+    marginals and cell terms on the ≤|langs|·|sources| summary; the
+    broadcast of three tiny marginal tables is the only join traffic."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("ct"))
+    trow = o.agg(F.sum("obs")).collect()[0][0]
+    n = int(trow)
+    cell = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .selectExpr(
+            f"CAST((CAST(obs AS DECIMAL(38,0)) * {n}L"
+            f" - CAST(rt AS DECIMAL(38,0)) * ct)"
+            f" * (CAST(obs AS DECIMAL(38,0)) * {n}L"
+            f" - CAST(rt AS DECIMAL(38,0)) * ct) * 1000000"
+            f" div (CAST({n} AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"
+            " AS term_micro"
+        )
+    )
+    nr = r.count()
+    nc = c.count()
+    return cell.agg(
+        F.lit(nr).cast("bigint").alias("n_rows"),
+        F.lit(nc).cast("bigint").alias("n_cols"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
     )

@@ -770,3 +770,83 @@ def test_survivorship_merge_laws(spark, sf_dir):
         cnt = Counter(d["lang"] for d in g)
         best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert r["canonical_lang"] == best
+
+
+def test_autocorr_lag7_matches_python_replay(spark, sf_dir):
+    """The scaled ACF must equal the exact integer replay, and sit in
+    the mathematically valid window (|r| bounded by the Cauchy-Schwarz
+    unit with the partial-pair slack)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["events_autocorr_lag7"](spark, sf_dir).collect()[
+        0
+    ]
+    xs = [
+        row["x"]
+        for row in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .orderBy("day")
+        .collect()
+    ]
+    n, s = len(xs), sum(xs)
+    num = sum(
+        (xs[i] * n - s) * (xs[i + 7] * n - s) for i in range(n - 7)
+    )
+    den = sum((x * n - s) ** 2 for x in xs)
+    expect = abs(num) * 1_000_000 // den * (1 if num >= 0 else -1)
+    assert r["n_days"] == n
+    assert r["n_pairs"] == n - 7
+    assert r["acf7_micro"] == expect
+    assert -1_000_000 <= r["acf7_micro"] <= 1_000_000
+
+
+def test_byte_histogram_cross_foots(spark, sf_dir):
+    """Counts must sum to the corpus byte total and match a Python
+    bincount replay on every byte value."""
+    from collections import Counter
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["byte_value"]: r["n"]
+        for r in registry.QUERIES["multimodal_byte_histogram"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for d in docs:
+        cnt.update(d["text"].encode("utf-8"))
+    assert rows == dict(cnt)
+
+
+def test_chi2_matches_python_replay(spark, sf_dir):
+    """chi2_micro must equal the per-cell floored-term replay, and the
+    dof/cell bookkeeping must match the contingency shape."""
+    from collections import Counter
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["analytics_chi2_independence"](
+        spark, sf_dir
+    ).collect()[0]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .collect()
+    )
+    obs = Counter((d["lang"], d["source"]) for d in docs)
+    rt = Counter(d["lang"] for d in docs)
+    ct = Counter(d["source"] for d in docs)
+    n = len(docs)
+    chi2 = sum(
+        (o * n - rt[lg] * ct[src]) ** 2 * 1_000_000
+        // (n * rt[lg] * ct[src])
+        for (lg, src), o in obs.items()
+    )
+    assert r["n_rows"] == len(rt)
+    assert r["n_cols"] == len(ct)
+    assert r["n_cells"] == len(obs)
+    assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert r["chi2_micro"] == chi2
