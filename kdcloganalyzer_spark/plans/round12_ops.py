@@ -2815,3 +2815,51 @@ def analytics_chi2_independence(
         F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
         F.sum("term_micro").cast("bigint").alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE surface (dynamic SQL with session variables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE surface — Spark 4's dynamic-SQL statement
+    (SQL-standard two-step: the query TEXT lives in a session VARIABLE,
+    parameters bind positionally via USING) — the mechanism BI layers
+    and stored-procedure ports use for runtime-assembled statements,
+    demonstrated with injection-safe positional binding rather than
+    string concatenation (the bound value never parses as SQL). The
+    executed text is the oracle's own aggregation, so the hash
+    certifies that the dynamic path plans and runs identically to the
+    static one.
+
+    Scale: EXECUTE IMMEDIATE is pure front-end — the parsed plan is
+    the same Catalyst plan as the static text (one partial-agg'd
+    groupBy over the pruned scan); zero runtime overhead past parse."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_li_exec_imm"
+    )
+    spark.sql("DECLARE OR REPLACE stmt_r12 STRING")
+    spark.sql(
+        "SET VAR stmt_r12 = 'SELECT l_returnflag,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        " AS BIGINT) AS rev_cents"
+        " FROM v_li_exec_imm WHERE l_quantity >= ?"
+        " GROUP BY l_returnflag'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE stmt_r12 USING 30")

@@ -850,3 +850,24 @@ def test_chi2_matches_python_replay(spark, sf_dir):
     assert r["n_cells"] == len(obs)
     assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
     assert r["chi2_micro"] == chi2
+
+
+def test_execute_immediate_equals_static(spark, sf_dir):
+    """The dynamic statement must return exactly the static plan's
+    frame (same rows, same aliases)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    dyn = registry.QUERIES["sql_execute_immediate"](spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    static = (
+        li.where(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    assert dyn.exceptAll(static).count() == 0
+    assert static.exceptAll(dyn).count() == 0
