@@ -564,3 +564,43 @@ def stream_rate_limit_alert(
     sequential stateful replay and the window closed form proves the
     two implementations compute the same function."""
     return SQ.stream_rate_limit_keeper(spark, sf_dir)
+
+
+@query(
+    "stream_bollinger_bands",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(x) OVER win AS BIGINT) AS s,
+             CAST(sum(x * x) OVER win AS BIGINT) AS q
+      FROM d
+      WINDOW win AS (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x AS n_events, n AS win_n,
+           CAST(s * 1000 // n AS BIGINT) AS mean_milli,
+           CAST(n * q - s * s AS BIGINT) AS var_num,
+           (x * n - s) > 0
+             AND (x * n - s) * (x * n - s) > 4 * (n * q - s * s)
+             AS breach_hi,
+           (x * n - s) < 0
+             AND (x * n - s) * (x * n - s) > 4 * (n * q - s * s)
+             AS breach_lo
+    FROM w
+    """,
+)
+@_amortized
+def stream_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_bollinger_bands: mergeable per-day
+    counts aggregate in the stream (watermark-bounded state), the
+    trailing ±2σ integer breach test runs batch on the materialized
+    daily summary — the stream/serving split production monitors use
+    (a rolling frame across CLOSED windows is not a streaming
+    aggregation). Hash-verified against the batch id's oracle."""
+    return SQ.windowed_bollinger_bands(spark, sf_dir)

@@ -1308,3 +1308,44 @@ def stream_rate_limit_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+def windowed_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bollinger bands: the per-day tumbling-window counts
+    aggregate IN the stream (mergeable, watermark-bounded state — the
+    windowed_topk_types split); the trailing ±2σ breach test runs as a
+    batch window over the materialized daily summary, because a
+    cross-WINDOW rolling frame is not expressible inside a streaming
+    aggregation (state would need retractions across 7 closed windows).
+    Shares events_bollinger_bands' oracle: integer cross-multiplied
+    test, no float anywhere."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = ev.groupBy(F.window("ts", "1 day").alias("win")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    res = _run_to_memory(out).select(
+        F.col("win.start").alias("day"), "x"
+    )
+    win = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    w = res.select(
+        "day",
+        "x",
+        F.count("*").over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("q"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return w.select(
+        "day",
+        F.col("x").alias("n_events"),
+        F.col("n").alias("win_n"),
+        F.expr("CAST(s * 1000 div n AS BIGINT)").alias("mean_milli"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("var_num"),
+        ((dev > 0) & (dev * dev > var4)).alias("breach_hi"),
+        ((dev < 0) & (dev * dev > var4)).alias("breach_lo"),
+    )

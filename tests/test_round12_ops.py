@@ -871,3 +871,12 @@ def test_execute_immediate_equals_static(spark, sf_dir):
     )
     assert dyn.exceptAll(static).count() == 0
     assert static.exceptAll(dyn).count() == 0
+
+
+def test_stream_bollinger_equals_batch_twin(spark, sf_dir):
+    """The streaming split (in-stream daily counts + batch band math)
+    must reproduce the batch id's frame exactly."""
+    st = registry.QUERIES["stream_bollinger_bands"](spark, sf_dir)
+    bt = registry.QUERIES["events_bollinger_bands"](spark, sf_dir)
+    assert st.exceptAll(bt).count() == 0
+    assert bt.exceptAll(st).count() == 0
