@@ -2863,3 +2863,98 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " GROUP BY l_returnflag'"
     )
     return spark.sql("EXECUTE IMMEDIATE stmt_r12 USING 30")
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (weekend vs weekday, exact doubled-rank integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_mann_whitney",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    f AS (
+      SELECT day, x,
+             date_part('dow', day) IN (0, 6) AS is_weekend
+      FROM d
+    ),
+    r AS (
+      SELECT is_weekend,
+             2 * (rank() OVER (ORDER BY x) - 1)
+               + count(*) OVER (PARTITION BY x) + 1 AS r2
+      FROM f
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN is_weekend THEN r2 ELSE 0 END)
+                  AS BIGINT) AS r2w,
+             CAST(sum(CASE WHEN is_weekend THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nw,
+             CAST(sum(CASE WHEN is_weekend THEN 0 ELSE 1 END)
+                  AS BIGINT) AS nd
+      FROM r
+    )
+    SELECT nw AS n_weekend, nd AS n_weekday,
+           CAST(r2w - nw * (nw + 1) AS BIGINT) AS u2_weekend,
+           CAST(2 * nw * nd - (r2w - nw * (nw + 1)) AS BIGINT)
+             AS u2_weekday,
+           CAST((r2w - nw * (nw + 1)) * 1000000 // (2 * nw * nd)
+                AS BIGINT) AS auc_micro,
+           (r2w - nw * (nw + 1)) > nw * nd AS weekend_higher
+    FROM s
+    """,
+)
+def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U — the nonparametric two-sample test (weekend vs
+    weekday daily volume), exact to the last tie: average ranks for
+    tied values are half-integers, so everything computes in DOUBLED
+    ranks — r2 = 2·(rank−1) + tie_count + 1 is an exact integer, the
+    doubled statistic U2 = ΣR2 − n_w(n_w+1) is exact, the two groups'
+    U2 cross-foot to 2·n_w·n_d, and U/(n_w·n_d) — the probability of
+    superiority, i.e. the AUC of 'weekend' as a classifier of volume —
+    is ONE scaled division. No normal approximation enters the emitted
+    integers; the z-test against them is a driver-side formula.
+
+    Scale: daily collapse once; rank and tie-count windows run over
+    the calendar-bounded summary (a global sort of ~days rows); the
+    rest is a 1-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    f = d.select(
+        "x", F.dayofweek("day").isin(1, 7).alias("is_weekend")
+    )
+    r = f.select(
+        "is_weekend",
+        (
+            2 * (F.rank().over(Window.orderBy("x")) - 1)
+            + F.count("*").over(Window.partitionBy("x"))
+            + 1
+        ).alias("r2"),
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("is_weekend"), F.col("r2")).otherwise(0))
+        .cast("bigint")
+        .alias("r2w"),
+        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nw"),
+        F.sum(F.when(F.col("is_weekend"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nd"),
+    )
+    return s.selectExpr(
+        "nw AS n_weekend",
+        "nd AS n_weekday",
+        "CAST(r2w - nw * (nw + 1) AS BIGINT) AS u2_weekend",
+        "CAST(2 * nw * nd - (r2w - nw * (nw + 1)) AS BIGINT)"
+        " AS u2_weekday",
+        "CAST((r2w - nw * (nw + 1)) * 1000000 div (2 * nw * nd)"
+        " AS BIGINT) AS auc_micro",
+        "(r2w - nw * (nw + 1)) > nw * nd AS weekend_higher",
+    )

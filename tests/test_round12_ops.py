@@ -880,3 +880,42 @@ def test_stream_bollinger_equals_batch_twin(spark, sf_dir):
     bt = registry.QUERIES["events_bollinger_bands"](spark, sf_dir)
     assert st.exceptAll(bt).count() == 0
     assert bt.exceptAll(st).count() == 0
+
+
+def test_mann_whitney_matches_scipy_free_replay(spark, sf_dir):
+    """U2 values must match a pure-Python average-rank replay, cross-
+    foot to 2·n_w·n_d, and AUC must be the scaled division."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["analytics_mann_whitney"](spark, sf_dir).collect()[
+        0
+    ]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .select(F.dayofweek("day").isin(1, 7).alias("w"), "x")
+        .collect()
+    )
+    vals = sorted((row["x"], row["w"]) for row in d)
+    # doubled average ranks
+    r2 = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        rr = (i + 1) + j  # 2*avg rank = first + last
+        for k in range(i, j):
+            r2[k] = rr
+        i = j
+    r2w = sum(r2[k] for k, (x, w) in enumerate(vals) if w)
+    nw = sum(1 for _, w in vals if w)
+    nd = len(vals) - nw
+    u2w = r2w - nw * (nw + 1)
+    assert (r["n_weekend"], r["n_weekday"]) == (nw, nd)
+    assert r["u2_weekend"] == u2w
+    assert r["u2_weekday"] == 2 * nw * nd - u2w
+    assert r["u2_weekend"] + r["u2_weekday"] == 2 * nw * nd
+    assert r["auc_micro"] == u2w * 1_000_000 // (2 * nw * nd)
+    assert r["weekend_higher"] == (u2w > nw * nd)
