@@ -2958,3 +2958,122 @@ def analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS auc_micro",
         "(r2w - nw * (nw + 1)) > nw * nd AS weekend_higher",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (daily count vs daily value mass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_spearman_corr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS val_c
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT 2 * (rank() OVER (ORDER BY cnt) - 1)
+               + count(*) OVER (PARTITION BY cnt) + 1 AS rx,
+             2 * (rank() OVER (ORDER BY val_c) - 1)
+               + count(*) OVER (PARTITION BY val_c) + 1 AS ry
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+      FROM r
+    )
+    SELECT n AS n_days,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS num,
+           CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den_x,
+           CAST(n * syy - CAST(sy AS HUGEINT) * sy AS BIGINT) AS den_y,
+           CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+                // CAST(round(sqrt(CAST(
+                     (n * sxx - CAST(sx AS HUGEINT) * sx)
+                     * (n * syy - CAST(sy AS HUGEINT) * sy) AS DOUBLE)))
+                   AS HUGEINT) AS BIGINT) AS rho_micro,
+           4 * (n * sxy - CAST(sx AS HUGEINT) * sy)
+             * (n * sxy - CAST(sx AS HUGEINT) * sy)
+             > (n * sxx - CAST(sx AS HUGEINT) * sx)
+               * (n * syy - CAST(sy AS HUGEINT) * sy)
+             AND (n * sxy - CAST(sx AS HUGEINT) * sy) > 0
+             AS strong_positive
+    FROM s
+    """,
+)
+def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between daily event count and daily
+    value mass — the monotone-association test that survives outliers
+    and nonlinearity (does busier mean richer?). Doubled average ranks
+    (the Mann–Whitney idiom) keep tie handling exact-integer; the
+    Pearson-on-ranks algebra (n·Σxy − ΣxΣy etc.) is exact
+    HUGEINT ⇄ DECIMAL(38); the |ρ| > 0.5 strength flag is the fully
+    exact cross-multiplication 4·num² > den_x·den_y; ρ itself needs
+    ONE sqrt — of an exact integer product through the correctly-
+    rounded cast→double→sqrt→round chain both engines share — then one
+    scaled division.
+
+    Scale: daily collapse once; two rank windows + a 1-row reduction
+    over the calendar summary."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("val_c"),
+    )
+    r = d.select(
+        (
+            2 * (F.rank().over(Window.orderBy("cnt")) - 1)
+            + F.count("*").over(Window.partitionBy("cnt"))
+            + 1
+        ).alias("rx"),
+        (
+            2 * (F.rank().over(Window.orderBy("val_c")) - 1)
+            + F.count("*").over(Window.partitionBy("val_c"))
+            + 1
+        ).alias("ry"),
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias(
+            "syy"
+        ),
+    )
+    return s.selectExpr(
+        "n AS n_days",
+        "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS BIGINT) AS num",
+        "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"
+        " AS den_x",
+        "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS BIGINT)"
+        " AS den_y",
+        "CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000"
+        " div CAST(round(sqrt(CAST("
+        "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+        " * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS DOUBLE)))"
+        " AS DECIMAL(38,0)) AS BIGINT) AS rho_micro",
+        "4 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+        " * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+        " > (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+        " * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+        " AND (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) > 0"
+        " AS strong_positive",
+    )

@@ -919,3 +919,54 @@ def test_mann_whitney_matches_scipy_free_replay(spark, sf_dir):
     assert r["u2_weekend"] + r["u2_weekday"] == 2 * nw * nd
     assert r["auc_micro"] == u2w * 1_000_000 // (2 * nw * nd)
     assert r["weekend_higher"] == (u2w > nw * nd)
+
+
+def test_spearman_matches_python_replay(spark, sf_dir):
+    """num/den parts must equal a doubled-rank replay; rho is bounded
+    by the exact Cauchy-Schwarz inequality num^2 <= den_x*den_y."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["analytics_spearman_corr"](
+        spark, sf_dir
+    ).collect()[0]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "v"
+            ),
+        )
+        .collect()
+    )
+
+    def ranks2(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            rr = (i + 1) + j
+            for k in range(i, j):
+                out[order[k]] = rr
+            i = j
+        return out
+
+    rx = ranks2([row["cnt"] for row in d])
+    ry = ranks2([row["v"] for row in d])
+    n = len(d)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    assert r["n_days"] == n
+    assert (r["num"], r["den_x"], r["den_y"]) == (num, dx, dy)
+    assert num * num <= dx * dy
+    assert -1_000_000 <= r["rho_micro"] <= 1_000_000
+    assert r["strong_positive"] == (4 * num * num > dx * dy and num > 0)
