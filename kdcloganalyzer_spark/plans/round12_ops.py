@@ -3077,3 +3077,72 @@ def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AND (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) > 0"
         " AS strong_positive",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-character field separator CSV scan (round-trip proof)
+# ---------------------------------------------------------------------------
+
+
+def _multisep_dir_for_sf(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/kdcspark_multisep_{tag}"
+
+
+@query(
+    "scan_csv_multichar_sep",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum
+    FROM documents GROUP BY lang, source
+    """,
+)
+def scan_csv_multichar_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CHARACTER FIELD SEPARATOR scan — the '||'-delimited export
+    format half the enterprise ETL world still emits (chosen exactly
+    because single chars collide with free text): document metadata is
+    staged once as ``a||b||c||d`` lines (format via concat_ws,
+    executor-side, atomic publish via build-dir rename), then re-read
+    through Spark's multi-char ``sep`` CSV reader with an explicit
+    schema. The aggregate must equal the same rollup computed straight
+    from the parquet (the oracle) — the round-trip is provably
+    lossless, certifying the multi-char tokenizer itself.
+
+    Scale: '||'-delimited text is newline-splittable, so the scan
+    parallelizes by byte ranges like any CSV; multi-char separator
+    matching stays in uniVocity's JVM tokenizer (no regex fallback,
+    no Python)."""
+    import os
+    import shutil
+
+    base = _multisep_dir_for_sf(sf_dir)
+    if not os.path.isdir(base):
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        load_table(spark, sf_dir, "documents").select(
+            F.concat_ws(
+                "||",
+                F.col("doc_id"),
+                F.col("lang"),
+                F.col("source"),
+                F.col("n_chars"),
+            ).alias("value")
+        ).coalesce(2).write.mode("overwrite").text(build)
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    rec = spark.read.csv(
+        base,
+        sep="||",
+        schema="doc_id LONG, lang STRING, source STRING, n_chars LONG",
+    )
+    return rec.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("key_sum"),
+    )

@@ -970,3 +970,22 @@ def test_spearman_matches_python_replay(spark, sf_dir):
     assert num * num <= dx * dy
     assert -1_000_000 <= r["rho_micro"] <= 1_000_000
     assert r["strong_positive"] == (4 * num * num > dx * dy and num > 0)
+
+
+def test_multichar_sep_roundtrip_lossless(spark, sf_dir):
+    """The ||-separated round trip must reproduce the parquet rollup
+    row-for-row (the oracle's claim, re-pinned engine-side)."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    got = registry.QUERIES["scan_csv_multichar_sep"](spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("doc_id").cast("bigint").alias("key_sum"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
