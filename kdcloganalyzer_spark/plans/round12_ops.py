@@ -3146,3 +3146,104 @@ def scan_csv_multichar_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum("doc_id").cast("bigint").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate growth curve (nested md5-prefix subsamples)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_dedup_rate_curve",
+    oracle="""
+    WITH g AS (
+      SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               AS grp,
+             CAST(('0x' || substr(md5('curve#'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4
+                  AS BIGINT) AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT grp,
+             sum(CASE WHEN b <= 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN b <= 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN b <= 2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN b <= 3 THEN 1 ELSE 0 END) AS c3
+      FROM g GROUP BY grp
+    ),
+    t AS (
+      SELECT unnest([0, 1, 2, 3]) AS quartile
+    )
+    SELECT t.quartile,
+           CAST(sum(CASE t.quartile WHEN 0 THEN c0 WHEN 1 THEN c1
+                    WHEN 2 THEN c2 ELSE c3 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (CASE t.quartile WHEN 0 THEN c0
+                    WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST((sum(CASE t.quartile WHEN 0 THEN c0 WHEN 1 THEN c1
+                     WHEN 2 THEN c2 ELSE c3 END)
+                 - sum(CASE WHEN (CASE t.quartile WHEN 0 THEN c0
+                       WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END) > 0
+                       THEN 1 ELSE 0 END)) * 1000000
+                // sum(CASE t.quartile WHEN 0 THEN c0 WHEN 1 THEN c1
+                       WHEN 2 THEN c2 ELSE c3 END) AS BIGINT)
+             AS dup_rate_micro
+    FROM c CROSS JOIN t
+    GROUP BY t.quartile
+    """,
+)
+def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-RATE GROWTH CURVE — how duplication scales with corpus
+    size: nested 25/50/75/100% subsamples (deterministic seeded-md5
+    quartile buckets, so each prefix CONTAINS the previous — the only
+    way the curve is monotone-meaningful) each report docs, unique
+    fingerprints, and the dup rate. Real corpora show superlinear
+    duplicate growth (unique content follows Heaps' law), and this
+    curve is what extrapolates dedup savings from a pilot slice to the
+    full crawl before anyone pays for the full run. One fingerprint
+    groupBy computes all four prefixes at once: per-group cumulative
+    bucket counts c0..c3, then four prefix rollups over the group
+    summary — the corpus is scanned ONCE, never per point.
+
+    Scale: the fingerprint collapse is the dedup_exact shuffle; the
+    4× expansion happens on the GROUP summary (4 rows per group,
+    constant), not raw docs; output is 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("grp"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('curve#',"
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"
+        ).alias("b"),
+    )
+    c = g.groupBy("grp").agg(
+        *[
+            F.sum(F.when(F.col("b") <= q, 1).otherwise(0)).alias(f"c{q}")
+            for q in range(4)
+        ]
+    )
+    t = c.select(
+        "c0", "c1", "c2", "c3",
+        F.explode(F.array(*[F.lit(q) for q in range(4)])).alias(
+            "quartile"
+        ),
+    ).select(
+        "quartile",
+        F.expr(
+            "CASE quartile WHEN 0 THEN c0 WHEN 1 THEN c1"
+            " WHEN 2 THEN c2 ELSE c3 END"
+        ).alias("cq"),
+    )
+    return t.groupBy("quartile").agg(
+        F.sum("cq").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("cq") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.expr(
+            "CAST((sum(cq) - sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END))"
+            " * 1000000 div sum(cq) AS BIGINT)"
+        ).alias("dup_rate_micro"),
+    )

@@ -989,3 +989,33 @@ def test_multichar_sep_roundtrip_lossless(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_dedup_rate_curve_laws(spark, sf_dir):
+    """Nested prefixes are monotone in docs AND uniques; the full
+    quartile equals the corpus totals; rates are the scaled divs."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = sorted(
+        registry.QUERIES["pipeline_dedup_rate_curve"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["quartile"],
+    )
+    assert [r["quartile"] for r in rows] == [0, 1, 2, 3]
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    u_total = docs.select(
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+    ).distinct().count()
+    assert rows[3]["n_docs"] == n_total
+    assert rows[3]["n_unique"] == u_total
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_unique"] <= b["n_unique"]
+    for r in rows:
+        assert r["n_unique"] <= r["n_docs"]
+        assert (
+            r["dup_rate_micro"]
+            == (r["n_docs"] - r["n_unique"]) * 1_000_000 // r["n_docs"]
+        )
