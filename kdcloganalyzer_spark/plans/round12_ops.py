@@ -3247,3 +3247,178 @@ def pipeline_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div sum(cq) AS BIGINT)"
         ).alias("dup_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP local-file-header build + probe (variable-offset byte layout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_zip_probe",
+    oracle="""
+    SELECT doc_id,
+           true AS magic_ok,
+           CAST(8 AS BIGINT) AS method,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+           CAST(30 + length('doc_' || CAST(doc_id AS VARCHAR) || '.txt')
+                AS BIGINT) AS data_offset
+    FROM documents
+    """,
+)
+def multimodal_zip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP LOCAL-FILE-HEADER build + probe — the fifth byte layout of
+    the multimodal tier (PNG/JPEG BE, GIF LE-u16, WAV LE-u32) and the
+    first with VARIABLE-OFFSET fields: assemble a spec-shaped local
+    header — PK\\x03\\x04, version 20, method LE-u16, sizes LE-u32,
+    name-length LE-u16, the member name, then the payload — and parse
+    back method, payload length, the member NAME (substring at a
+    length read from the header itself — offset arithmetic a fixed
+    layout never exercises), and the computed data offset. A hash
+    match proves build and parse agree through the variable-length
+    indirection. Documented simplification: method=8 is declared but
+    the payload is stored, and the single-member central directory is
+    omitted — header mechanics, not a zip implementation.
+
+    Scale: per-row codegen; payload bytes project away before any
+    shuffle (the multimodal rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    name = F.concat(
+        F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+    )
+
+    def _le2(col):
+        b = [
+            F.lpad(F.hex((col / (1 << (8 * i))).cast("long") % 256), 2, "0")
+            for i in range(2)
+        ]
+        return F.unhex(F.concat(*b))
+
+    def _le4(col):
+        b = [
+            F.lpad(F.hex((col / (1 << (8 * i))).cast("long") % 256), 2, "0")
+            for i in range(4)
+        ]
+        return F.unhex(F.concat(*b))
+
+    n_bytes = F.length(payload).cast("long")
+    zipb = F.concat(
+        F.expr("X'504B0304'"),  # PK\3\4
+        _le2(F.lit(20)),  # version needed
+        _le2(F.lit(0)),  # flags
+        _le2(F.lit(8)),  # method (deflate declared)
+        _le4(F.lit(0)),  # mtime/mdate
+        _le4(F.lit(0)),  # crc32 (omitted: header mechanics only)
+        _le4(n_bytes),  # compressed size (stored)
+        _le4(n_bytes),  # uncompressed size
+        _le2(F.length(name)),  # name length
+        _le2(F.lit(0)),  # extra length
+        F.encode(name, "UTF-8"),
+        payload,
+    )
+    built = docs.select("doc_id", zipb.alias("z"))
+
+    def _u16(pos):
+        return (
+            F.conv(F.hex(F.expr(f"substring(z, {pos}, 1)")), 16, 10)
+            .cast("long")
+            + 256
+            * F.conv(
+                F.hex(F.expr(f"substring(z, {pos + 1}, 1)")), 16, 10
+            ).cast("long")
+        )
+
+    def _u32(pos):
+        return _u16(pos) + 65536 * _u16(pos + 2)
+
+    name_len = _u16(27)
+    return built.select(
+        "doc_id",
+        (F.expr("substring(z, 1, 4)") == F.expr("X'504B0304'")).alias(
+            "magic_ok"
+        ),
+        _u16(9).cast("bigint").alias("method"),
+        _u32(23).cast("bigint").alias("payload_len"),
+        F.expr(
+            "decode(substring(z, 31, conv(hex(substring(z, 27, 1)), 16,"
+            " 10) + 256 * conv(hex(substring(z, 28, 1)), 16, 10)),"
+            " 'UTF-8')"
+        ).alias("member_name"),
+        (30 + name_len).cast("bigint").alias("data_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local peak detection with windowed prominence (signal-processing verb)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             lag(x) OVER win AS xp, lead(x) OVER win AS xn,
+             min(x) OVER (win ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS lmin,
+             min(x) OVER (win ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+               AS rmin
+      FROM d
+      WINDOW win AS (ORDER BY day)
+    )
+    SELECT day, x AS n_events,
+           CAST(lmin AS BIGINT) AS left_min3,
+           CAST(rmin AS BIGINT) AS right_min3,
+           CAST(x - greatest(lmin, rmin) AS BIGINT) AS prominence
+    FROM w
+    WHERE xp IS NOT NULL AND xn IS NOT NULL AND x > xp AND x > xn
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL PEAK DETECTION with windowed prominence — the signal-
+    processing verb behind spike triage: a day is a peak when it
+    strictly exceeds both neighbors (ties lose on both sides —
+    deterministic; series edges are never peaks), and its ±3-day
+    prominence is the height above the HIGHER of the two flanking
+    minima (the scipy find_peaks 'prominence' idea, window-bounded so
+    it stays one pass — true prominence chases monotone runs
+    arbitrarily far, which is the gaps-and-islands construction if
+    needed). All exact integers; four window functions share ONE
+    ordered frame spec.
+
+    Scale: daily collapse once; every window rides the same
+    calendar-bounded sort. Per-series peaks add partitionBy."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    win = Window.orderBy("day")
+    w = d.select(
+        "day",
+        "x",
+        F.lag("x").over(win).alias("xp"),
+        F.lead("x").over(win).alias("xn"),
+        F.min("x").over(win.rowsBetween(-3, -1)).alias("lmin"),
+        F.min("x").over(win.rowsBetween(1, 3)).alias("rmin"),
+    )
+    return w.where(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+    ).select(
+        "day",
+        F.col("x").alias("n_events"),
+        F.col("lmin").cast("bigint").alias("left_min3"),
+        F.col("rmin").cast("bigint").alias("right_min3"),
+        (F.col("x") - F.greatest("lmin", "rmin"))
+        .cast("bigint")
+        .alias("prominence"),
+    )

@@ -1019,3 +1019,89 @@ def test_dedup_rate_curve_laws(spark, sf_dir):
             r["dup_rate_micro"]
             == (r["n_docs"] - r["n_unique"]) * 1_000_000 // r["n_docs"]
         )
+
+
+def test_zip_probe_matches_struct_replay(spark, sf_dir):
+    """Parsed fields must equal a struct-based replay of the declared
+    local-header layout, including the variable-offset name read."""
+    import struct
+
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["multimodal_zip_probe"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    for d in docs:
+        payload = d["text"].encode("utf-8")
+        name = f"doc_{d['doc_id']}.txt".encode()
+        hdr = (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIIIHH",
+                20, 0, 8, 0, 0, 0, len(payload), len(payload),
+                len(name), 0,
+            )
+        )
+        z = hdr + name + payload
+        # independent parse
+        method = struct.unpack("<H", z[8:10])[0]
+        plen = struct.unpack("<I", z[22:26])[0]
+        nlen = struct.unpack("<H", z[26:28])[0]
+        mname = z[30 : 30 + nlen].decode()
+        r = rows[d["doc_id"]]
+        assert r["magic_ok"]
+        assert r["method"] == method == 8
+        assert r["payload_len"] == plen == len(payload)
+        assert r["member_name"] == mname
+        assert r["data_offset"] == 30 + nlen
+
+
+def test_peak_detection_matches_python_replay(spark, sf_dir):
+    """Peaks and prominences must equal a sequential scan replay of
+    the declared rules over the ordered daily series."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    got = {
+        str(r["day"]): r
+        for r in registry.QUERIES["events_peak_detection"](
+            spark, sf_dir
+        ).collect()
+    }
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in d]
+    expect = {}
+    for i in range(1, len(xs) - 1):
+        if xs[i] > xs[i - 1] and xs[i] > xs[i + 1]:
+            lmin = min(xs[max(0, i - 3) : i])
+            rmin = min(xs[i + 1 : i + 4])
+            expect[str(d[i]["day"])] = (
+                xs[i],
+                lmin,
+                rmin,
+                xs[i] - max(lmin, rmin),
+            )
+    assert set(got) == set(expect)
+    for k, (x, lm, rm, prom) in expect.items():
+        r = got[k]
+        assert (
+            r["n_events"],
+            r["left_min3"],
+            r["right_min3"],
+            r["prominence"],
+        ) == (x, lm, rm, prom)
+        assert r["prominence"] >= 1
