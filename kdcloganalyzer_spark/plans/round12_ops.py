@@ -3422,3 +3422,68 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prominence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation gate ablation matrix (independent-flag overlap cells)
+# ---------------------------------------------------------------------------
+
+
+def _ablation_oracle() -> str:
+    # Reuse pipeline_corpus_funnel's flag CTEs VERBATIM (slice the
+    # registered text before its final SELECT) — byte-identical prefix,
+    # so the funnel id's oracle fingerprint is untouched and the two
+    # reports provably share one flag definition.
+    from kdcloganalyzer_spark.plans import curation  # noqa: F401
+    from kdcloganalyzer_spark.plans.registry import ORACLES
+
+    base = ORACLES["pipeline_corpus_funnel"]
+    prefix = base[: base.index("SELECT stage")]
+    return (
+        prefix
+        + """SELECT q_keep, d_keep, l_keep, s_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER ()
+                AS BIGINT) AS share_micro
+    FROM m GROUP BY q_keep, d_keep, l_keep, s_keep
+    """
+    )
+
+
+@query("pipeline_gate_ablation", oracle=_ablation_oracle())
+def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION GATE ABLATION MATRIX — the question the sequential
+    funnel report cannot answer: which gates do the work, and how much
+    do they OVERLAP? Every document lands in one of the 2⁴ cells of
+    the (quality, exact-dup, line-dup, sample) flag cube; marginal
+    kill rates, pairwise overlaps, and 'only this gate fires' counts
+    all read off the cells by inclusion-exclusion — the analysis run
+    before dropping or reordering a gate. Flags come from the SAME
+    shared _funnel_flags frame as pipeline_corpus_funnel /
+    pipeline_corpus_release (one DAG, three reports), and the oracle
+    reuses the funnel oracle's CTE prefix VERBATIM — the two ids
+    provably test one flag definition.
+
+    Scale: the flag derivation is the funnel's existing three
+    shuffles; the cube rollup is ≤16 rows; the share window runs on
+    that summary."""
+    from kdcloganalyzer_spark.plans.curation import _funnel_flags
+
+    m = _funnel_flags(spark, sf_dir)
+    g = m.groupBy("q_keep", "d_keep", "l_keep", "s_keep").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "q_keep",
+        "d_keep",
+        "l_keep",
+        "s_keep",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(n_docs * 1000000 div sum(n_docs) OVER ()"
+            " AS BIGINT)"
+        ).alias("share_micro"),
+    )

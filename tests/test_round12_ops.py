@@ -1105,3 +1105,36 @@ def test_peak_detection_matches_python_replay(spark, sf_dir):
             r["prominence"],
         ) == (x, lm, rm, prom)
         assert r["prominence"] >= 1
+
+
+def test_gate_ablation_consistent_with_funnel(spark, sf_dir):
+    """The cube must partition the corpus, its shares must sum to ~1e6,
+    and summing cells under the funnel's cumulative predicates must
+    reproduce the funnel report's stage counts exactly."""
+    cells = registry.QUERIES["pipeline_gate_ablation"](
+        spark, sf_dir
+    ).collect()
+    funnel = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in registry.QUERIES["pipeline_corpus_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    tot_docs = sum(c["n_docs"] for c in cells)
+    assert tot_docs == funnel[0][0]
+    assert sum(c["n_tokens"] for c in cells) == funnel[0][1]
+    preds = {
+        1: lambda c: c["q_keep"],
+        2: lambda c: c["q_keep"] and c["d_keep"],
+        3: lambda c: c["q_keep"] and c["d_keep"] and c["l_keep"],
+        4: lambda c: c["q_keep"]
+        and c["d_keep"]
+        and c["l_keep"]
+        and c["s_keep"],
+    }
+    for stage, pred in preds.items():
+        n = sum(c["n_docs"] for c in cells if pred(c))
+        t = sum(c["n_tokens"] for c in cells if pred(c))
+        assert (n, t) == funnel[stage], stage
+    share_sum = sum(c["share_micro"] for c in cells)
+    assert 1_000_000 - len(cells) <= share_sum <= 1_000_000
