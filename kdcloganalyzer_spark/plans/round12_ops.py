@@ -3487,3 +3487,161 @@ def pipeline_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AES encrypt/decrypt round-trip surface (deterministic ECB demo)
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(((octet_length(encode(source)) // 16) + 1) * 16 AS BIGINT)
+             AS cipher_len
+    FROM documents GROUP BY source
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES ENCRYPT/DECRYPT surface — column-level encryption round-trip
+    (the at-rest-PII pattern: encrypt before the lake, decrypt in the
+    governed view). ECB mode keeps the demo DETERMINISTIC (the default
+    GCM salts a random IV per call — correct for production, un-hash-
+    able here; the docstring trade-off IS the lesson: deterministic
+    encryption leaks equality, which is also exactly what makes it
+    joinable). The group key is the DECRYPTED ciphertext — counts can
+    only match the oracle's plaintext rollup if decrypt(encrypt(x))
+    == x for every row — and the ciphertext length must equal the
+    PKCS#7 formula 16·(⌊len/16⌋+1), which the oracle computes without
+    any AES at all.
+
+    Scale: JVM codegen crypto expressions at the scan; zero shuffles
+    beyond the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select(
+        F.expr(
+            f"aes_encrypt(source, '{_AES_KEY}', 'ECB')"
+        ).alias("ct")
+    )
+    dec = enc.select(
+        F.expr(
+            f"CAST(aes_decrypt(ct, '{_AES_KEY}', 'ECB') AS STRING)"
+        ).alias("source"),
+        F.length("ct").cast("bigint").alias("clen"),
+    )
+    return dec.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("clen").cast("bigint").alias("cipher_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet decomposition of daily volume (exact integer pyramid)
+# ---------------------------------------------------------------------------
+
+
+def _haar_oracle(levels: int = 5) -> str:
+    ctes = [
+        """
+    dly AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+             x
+      FROM (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+      )
+    ),
+    l0 AS (
+      SELECT g.j, CAST(coalesce(d.x, 0) AS BIGINT) AS a
+      FROM (SELECT unnest(generate_series(0, 31)) AS j) g
+      LEFT JOIN dly d ON d.i = g.j
+    )"""
+    ]
+    parts = []
+    for l in range(1, levels + 1):
+        ctes.append(f"""
+    l{l} AS (
+      SELECT j // 2 AS j,
+             CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS d
+      FROM l{l - 1} GROUP BY j // 2
+    )""")
+        parts.append(
+            f"SELECT {l} AS level, CAST(count(*) AS BIGINT) AS n_coeffs,"
+            f" CAST(sum(abs(d)) AS BIGINT) AS l1_detail,"
+            f" CAST(sum(d * d) AS BIGINT) AS l2_detail,"
+            f" CAST(sum(a) AS BIGINT) AS approx_mass FROM l{l}"
+        )
+    return f"WITH {','.join(ctes)} " + " UNION ALL ".join(parts)
+
+
+@query("events_haar_wavelet", oracle=_haar_oracle())
+def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET DECOMPOSITION of daily event volume — the
+    multi-resolution energy pyramid (which time scale carries the
+    variation: day-to-day jitter vs weekly swells vs the monthly
+    trend). The UNNORMALIZED Haar transform keeps every coefficient an
+    exact integer — level-l pairs reduce to sum a_even+a_odd and
+    detail a_even−a_odd, no √2 anywhere — so per-level L1/L2 detail
+    energies and the approximation mass are exact BIGINTs (the series
+    zero-pads from 30 to 32 days; padding shows up as one documented
+    edge detail). Five levels = five chained ≤32-row groupBys, the
+    same pyramid a distributed implementation runs on per-partition
+    segments before merging boundary pairs.
+
+    Scale: the corpus collapses to the daily summary once; the
+    pyramid is calendar-bounded (log₂(days) levels of shrinking
+    frames). Per-series pyramids add partitionBy to every level."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("bigint")
+        .alias("i"),
+        "x",
+    )
+    base = (
+        spark.range(32)
+        .select(F.col("id").cast("bigint").alias("j"))
+        .join(idx, F.col("j") == F.col("i"), "left")
+        .select("j", F.coalesce("x", F.lit(0)).cast("bigint").alias("a"))
+    )
+    lvl = base
+    outs = []
+    for level in range(1, 6):
+        nxt = lvl.groupBy(
+            F.expr("j div 2").alias("j")
+        ).agg(
+            F.sum("a").cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("j") % 2 == 0, F.col("a")).otherwise(
+                    -F.col("a")
+                )
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        outs.append(
+            nxt.agg(
+                F.lit(level).cast("int").alias("level"),
+                F.count("*").cast("bigint").alias("n_coeffs"),
+                F.sum(F.abs("d")).cast("bigint").alias("l1_detail"),
+                F.sum(F.col("d") * F.col("d"))
+                .cast("bigint")
+                .alias("l2_detail"),
+                F.sum("a").cast("bigint").alias("approx_mass"),
+            )
+        )
+        lvl = nxt.select("j", "a")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

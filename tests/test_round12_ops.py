@@ -1138,3 +1138,60 @@ def test_gate_ablation_consistent_with_funnel(spark, sf_dir):
         assert (n, t) == funnel[stage], stage
     share_sum = sum(c["share_micro"] for c in cells)
     assert 1_000_000 - len(cells) <= share_sum <= 1_000_000
+
+
+def test_aes_roundtrip_and_padding_law(spark, sf_dir):
+    """Decrypted group keys must equal the raw source domain with the
+    raw counts, and ciphertext length must follow PKCS#7."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["source"]: r
+        for r in registry.QUERIES["fn_aes_roundtrip"](
+            spark, sf_dir
+        ).collect()
+    }
+    raw = {
+        r["source"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert set(rows) == set(raw)
+    for src, r in rows.items():
+        assert r["n"] == raw[src]
+        assert r["cipher_len"] == (len(src.encode()) // 16 + 1) * 16
+
+
+def test_haar_wavelet_matches_python_replay(spark, sf_dir):
+    """The pyramid must match a pure-Python unnormalized Haar replay
+    on the zero-padded daily series; mass is conserved at every
+    level; Parseval-style L2 bookkeeping holds per level."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = {
+        r["level"]: r
+        for r in registry.QUERIES["events_haar_wavelet"](
+            spark, sf_dir
+        ).collect()
+    }
+    xs = [
+        r["x"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .orderBy("day")
+        .collect()
+    ]
+    a = xs + [0] * (32 - len(xs))
+    total = sum(a)
+    for level in range(1, 6):
+        s = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+        d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+        r = rows[level]
+        assert r["n_coeffs"] == len(s)
+        assert r["l1_detail"] == sum(abs(v) for v in d)
+        assert r["l2_detail"] == sum(v * v for v in d)
+        assert r["approx_mass"] == sum(s) == total
+        a = s
