@@ -3645,3 +3645,120 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (exact pairwise concordance with tie corrections)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             x, y
+      FROM (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY 1
+      )
+    ),
+    p AS (
+      SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+      FROM (SELECT i, x, y,
+                   unnest(generate_series(1, i - 1)) AS j FROM d) b
+      JOIN d a ON a.i = b.j
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dd,
+             CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM p
+    )
+    SELECT n0, c AS concordant, dd AS discordant,
+           tx AS tied_x, ty AS tied_y,
+           CAST((c - dd) * 1000000
+                // CAST(round(sqrt(CAST((n0 - tx) * (n0 - ty)
+                                        AS DOUBLE))) AS BIGINT)
+                AS BIGINT) AS tau_b_micro,
+           4 * (c - dd) * (c - dd) > (n0 - tx) * (n0 - ty)
+             AND c > dd AS strong_positive
+    FROM s
+    """,
+)
+def analytics_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL τ-b between daily event count and daily value mass —
+    the third rank-correlation lens (Spearman weights displacement,
+    Kendall counts INVERSIONS; robustness folk theorem: τ's influence
+    function is bounded where Spearman's isn't). Exact pairwise
+    concordance: the C(n,2) pair expansion is the theil_sen
+    explode+equi-join — calendar-bounded, never a theta self-join,
+    with the same i ≥ 2 guard against Spark's descending sequence(1,0)
+    artifact. C, D and both tie totals are exact integers; τ-b's
+    denominator is ONE sqrt of an exact (<2^53) product via the
+    correctly-rounded chain; the |τ|>0.5 flag is fully exact
+    cross-multiplication.
+
+    Scale: pair count is (days choose 2) — calendar-bounded; the
+    corpus-scaled work is the one daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+            "x",
+            "y",
+        )
+    )
+    b = d.where(F.col("i") >= 2).select(
+        F.col("i").alias("bi"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.explode(F.sequence(F.lit(1), F.col("i") - 1)).alias("j"),
+    )
+    p = b.join(d, d["i"] == b["j"]).select(
+        F.signum(F.col("bx") - F.col("x")).cast("int").alias("sx"),
+        F.signum(F.col("by") - F.col("y")).cast("int").alias("sy"),
+    )
+    s = p.agg(
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dd"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    return s.selectExpr(
+        "n0",
+        "c AS concordant",
+        "dd AS discordant",
+        "tx AS tied_x",
+        "ty AS tied_y",
+        "CAST((c - dd) * 1000000"
+        " div CAST(round(sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)))"
+        " AS BIGINT) AS BIGINT) AS tau_b_micro",
+        "4 * (c - dd) * (c - dd) > (n0 - tx) * (n0 - ty)"
+        " AND c > dd AS strong_positive",
+    )

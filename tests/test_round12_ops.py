@@ -1195,3 +1195,49 @@ def test_haar_wavelet_matches_python_replay(spark, sf_dir):
         assert r["l2_detail"] == sum(v * v for v in d)
         assert r["approx_mass"] == sum(s) == total
         a = s
+
+
+def test_kendall_tau_matches_python_replay(spark, sf_dir):
+    """C/D/tie counts must equal the O(n^2) Python replay; the triple
+    identity C + D + ties-adjusted must exhaust n0; the strength flag
+    is the exact cross-multiplication."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    r = registry.QUERIES["analytics_kendall_tau"](spark, sf_dir).collect()[
+        0
+    ]
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "y"
+            ),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    pts = [(row["x"], row["y"]) for row in d]
+    n = len(pts)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pts[j][0] > pts[i][0]) - (pts[j][0] < pts[i][0])
+            sy = (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+            if sx * sy > 0:
+                C += 1
+            elif sx * sy < 0:
+                D += 1
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    assert r["n0"] == n0
+    assert (r["concordant"], r["discordant"]) == (C, D)
+    assert (r["tied_x"], r["tied_y"]) == (tx, ty)
+    assert -1_000_000 <= r["tau_b_micro"] <= 1_000_000
+    assert r["strong_positive"] == (
+        4 * (C - D) ** 2 > (n0 - tx) * (n0 - ty) and C > D
+    )
