@@ -3762,3 +3762,48 @@ def analytics_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "4 * (c - dd) * (c - dd) > (n0 - tx) * (n0 - ty)"
         " AND c > dd AS strong_positive",
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar heatmap matrix (dow × hour activity grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_calendar_heatmap",
+    oracle="""
+    SELECT CAST(date_part('dow', ts) + 1 AS BIGINT) AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR HEATMAP MATRIX — the dow × hour activity grid every
+    operations dashboard renders (when is the system busy; when do
+    humans vs crons act): ≤7×24 cells with event counts, distinct
+    actors, and exact value cents. Trivial by construction and
+    included precisely because it is load-bearing: this is the
+    highest-frequency report shape in practice, and the dow
+    convention (Spark dayofweek 1=Sunday ⇄ DuckDB dow+1) is the
+    cross-engine trap the suite pins once so every future calendar id
+    inherits it.
+
+    Scale: one partial-agg'd (dow, hour) collapse — 168 cells
+    regardless of corpus size; the distinct-user count is the one
+    shuffle-heavy node, with the HLL swap named for unbounded actor
+    domains (events_dau_mau_stickiness_hll's pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -1241,3 +1241,19 @@ def test_kendall_tau_matches_python_replay(spark, sf_dir):
     assert r["strong_positive"] == (
         4 * (C - D) ** 2 > (n0 - tx) * (n0 - ty) and C > D
     )
+
+
+def test_calendar_heatmap_cross_foots(spark, sf_dir):
+    """Cells partition the corpus; the grid stays within 7x24; every
+    distinct-user count is bounded by its cell count."""
+    from kdcloganalyzer_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["events_calendar_heatmap"](
+        spark, sf_dir
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert len(rows) <= 7 * 24
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
+        assert 1 <= r["n_users"] <= r["n"]
