@@ -205,19 +205,33 @@ def _gate_order(ids: list[str]) -> list[str]:
         (q for q in by_cost if not needs_first_check(q)),
         key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
     )
-    # Urgent order: failed-last-time fixes first, then NEVER-certified
-    # ids oldest-registry-round-first (zero signal beats stale signal),
-    # then changed-oracle re-certifications (stale green rows); cost
-    # only breaks ties WITHIN a cohort.
-    urgent.sort(
-        key=lambda q: (
-            not (q in latest and failed(latest[q])),
-            q in latest,
-            first_seen.get(q, this_round),
-            cost.get(q, 0.5),
-            q,
-        )
+    # Urgent order (VERDICT r12 item 1): failed-last-time fixes first,
+    # then a 1:1 INTERLEAVE of the never-certified cohort (oldest
+    # registry round first) with the changed-oracle re-certification
+    # cohort (oldest certified round first). The r12 gate proved that
+    # sorting never-certified strictly ahead of changed-oracle lets a
+    # round's ~40 new registrations consume every urgent slot and
+    # starve the re-certification backlog indefinitely (35 stale ids
+    # after two rounds); sharing the urgent budget alternately bounds
+    # each cohort's wait at 2x its own position. Cost only breaks ties
+    # WITHIN a cohort.
+    fail_cohort = [q for q in urgent if q in latest and failed(latest[q])]
+    never_cohort = sorted(
+        (q for q in urgent if q not in latest),
+        key=lambda q: (first_seen.get(q, this_round), cost.get(q, 0.5), q),
     )
+    stale_cohort = sorted(
+        (q for q in urgent if q in latest and not failed(latest[q])),
+        key=lambda q: (seen_round.get(q, -1), cost.get(q, 0.5), q),
+    )
+    urgent = list(fail_cohort)
+    ni, ci = iter(never_cohort), iter(stale_cohort)
+    for k in range(len(never_cohort) + len(stale_cohort)):
+        nxt = next(ni if k % 2 == 0 else ci, None) or next(
+            ci if k % 2 == 0 else ni, None
+        )
+        if nxt is not None:
+            urgent.append(nxt)
     # Interleave (VERDICT r8 item 8): while ANY never-certified id
     # remains, it is reserved 4 of every 5 slots (>= the contracted 60%)
     # — one steady re-check per 5 keeps regression coverage nonzero —

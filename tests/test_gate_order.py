@@ -126,9 +126,11 @@ def test_oldest_first_seen_ids_come_first_within_urgent():
         )
 
     # exclude failed-last-time ids: they legitimately jump the queue.
-    # never-certified ids (no row at all) precede changed-oracle
-    # re-certifications; first-seen monotonicity holds WITHIN each
-    # cohort (the r10 refinement: zero signal beats stale signal).
+    # never-certified ids and changed-oracle re-certifications INTERLEAVE
+    # 1:1 (VERDICT r12 item 1: a strict never-first sort let each round's
+    # new registrations starve the re-certification backlog); first-seen
+    # monotonicity holds WITHIN the never cohort, oldest-certified-round
+    # monotonicity WITHIN the changed cohort.
     urgent = [
         q
         for q in order
@@ -137,7 +139,21 @@ def test_oldest_first_seen_ids_come_first_within_urgent():
     ]
     never = [q for q in urgent if q not in latest]
     changed = [q for q in urgent if q in latest]
-    assert urgent == never + changed, urgent
-    for cohort in (never, changed):
-        rounds = [first_seen.get(q, 10**9) for q in cohort]
-        assert rounds == sorted(rounds), cohort
+    # 1:1 interleave: among the first 2*min(len) urgent slots, each
+    # cohort holds exactly half, and within any prefix the two cohorts'
+    # counts differ by at most 1 (never leads on ties).
+    k = 2 * min(len(never), len(changed))
+    n_seen = c_seen = 0
+    for q in urgent[:k]:
+        if q in never:
+            n_seen += 1
+        else:
+            c_seen += 1
+        assert abs(n_seen - c_seen) <= 1, (
+            f"cohort imbalance at {q}: never={n_seen} changed={c_seen}"
+        )
+    rounds = [first_seen.get(q, 10**9) for q in never]
+    assert rounds == sorted(rounds), never
+    seen_round = getattr(_latest_rows, "seen_round", {})
+    cert_rounds = [seen_round.get(q, -1) for q in changed]
+    assert cert_rounds == sorted(cert_rounds), changed
