@@ -64,18 +64,35 @@ def _state_sized_shuffle(spark: SparkSession, n: int = 4):
 def _run_to_memory(
     sdf: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
-    """Run a bounded streaming DataFrame to a memory sink; return result."""
+    """Run a bounded streaming DataFrame to a memory sink; return result.
+
+    Complete/update-mode runs disable the trailing no-data micro-batch
+    (~0.17 s/run measured): complete re-emits the full result every
+    data batch and the update-mode users here are NoTimeout
+    pandas-state (emissions happen on data batches only), so the
+    finalization batch can only re-deliver what is already in the
+    sink. APPEND mode keeps it — watermark-closed windows emit exactly
+    there, and EventTimeTimeout firing (own runner, not this helper)
+    depends on it too."""
+    spark = sdf.sparkSession
     name = f"stream_result_{next(_MEM_SEQ)}"
-    with _state_sized_shuffle(sdf.sparkSession):
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nodata = spark.conf.get(nodata_key, "true")
+    with _state_sized_shuffle(spark):
+        if output_mode != "append":
+            spark.conf.set(nodata_key, "false")
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(nodata_key, old_nodata)
+    return spark.table(name)
 
 
 _STAGE_CACHE: dict[str, str] = {}
@@ -186,23 +203,35 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed restart over the late file) execute every time; only
     # the input prep is memoized.
     if sf_dir not in _LATE_SPLIT_CACHE:
-        from kdcloganalyzer_spark.sources.tables import load_table
 
-        ev_batch = load_table(spark, sf_dir, "events")
-        split_ts = ev_batch.selectExpr(
-            "percentile_approx(ts, 0.5, 10000) AS m"
-        ).collect()[0]["m"]
-        half_dir = appcache.tempdir(prefix="late_drop_halves_")
-        for name, half in (
-            ("00_recent.parquet", ev_batch.filter(F.col("ts") >= F.lit(split_ts))),
-            ("01_late.parquet", ev_batch.filter(F.col("ts") < F.lit(split_ts))),
-        ):
-            tmp = f"{half_dir}/_tmp"
-            half.coalesce(1).write.mode("overwrite").parquet(tmp)
-            shutil.move(
-                glob.glob(f"{tmp}/part-*.parquet")[0], f"{half_dir}/{name}"
-            )
-        _LATE_SPLIT_CACHE[sf_dir] = half_dir
+        def build(half_dir: str) -> None:
+            from kdcloganalyzer_spark.sources.tables import load_table
+
+            ev_batch = load_table(spark, sf_dir, "events")
+            split_ts = ev_batch.selectExpr(
+                "percentile_approx(ts, 0.5, 10000) AS m"
+            ).collect()[0]["m"]
+            for name, half in (
+                (
+                    "00_recent.parquet",
+                    ev_batch.filter(F.col("ts") >= F.lit(split_ts)),
+                ),
+                (
+                    "01_late.parquet",
+                    ev_batch.filter(F.col("ts") < F.lit(split_ts)),
+                ),
+            ):
+                tmp = f"{half_dir}/_tmp"
+                half.coalesce(1).write.mode("overwrite").parquet(tmp)
+                shutil.move(
+                    glob.glob(f"{tmp}/part-*.parquet")[0],
+                    f"{half_dir}/{name}",
+                )
+            shutil.rmtree(f"{half_dir}/_tmp", ignore_errors=True)
+
+        _LATE_SPLIT_CACHE[sf_dir] = appcache.persistent_stage(
+            "latedrop", [f"{sf_dir}/events.parquet"], build
+        )
     half_dir = _LATE_SPLIT_CACHE[sf_dir]
 
     stage = appcache.tempdir(prefix="late_drop_")
@@ -444,28 +473,35 @@ def _staged_tail_chunks(
         srcs = sorted(
             f for f in os.listdir(log_dir) if f.endswith(".log")
         )[:n_files]
-        d = appcache.tempdir(prefix="kdc_tail_")
-        now = int(os.path.getmtime(os.path.join(log_dir, srcs[0])))
-        for src in srcs:
-            with open(os.path.join(log_dir, src)) as f:
-                lines = f.read().splitlines()
-            per = max(1, (len(lines) + n_chunks - 1) // n_chunks)
-            for c in range(n_chunks):
-                chunk = lines[c * per : (c + 1) * per]
-                p = os.path.join(d, f"chunk{c:02d}_{src}.json")
-                with open(p, "w") as out:
-                    for i, line in enumerate(chunk):
-                        out.write(
-                            json.dumps(
-                                {
-                                    "file": src,
-                                    "seq": c * per + i,
-                                    "line": line,
-                                }
+
+        def build(d: str) -> None:
+            now = int(os.path.getmtime(os.path.join(log_dir, srcs[0])))
+            for src in srcs:
+                with open(os.path.join(log_dir, src)) as f:
+                    lines = f.read().splitlines()
+                per = max(1, (len(lines) + n_chunks - 1) // n_chunks)
+                for c in range(n_chunks):
+                    chunk = lines[c * per : (c + 1) * per]
+                    p = os.path.join(d, f"chunk{c:02d}_{src}.json")
+                    with open(p, "w") as out:
+                        for i, line in enumerate(chunk):
+                            out.write(
+                                json.dumps(
+                                    {
+                                        "file": src,
+                                        "seq": c * per + i,
+                                        "line": line,
+                                    }
+                                )
+                                + "\n"
                             )
-                            + "\n"
-                        )
-                os.utime(p, (now + c, now + c))
+                    os.utime(p, (now + c, now + c))
+
+        d = appcache.persistent_stage(
+            f"tail{n_chunks}x{n_files}",
+            [os.path.join(log_dir, s) for s in srcs],
+            build,
+        )
         _STAGE_CACHE[key] = f"{d}\t" + "\t".join(srcs)
     parts = _STAGE_CACHE[key].split("\t")
     return parts[0], parts[1:]
@@ -660,19 +696,23 @@ def _staged_event_halves(sf_dir: str) -> str:
     if key not in _STAGE_CACHE:
         import os
 
-        import duckdb
-
-        d = appcache.tempdir(prefix="events_halves_")
         src = os.path.abspath(f"{sf_dir}/events.parquet")
-        con = duckdb.connect()
-        for name, pred in (("half_a", "= 0"), ("half_b", "<> 0")):
-            con.execute(
-                f"COPY (SELECT * FROM read_parquet('{src}') "
-                f"WHERE event_id % 2 {pred}) "
-                f"TO '{d}/{name}.parquet' (FORMAT PARQUET)"
-            )
-        con.close()
-        _STAGE_CACHE[key] = d
+
+        def build(d: str) -> None:
+            import duckdb
+
+            con = duckdb.connect()
+            for name, pred in (("half_a", "= 0"), ("half_b", "<> 0")):
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src}') "
+                    f"WHERE event_id % 2 {pred}) "
+                    f"TO '{d}/{name}.parquet' (FORMAT PARQUET)"
+                )
+            con.close()
+
+        _STAGE_CACHE[key] = appcache.persistent_stage(
+            "evhalves", [src], build
+        )
     return _STAGE_CACHE[key]
 
 
@@ -853,16 +893,20 @@ def union_two_sources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     if sf_dir not in _UNION_SPLIT_CACHE:
-        from kdcloganalyzer_spark.sources.tables import load_table
 
-        ev_batch = load_table(spark, sf_dir, "events")
-        d = appcache.tempdir(prefix="events_union2_")
-        for name, half in (
-            ("even", ev_batch.filter(F.col("user_id") % 2 == 0)),
-            ("odd", ev_batch.filter(F.col("user_id") % 2 == 1)),
-        ):
-            half.write.mode("overwrite").parquet(f"{d}/{name}")
-        _UNION_SPLIT_CACHE[sf_dir] = d
+        def build(d: str) -> None:
+            from kdcloganalyzer_spark.sources.tables import load_table
+
+            ev_batch = load_table(spark, sf_dir, "events")
+            for name, half in (
+                ("even", ev_batch.filter(F.col("user_id") % 2 == 0)),
+                ("odd", ev_batch.filter(F.col("user_id") % 2 == 1)),
+            ):
+                half.write.mode("overwrite").parquet(f"{d}/{name}")
+
+        _UNION_SPLIT_CACHE[sf_dir] = appcache.persistent_stage(
+            "union2", [f"{sf_dir}/events.parquet"], build
+        )
     d = _UNION_SPLIT_CACHE[sf_dir]
     schema = spark.read.parquet(f"{d}/even").schema
 
@@ -1077,30 +1121,42 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kdcloganalyzer_spark import appcache
 
     if sf_dir not in _TIMEOUT_SPLIT_CACHE:
-        from kdcloganalyzer_spark.sources.tables import load_table
 
-        ev_batch = load_table(spark, sf_dir, "events").select(
-            "user_id", "ts"
-        )
-        half_dir = appcache.tempdir(prefix="timeout_halves_")
-        # 1-row control scalar: the sentinel id must be provably absent
-        # from the table (max + offset), never a magic literal.
-        max_uid = ev_batch.agg(F.max("user_id")).collect()[0][0] or 0
-        advance = spark.createDataFrame(
-            [(int(max_uid) + 10_000_000,)], "user_id bigint"
-        ).select(
-            "user_id", F.lit("2024-03-01").cast("timestamp").alias("ts")
-        )
-        for name, part in (
-            ("00_events.parquet", ev_batch),
-            ("01_advance.parquet", advance),
-        ):
-            tmp = f"{half_dir}/_tmp"
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            shutil.move(
-                glob.glob(f"{tmp}/part-*.parquet")[0], f"{half_dir}/{name}"
+        def build(half_dir: str) -> None:
+            from kdcloganalyzer_spark.sources.tables import load_table
+
+            ev_batch = load_table(spark, sf_dir, "events").select(
+                "user_id", "ts"
             )
-        _TIMEOUT_SPLIT_CACHE[sf_dir] = half_dir
+            # 1-row control scalar: the sentinel id must be provably
+            # absent from the table (max + offset), never a magic
+            # literal.
+            max_uid = ev_batch.agg(F.max("user_id")).collect()[0][0] or 0
+            # JVM-side 1-row build: createDataFrame over a Python list
+            # parallelizes to defaultParallelism slices and spawns one
+            # Python worker per slice (~5.5 s measured for this one row
+            # at local[32]); range(1) stays entirely in the JVM.
+            advance = spark.range(1).select(
+                F.lit(int(max_uid) + 10_000_000)
+                .cast("bigint")
+                .alias("user_id"),
+                F.lit("2024-03-01").cast("timestamp").alias("ts"),
+            )
+            for name, part in (
+                ("00_events.parquet", ev_batch),
+                ("01_advance.parquet", advance),
+            ):
+                tmp = f"{half_dir}/_tmp"
+                part.coalesce(1).write.mode("overwrite").parquet(tmp)
+                shutil.move(
+                    glob.glob(f"{tmp}/part-*.parquet")[0],
+                    f"{half_dir}/{name}",
+                )
+            shutil.rmtree(f"{half_dir}/_tmp", ignore_errors=True)
+
+        _TIMEOUT_SPLIT_CACHE[sf_dir] = appcache.persistent_stage(
+            "timeout", [f"{sf_dir}/events.parquet"], build
+        )
     half_dir = _TIMEOUT_SPLIT_CACHE[sf_dir]
 
     stage = appcache.tempdir(prefix="session_timeout_", fast=True)
