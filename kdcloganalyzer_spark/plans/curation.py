@@ -428,9 +428,15 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The pipeline, composed
 # ---------------------------------------------------------------------------
-@query(
-    "pipeline_corpus_funnel",
-    oracle=f"""
+#: Shared flag-CTE prefix (stages w/q/d/l/s + the m flag matrix).
+#: BOTH pipeline_corpus_funnel (below) and pipeline_gate_ablation
+#: (round12_ops._ablation_oracle) build their oracle from this constant
+#: by concatenation — previously the ablation oracle SLICED the funnel's
+#: registered text at "SELECT stage", a textual coupling where any
+#: funnel reformat raised ValueError at oracle-build time for an
+#: unrelated id (ADVICE r12). The constant ends exactly where the
+#: consumer's final SELECT begins.
+FUNNEL_FLAGS_CTE = f"""
     WITH w AS (
       SELECT doc_id, source, string_split(lower(text), ' ') AS ws, text
       FROM documents
@@ -480,7 +486,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              d.q_keep, d.d_keep, l.l_keep, s.s_keep
       FROM d JOIN l USING (doc_id) JOIN s USING (doc_id)
     )
-    SELECT stage, n_docs, n_tokens FROM (
+    """
+
+
+@query(
+    "pipeline_corpus_funnel",
+    oracle=FUNNEL_FLAGS_CTE
+    + """SELECT stage, n_docs, n_tokens FROM (
       SELECT 0 AS stage, count(*) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM m
       UNION ALL

@@ -3085,10 +3085,18 @@ def analytics_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multisep_dir_for_sf(sf_dir: str) -> str:
+    """Staged '||' export path, keyed on the SOURCE parquet's content
+    token (mtime_ns + size), not just the sf basename — a regenerated
+    documents fixture (or a different tree sharing the sf tag) can
+    never silently reuse a stale export (ADVICE r12). Spark-side only;
+    the oracle reads the documents view directly."""
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return f"/tmp/kdcspark_multisep_{tag}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    return (
+        f"/tmp/kdcspark_multisep_{tag}_{st.st_mtime_ns % 10**9}_{st.st_size}"
+    )
 
 
 @query(
@@ -3123,13 +3131,19 @@ def scan_csv_multichar_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(base):
         build = f"{base}.build.{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)
+        # concat_ws SKIPS a NULL argument entirely, which would shift
+        # every later column one slot left on read-back (ADVICE r12);
+        # coalescing each field to '' keeps the column count fixed, so
+        # an unexpected NULL surfaces as a clean per-value mismatch
+        # instead of a shifted row.
+        cols = ["doc_id", "lang", "source", "n_chars"]
         load_table(spark, sf_dir, "documents").select(
             F.concat_ws(
                 "||",
-                F.col("doc_id"),
-                F.col("lang"),
-                F.col("source"),
-                F.col("n_chars"),
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in cols
+                ],
             ).alias("value")
         ).coalesce(2).write.mode("overwrite").text(build)
         try:
@@ -3430,17 +3444,14 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ablation_oracle() -> str:
-    # Reuse pipeline_corpus_funnel's flag CTEs VERBATIM (slice the
-    # registered text before its final SELECT) — byte-identical prefix,
-    # so the funnel id's oracle fingerprint is untouched and the two
-    # reports provably share one flag definition.
-    from kdcloganalyzer_spark.plans import curation  # noqa: F401
-    from kdcloganalyzer_spark.plans.registry import ORACLES
+    # Build from the SAME named flag-CTE constant the funnel oracle is
+    # built from (curation.FUNNEL_FLAGS_CTE) — the two reports provably
+    # share one flag definition, with no textual slicing of another
+    # id's registered SQL (ADVICE r12).
+    from kdcloganalyzer_spark.plans.curation import FUNNEL_FLAGS_CTE
 
-    base = ORACLES["pipeline_corpus_funnel"]
-    prefix = base[: base.index("SELECT stage")]
     return (
-        prefix
+        FUNNEL_FLAGS_CTE
         + """SELECT q_keep, d_keep, l_keep, s_keep,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -3607,6 +3618,16 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("i"),
         "x",
+    )
+    # Loud growth guard (ADVICE r12): the 32-slot pad also TRUNCATES —
+    # both sides of the oracle pair drop day 33+ symmetrically, so a
+    # fixture that ever spans more than 32 days would silently ignore
+    # data while the hash stayed green. One bounded control-scalar
+    # count (≤ a few dozen groups) makes that day fail loudly instead.
+    n_days = d.count()
+    assert n_days <= 32, (
+        f"events span {n_days} days > the 32-slot Haar frame; widen the"
+        " pyramid (next power of two) before trusting this decomposition"
     )
     base = (
         spark.range(32)
