@@ -148,6 +148,66 @@ def _warm_streaming_engine(spark) -> None:
         )
         q.awaitTermination()
 
+        # The remaining engine shapes the stream tier JITs on first use
+        # (measured r13: a minimal applyInPandasWithState batch costs
+        # ~6 s on first execution, ~1 s after; binaryFile/foreachBatch,
+        # session_window, dropDuplicates and the stream-stream join
+        # each carry a similar first-run codegen/classload penalty).
+        # One tiny bounded run per shape keeps that out of the timed
+        # colds — plan-shape JIT is data-independent.
+        os.makedirs(f"{d}/bin", exist_ok=True)
+        for i in range(3):
+            with open(f"{d}/bin/w{i}.txt", "w") as fh:
+                fh.write("warm\n")
+        ev = spark.readStream.schema(schema).parquet(f"{d}/in")
+        wa = ev.selectExpr("id AS a_id", "ts AS a_ts").withWatermark(
+            "a_ts", "1 minute"
+        )
+        wb = ev.selectExpr("id AS b_id", "ts AS b_ts").withWatermark(
+            "b_ts", "1 minute"
+        )
+        shapes = [
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .load(f"{d}/bin")
+            .writeStream.foreachBatch(
+                lambda df, _i: df.select("path").collect()
+            )
+            .outputMode("append"),
+            ev.withWatermark("ts", "1 minute")
+            .groupBy(F.session_window("ts", "30 seconds"), "id")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("append"),
+            ev.withWatermark("ts", "1 minute")
+            .dropDuplicates(["id"])
+            .writeStream.format("noop")
+            .outputMode("append"),
+            wa.join(
+                wb,
+                (F.col("a_id") == F.col("b_id"))
+                & (F.col("b_ts") >= F.col("a_ts"))
+                & (
+                    F.col("b_ts")
+                    <= F.col("a_ts") + F.expr("INTERVAL 10 SECONDS")
+                ),
+                "inner",
+            )
+            .writeStream.format("noop")
+            .outputMode("append"),
+        ]
+        for i, writer in enumerate(shapes):
+            q = (
+                writer.option("checkpointLocation", f"{d}/ck{i}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
         from kdcloganalyzer_spark.operators.sessionize import sessionize
         from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
         from kdcloganalyzer_spark.sources.kdc_synth import synth_dir_for_sf
@@ -166,6 +226,23 @@ def _warm_streaming_engine(spark) -> None:
         ).mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warm-up is best-effort
         pass
+
+
+def _evict_amortized(qid: str) -> bool:
+    """Clear the per-(appId, sf) result cache behind an amortized id so
+    a repeat run is genuinely cold. Only the streaming tier's cache is
+    addressable here; batch amortized ids (ANN indexes, PCA, HITS)
+    keep their single-sample cold. Returns True if a cache was cleared.
+    """
+    if not qid.startswith("stream_"):
+        return False
+    try:
+        from kdcloganalyzer_spark.plans import streaming_queries as _sq
+
+        _sq._STREAM_RESULT_CACHE.clear()
+        return True
+    except Exception:  # noqa: BLE001 — bench must survive anything
+        return False
 
 
 def main() -> None:
@@ -246,6 +323,28 @@ def main() -> None:
             # stays visible round-over-round.
             if runs[0] > 0.4 and runs[0] > 10 * min(runs[1:]):
                 cold_queries[qid] = round(runs[0], 3)
+                # Single cold samples are hostage to this host's CPU
+                # steal (r13: identical code measured 46 s and 182 s
+                # tier totals an hour apart; vmstat shows episodic
+                # steal under load). For ids whose amortization cache
+                # is clearable — the streaming tier — take two more
+                # genuinely-cold samples and record the MIN, the same
+                # load-robustness rationale as min-of-3 on warm runs.
+                colds = [runs[0]]
+                for _ in range(2):
+                    if not _evict_amortized(qid):
+                        break
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    # still >10x the warm floor → genuinely re-ran cold
+                    if dt > 10 * min(runs[1:]):
+                        colds.append(dt)
+                    else:  # cache wasn't actually cleared; keep 1 sample
+                        break
+                cold_queries[qid] = round(min(colds), 3)
         except Exception as e:  # noqa: BLE001 — bench must survive any query
             errors[qid] = f"{type(e).__name__}: {e}"[:300]
 

