@@ -209,6 +209,16 @@ def triangle_counts(
     o2 = oriented.select("a", F.col("b").alias("b2"))
     if small:
         o2 = F.broadcast(o2)
+    else:
+        # Above the broadcast gate the wedge stream (~34x edges here)
+        # must be exchanged for the closing join — size the shuffle to
+        # that volume, not the session default, which is tuned for
+        # sf-scale aggregates (r13 sf1 audit: 12M edges / 400M wedges
+        # ran 221 s at the session's 32 partitions, 102 s at 128;
+        # checkpointed inputs carry no stats, so AQE cannot size this).
+        n_part = min(256, max(32, n_edges // 150_000))
+        o1 = o1.repartition(n_part, "a")
+        o2 = o2.repartition(n_part, "a")
     wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
     if packable:
         # Pack the closing pair into ONE long key: the 41M-probe hash
@@ -223,16 +233,24 @@ def triangle_counts(
                 F.col("u").cast("long") * F.lit(4294967296) + F.col("v")
             ).alias("pk")
         )
+        w = wedges.select("a", "b1", "b2", pair_key)
         if small:
             closing = F.broadcast(closing)
-        tri = wedges.select("a", "b1", "b2", pair_key).join(closing, "pk")
+        else:
+            w = w.repartition(n_part, "pk")
+            closing = closing.repartition(n_part, "pk")
+        tri = w.join(closing, "pk")
     else:
         closing = e.select(
             F.col("u").alias("b1"), F.col("v").alias("b2")
         )
+        w = wedges.select("a", "b1", "b2")
         if small:
             closing = F.broadcast(closing)
-        tri = wedges.select("a", "b1", "b2").join(closing, ["b1", "b2"])
+        else:
+            w = w.repartition(n_part, "b1", "b2")
+            closing = closing.repartition(n_part, "b1", "b2")
+        tri = w.join(closing, ["b1", "b2"])
     return (
         tri.select(
             F.explode(F.array("a", "b1", "b2")).alias("node")

@@ -581,16 +581,39 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = e.groupBy("c").agg(F.count("*").alias("d"))
-    a = e.alias("a")
-    b = e.alias("b")
-    common = (
-        a.join(
+    # Size the wedge join's shuffle to the input volume, not the
+    # session default: the footer row count is free (no job), and the
+    # r13 sf1 audit showed the session's sf-scale partition count is
+    # the bottleneck once the wedge stream grows 10x (same lesson as
+    # operators/graph.py:triangle_counts' above-gate path).
+    import pyarrow.parquet as pq
+
+    li_rows = pq.ParquetFile(
+        f"{sf_dir}/lineitem.parquet"
+    ).metadata.num_rows
+    if li_rows > 1_500_000:
+        # above ~sf0.25 the wedge stream dominates: pre-cluster both
+        # sides on p and the pair aggregate on (c1, c2) at a volume-
+        # derived width (at bench scales the hints are NOT applied —
+        # they would displace AQE's broadcast choice with two explicit
+        # exchanges and cost more than they save)
+        n_part = min(256, max(32, li_rows // 40_000))
+        a = e.repartition(n_part, "p").alias("a")
+        b = e.repartition(n_part, "p").alias("b")
+        wedge = a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
+        ).repartition(n_part, F.col("a.c"), F.col("b.c"))
+    else:
+        a = e.alias("a")
+        b = e.alias("b")
+        wedge = a.join(
             b,
             (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
         )
-        .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
-        .agg(F.count("*").alias("com"))
-    )
+    common = wedge.groupBy(
+        F.col("a.c").alias("c1"), F.col("b.c").alias("c2")
+    ).agg(F.count("*").alias("com"))
     d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("dd1"))
     d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("dd2"))
     jac = (
