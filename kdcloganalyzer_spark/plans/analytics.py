@@ -761,9 +761,9 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Triangle counting over the part co-order graph
 # ---------------------------------------------------------------------------
-@query(
-    "graph_triangle_count",
-    oracle="""
+#: Shared by graph_triangle_count and its shuffle-regime twin
+#: (plans/round13_ops.py) — identical triangle set by construction.
+TRIANGLE_ORACLE = """
     WITH e AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
@@ -781,8 +781,10 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node, tri_n FROM pern
     ORDER BY tri_n DESC, node ASC LIMIT 20
-    """,
-)
+    """
+
+
+@query("graph_triangle_count", oracle=TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by triangle participation in the part co-order graph
     (an edge per distinct part pair sharing an order) — the clustering /

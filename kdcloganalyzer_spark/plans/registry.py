@@ -54,5 +54,6 @@ def load_all() -> None:
         round10_ops,
         round11_ops,
         round12_ops,
+        round13_ops,
         streaming_queries,
     )
