@@ -20,6 +20,80 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+from collections.abc import Callable
+
+#: (matcher, evictor) pairs — the bench's min-of-N COLD protocol
+#: (VERDICT r13 item 2) asks each amortized cache to be clearable BY
+#: QUERY ID, so a re-run is genuinely cold. Matchers answer "does this
+#: qid read through the cache I guard"; evictors drop the entries (and
+#: best-effort unpersist DataFrames). Registered by the owning plan
+#: module at import, consumed by bench.py.
+_EVICTORS: list[tuple[Callable[[str], bool], Callable[[], None]]] = []
+
+
+def register_evictor(
+    matcher: Callable[[str], bool], evict: Callable[[], None]
+) -> None:
+    """Register an amortized-cache eviction hook.
+
+    ``matcher(qid)`` must return True for every query id whose plan
+    reads through the guarded cache (so evicting for that id makes its
+    re-run cold); ``evict()`` clears the cache unconditionally."""
+    _EVICTORS.append((matcher, evict))
+
+
+def evict_for(qid: str) -> bool:
+    """Clear every registered cache that ``qid`` reads through.
+
+    Returns True iff at least one cache was cleared — the bench uses
+    this as "a genuinely-cold re-sample is possible for this id". Both
+    matcher and evictor failures are swallowed: cache hygiene must
+    never kill a bench or test run."""
+    hit = False
+    for matcher, evict in _EVICTORS:
+        try:
+            if matcher(qid):
+                evict()
+                hit = True
+        except Exception:  # noqa: BLE001 — hygiene is best-effort
+            pass
+    return hit
+
+
+def dict_cache_evictor(cache: dict) -> Callable[[], None]:
+    """Evictor for the standard app-scoped dict cache: pop every entry
+    and best-effort unpersist any DataFrame values (tuple values are
+    unpacked — the ANN index caches store (df, codebook) pairs). The
+    popped reference is the real cleanup; a failed unpersist only
+    delays block reclamation to app exit."""
+
+    def _evict() -> None:
+        for k in list(cache):
+            v = cache.pop(k, None)
+            items = v if isinstance(v, tuple) else (v,)
+            for item in items:
+                unpersist = getattr(item, "unpersist", None)
+                if callable(unpersist):
+                    try:
+                        unpersist()
+                    except Exception:  # noqa: BLE001
+                        pass
+
+    return _evict
+
+
+def module_ids_matcher(module_name: str) -> Callable[[str], bool]:
+    """Matcher: every qid registered by ``module_name`` — the right
+    scope for a cache that (nearly) every query in one plan module
+    reads through (e.g. the kdc_records persist)."""
+
+    def _match(qid: str) -> bool:
+        from kdcloganalyzer_spark.plans import registry
+
+        fn = registry.QUERIES.get(qid)
+        return fn is not None and fn.__module__ == module_name
+
+    return _match
 
 
 def evict_stale(cache: dict, spark) -> None:

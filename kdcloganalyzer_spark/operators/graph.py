@@ -217,8 +217,15 @@ def triangle_counts(
         # ran 221 s at the session's 32 partitions, 102 s at 128;
         # checkpointed inputs carry no stats, so AQE cannot size this).
         n_part = min(256, max(32, n_edges // 150_000))
+        # SHUFFLE_HASH hint, not just the missing broadcast() call:
+        # join-strategy hints live on the logical Join node and survive
+        # AQE re-optimization, so the above-gate regime stays a
+        # co-partitioned shuffled hash join even when runtime exchange
+        # stats fall under adaptive.autoBroadcastJoinThreshold (ADVICE
+        # r13: at bench scale AQE silently converted this regime back
+        # to BroadcastHashJoin, making the shuffle-twin receipt vacuous).
         o1 = o1.repartition(n_part, "a")
-        o2 = o2.repartition(n_part, "a")
+        o2 = o2.repartition(n_part, "a").hint("shuffle_hash")
     wedges = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
     if packable:
         # Pack the closing pair into ONE long key: the 41M-probe hash
@@ -238,7 +245,7 @@ def triangle_counts(
             closing = F.broadcast(closing)
         else:
             w = w.repartition(n_part, "pk")
-            closing = closing.repartition(n_part, "pk")
+            closing = closing.repartition(n_part, "pk").hint("shuffle_hash")
         tri = w.join(closing, "pk")
     else:
         closing = e.select(
@@ -249,7 +256,9 @@ def triangle_counts(
             closing = F.broadcast(closing)
         else:
             w = w.repartition(n_part, "b1", "b2")
-            closing = closing.repartition(n_part, "b1", "b2")
+            closing = closing.repartition(n_part, "b1", "b2").hint(
+                "shuffle_hash"
+            )
         tri = w.join(closing, ["b1", "b2"])
     return (
         tri.select(

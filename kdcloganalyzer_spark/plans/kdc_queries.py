@@ -32,6 +32,16 @@ from kdcloganalyzer_spark.sources.kdc_synth import (
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Every id in this module reads through the kdc_records persist; the
+# bench's min-of-N COLD protocol (VERDICT r13 item 2) evicts it so a
+# flagged id's re-sample genuinely re-pays the sessionize. The on-disk
+# records parquet (records_path_for_sf) is NOT touched: it is a
+# deployment artifact (the oracle twin), not in-process amortization.
+appcache.register_evictor(
+    appcache.module_ids_matcher(__name__),
+    appcache.dict_cache_evictor(_CACHE),
+)
+
 # Bump whenever the parser/sessionizer output changes; the path ALSO
 # embeds the synth corpus's own versioned dir name, so regenerating or
 # re-versioning the corpus (kdc_synth.py) auto-invalidates these records

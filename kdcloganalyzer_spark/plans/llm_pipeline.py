@@ -721,6 +721,26 @@ _PQ_CACHE: dict = {}
 _IVFPQ_CACHE: dict = {}
 _PIVOT_CACHE: dict = {}
 
+# Min-of-N COLD protocol hooks (VERDICT r13 item 2): each index cache is
+# evictable by the qids that read through it, so a bench re-sample
+# re-pays the genuine index build.
+appcache.register_evictor(
+    lambda qid: qid in ("sim_search_ivf", "sim_search_ivfpq"),
+    appcache.dict_cache_evictor(_IVF_CACHE),
+)
+appcache.register_evictor(
+    lambda qid: qid in ("sim_search_pq", "sim_search_ivfpq"),
+    appcache.dict_cache_evictor(_PQ_CACHE),
+)
+appcache.register_evictor(
+    lambda qid: qid == "sim_search_ivfpq",
+    appcache.dict_cache_evictor(_IVFPQ_CACHE),
+)
+appcache.register_evictor(
+    lambda qid: qid == "dedup_embedding_cosine",
+    appcache.dict_cache_evictor(_PIVOT_CACHE),
+)
+
 
 def _pivot_index(spark: SparkSession, sf_dir: str):
     """Cached (per session+sf) pivot index for the pruned cosine join —

@@ -55,5 +55,6 @@ def load_all() -> None:
         round11_ops,
         round12_ops,
         round13_ops,
+        round14_ops,
         streaming_queries,
     )

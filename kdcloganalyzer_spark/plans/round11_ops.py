@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kdcloganalyzer_spark import appcache
 from kdcloganalyzer_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -829,6 +830,15 @@ _BPE_TRAIN_CTES = (
 
 
 _BPE_MERGE_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid
+    in (
+        "text_bpe_train_merges",
+        "pipeline_bpe_tokenize",
+        "pipeline_tokenizer_fertility",
+    ),
+    appcache.dict_cache_evictor(_BPE_MERGE_CACHE),
+)
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str):
@@ -2087,6 +2097,10 @@ def pipeline_compaction_bins(
 
 
 _LP3_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid == "graph_community_modularity",
+    appcache.dict_cache_evictor(_LP3_CACHE),
+)
 
 
 def _lp3_labels(spark: SparkSession, sf_dir: str, sym: DataFrame):
@@ -2382,6 +2396,10 @@ def scan_csv_multiline_quoted(
 
 
 _MLCSV_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid == "scan_csv_multiline_quoted",
+    appcache.dict_cache_evictor(_MLCSV_CACHE),
+)
 
 
 # ---------------------------------------------------------------------------

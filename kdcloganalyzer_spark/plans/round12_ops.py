@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kdcloganalyzer_spark import appcache
 from kdcloganalyzer_spark.plans.registry import query
 from kdcloganalyzer_spark.sources.tables import load_table
 
@@ -765,6 +766,10 @@ def _coreset_oracle(k: int = 16) -> str:
 #: Per-(appId, sf) coreset result (16 control rows) — the traversal is
 #: 16 TakeOrdered passes; like the IVF build it runs once per session.
 _CORESET_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid == "sample_coreset_kcenter",
+    appcache.dict_cache_evictor(_CORESET_CACHE),
+)
 
 
 @query("sample_coreset_kcenter", oracle=_coreset_oracle())
@@ -851,6 +856,10 @@ _PCA_SCALE = 1 << 20  # shared quantum with the Lloyd idiom
 #: like the ANN index builds it runs once per session (cold cost in
 #: BASELINE round-12 rows) and re-reads serve the pinned 10 rows.
 _PCA_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid == "embed_pca_power_iteration",
+    appcache.dict_cache_evictor(_PCA_CACHE),
+)
 
 
 def _pca_oracle(rounds: int = _PCA_ROUNDS, dim: int = 64) -> str:
@@ -1752,6 +1761,10 @@ _HITS_S = 1 << 20
 #: builds; the 10-shuffle fused plan runs once per session (cold cost in
 #: the BASELINE round-12 rows), re-reads serve the pinned 10 rows.
 _HITS_CACHE: dict = {}
+appcache.register_evictor(
+    lambda qid: qid == "graph_hits_bipartite",
+    appcache.dict_cache_evictor(_HITS_CACHE),
+)
 
 
 def _hits_oracle(rounds: int = _HITS_ROUNDS) -> str:

@@ -56,9 +56,15 @@ def events_calendar_heatmap_hll(
     registered as a runnable query. At 100 TB the per-cell exact
     COUNT(DISTINCT user_id) is the grid's one heavy node (a user-keyed
     distinct shuffle per cell); the sketch form builds one Datasketches
-    HLL per (dow, hour) cell in the SAME single partial-agg'd pass as
-    the counts — raw user ids never shuffle; ≤168 sketches merge
-    map-side. Output = the exact twin's columns + ``hll_in_envelope``:
+    HLL per (dow, hour) cell in a single partial-agg'd pass — raw user
+    ids never shuffle in the PURE sketch form; ≤168 sketches merge
+    map-side. NOTE (ADVICE r13): the plan registered HERE additionally
+    keeps the exact count_distinct in the same aggregate SOLELY so the
+    DuckDB hash gate can verify the grid — that exact column does
+    shuffle raw user ids, so this id's benched plan is the
+    verification form; the 100 TB scale path drops the exact column
+    and keeps only the sketch estimate. Output = the exact twin's
+    columns + ``hll_in_envelope``:
     every cell's estimate within max(3, 2.5% of exact) (lgK=14,
     RSE ≈ 0.81%, so 2.5% ≈ 3σ — the events_dau_mau_stickiness_hll
     envelope rationale). The oracle asserts the literal TRUE; the
@@ -145,8 +151,13 @@ def pipeline_dedup_rate_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle dedup_exact pays); the monitoring question — "how
     duplicated is each source TODAY" — only needs |distinct| per
     source, which one HLL per source answers in a single partial-agg'd
-    pass: fingerprints hash into sketches map-side, only ≤|sources|
-    sketch payloads ever move. This is the continuous-monitoring twin
+    pass: in the PURE sketch form fingerprints hash into sketches
+    map-side and only ≤|sources| sketch payloads ever move. NOTE
+    (ADVICE r13): the plan registered HERE additionally keeps the
+    exact count_distinct(grp) SOLELY for the DuckDB hash gate — that
+    column does shuffle fingerprints, so the benched plan is the
+    verification form; the 100 TB scale path drops it and reports the
+    sketch estimate. This is the continuous-monitoring twin
     of ``pipeline_dedup_rate_curve``'s pilot-extrapolation (same
     first-8-words md5 fingerprint, curation-tier convention). Output =
     exact counts (the oracle re-verifies them) + ``hll_in_envelope``:

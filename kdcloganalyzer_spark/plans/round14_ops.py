@@ -1,0 +1,391 @@
+"""Round-14 additions (VERDICT r13 item 7): the remaining
+docstring-named scale swaps registered as first-class hash-verified
+ids, each following the r13 twin discipline (exact columns keep the
+hash gate honest; the sketch/approx machinery feeds either an envelope
+flag or a fully-replayable deterministic result).
+
+- ``analytics_pareto_concentration_approx`` — the approx_percentile
+  decile-boundary form ``analytics_pareto_concentration``'s docstring
+  names (plans/analytics.py): boundaries from a GK sketch instead of a
+  global rank, validated against the exact ranks via an envelope flag.
+- ``events_user_entropy_cms`` — the CMS/top-k head + tail-bucket form
+  ``events_user_entropy``'s docstring names (plans/round12_ops.py):
+  the md5-derived CMS (operators/cms.py) selects the head, so the
+  whole construction — sketch, head, reduced histogram, entropy — is
+  deterministic and replayed end-to-end by the DuckDB oracle.
+- ``agg_weighted_median_sketch`` — the weighted-sketch ladder
+  ``agg_weighted_median``'s docstring names (plans/relational.py):
+  each value inserted into a percentile sketch with its weight as
+  multiplicity; the sketch median's cumulative-weight position is
+  envelope-checked against the exact lower weighted median.
+
+Reference lineage: the reference has no sketch tier — these extend the
+§2.3 north-star families (SURVEY.md) with the suite's exact integer
+conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kdcloganalyzer_spark.operators import cms
+from kdcloganalyzer_spark.plans.registry import query
+from kdcloganalyzer_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration curve, approx-percentile boundary form
+# ---------------------------------------------------------------------------
+@query(
+    "analytics_pareto_concentration_approx",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+             count(*) OVER () AS n_cust,
+             sum(spend) OVER () AS total,
+             sum(spend) OVER (ORDER BY spend DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           CAST(max(cum) * 1000000 // max(total) AS BIGINT)
+             AS cum_share_micro,
+           TRUE AS approx_in_envelope
+    FROM (SELECT cum, total,
+                 CAST(rk * 10 // n_cust AS BIGINT) AS decile
+          FROM r WHERE rk * 10 % n_cust = 0 OR rk = n_cust) x
+    GROUP BY decile
+    """,
+)
+def analytics_pareto_concentration_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARETO CURVE, APPROX-BOUNDARY FORM — the billions-of-entities
+    swap ``analytics_pareto_concentration``'s docstring names: decile
+    boundaries from ``percentile_approx`` (Greenwald-Khanna, one
+    mergeable partial-agg'd pass) instead of a global rank-over-summary
+    window — at true scale the unpartitioned rank is the one
+    non-mergeable node, and the GK sketch is how the same curve is
+    read off without it. Twin discipline (ADVICE r13 wording): the
+    curve columns reported here are the EXACT twin's, kept solely so
+    the hash gate re-verifies the curve; the approx machinery feeds
+    ``approx_in_envelope`` — TRUE iff every GK decile boundary b_d
+    sits within max(3, 1% of n) customers of its exact rank target
+    (count(spend >= b_d) >= t_d - tol AND count(spend > b_d) <=
+    t_d + tol, t_d = d*n/10) — so a drifting sketch flips the flag and
+    the driver hash catches it. Boundaries and rank counts are bounded
+    control scalars (two 1-row collects), never a row-space join."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("spend")
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = [round(1 - d / 10, 1) for d in range(1, 10)]  # 0.9 .. 0.1
+    head = s.agg(
+        F.percentile_approx("spend", qs, 10000).alias("bnd"),
+        F.count("*").alias("n"),
+    ).first()
+    bnds, n = list(head["bnd"]), int(head["n"])
+    tol = max(3, n // 100)
+    ranks = s.agg(
+        *[
+            F.sum(
+                F.when(F.col("spend") >= F.lit(int(b)), 1).otherwise(0)
+            ).alias(f"ge{d}")
+            for d, b in enumerate(bnds, start=1)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("spend") > F.lit(int(b)), 1).otherwise(0)
+            ).alias(f"gt{d}")
+            for d, b in enumerate(bnds, start=1)
+        ],
+    ).first()
+    in_env = all(
+        ranks[f"ge{d}"] >= (d * n) // 10 - tol
+        and ranks[f"gt{d}"] <= (d * n) // 10 + tol
+        for d in range(1, 10)
+    )
+    w_rank = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    r = s.select(
+        "spend",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_all).alias("n_cust"),
+        F.sum("spend").over(w_all).alias("total"),
+        F.sum("spend")
+        .over(
+            w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    x = r.where(
+        ((F.col("rk") * 10) % F.col("n_cust") == 0)
+        | (F.col("rk") == F.col("n_cust"))
+    ).select(
+        (F.col("rk") * 10 / F.col("n_cust")).cast("int").alias("decile"),
+        "cum",
+        "total",
+    )
+    return x.groupBy("decile").agg(
+        F.max("cum").cast("bigint").alias("cum_cents"),
+        F.expr("max(cum) * 1000000 div max(total)").alias(
+            "cum_share_micro"
+        ),
+        F.lit(bool(in_env)).alias("approx_in_envelope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user entropy, CMS-head + tail-bucket form
+# ---------------------------------------------------------------------------
+_ENTROPY_HEAD_K = 3
+
+
+def _entropy_cms_oracle(k: int = _ENTROPY_HEAD_K) -> str:
+    return f"""
+    WITH h AS (
+      SELECT event_type, CAST(r AS INT) AS r,
+             {cms.cms_bucket_sql("event_type", "r")} AS bucket
+      FROM events, UNNEST(range(0, {cms.CMS_D})) AS t(r)
+    ),
+    sk AS (SELECT r, bucket, count(*) AS c FROM h GROUP BY ALL),
+    kb AS (
+      SELECT event_type, CAST(r AS INT) AS r,
+             {cms.cms_bucket_sql("event_type", "r")} AS bucket
+      FROM (SELECT DISTINCT event_type FROM events),
+           UNNEST(range(0, {cms.CMS_D})) AS t(r)
+    ),
+    est AS (SELECT event_type, min(c) AS cms_est
+            FROM kb JOIN sk USING (r, bucket) GROUP BY 1),
+    head AS (SELECT event_type FROM est
+             ORDER BY cms_est DESC, event_type LIMIT {k}),
+    red AS (
+      SELECT user_id,
+             CASE WHEN event_type IN (SELECT event_type FROM head)
+                  THEN event_type ELSE '__tail__' END AS bucket_type
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, bucket_type, count(*) AS c
+      FROM red GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS n
+      FROM c
+    ),
+    l AS (
+      SELECT user_id, c, n,
+             CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)
+               AS lnm
+      FROM d
+    )
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST((-sum(c * lnm)) // sum(c) AS BIGINT) AS h_head_micro
+    FROM l GROUP BY user_id
+    """
+
+
+@query("events_user_entropy_cms", oracle=_entropy_cms_oracle())
+def events_user_entropy_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-USER ENTROPY, CMS-HEAD FORM — the unbounded-type-domain swap
+    ``events_user_entropy``'s docstring names: at 100 TB the exact
+    per-(user, type) count vector is unbounded state, so the histogram
+    is reduced to a HEAD of globally-heavy types plus one tail bucket —
+    per-user state becomes K+1 counters regardless of domain size. The
+    head comes from the md5-derived count-min sketch (operators/
+    cms.py: one posexplode pass builds the 4x256 cell table map-side;
+    point queries broadcast it) — top-K=3 by (estimate DESC, type ASC),
+    which is deterministic and ENGINE-NEUTRAL, so unlike the HLL twins
+    no envelope flag is needed: the DuckDB oracle replays sketch, head
+    selection, reduced histogram, and micro-nat entropy end-to-end and
+    the hash verifies the whole construction. Entropy follows the
+    exact twin's idiom: each ln(c/n) rounded ONCE to integer
+    micro-nats, c-weighted integer sums, positive//positive div. The
+    head list is a bounded control collect (<= K+heap candidates; at
+    scale the candidate set comes from the same CMS+heap pass)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    cells = cms.cms_cells(ev.select("event_type"))
+    kb = cms.cms_pairs(ev.select("event_type").distinct())
+    est = (
+        kb.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    head = [
+        r["event_type"]
+        for r in est.orderBy(
+            F.desc("cms_est"), F.asc("event_type")
+        ).limit(_ENTROPY_HEAD_K).collect()
+    ]
+    red = ev.select(
+        "user_id",
+        F.when(
+            F.col("event_type").isin(head), F.col("event_type")
+        )
+        .otherwise(F.lit("__tail__"))
+        .alias("bucket_type"),
+    )
+    c = red.groupBy("user_id", "bucket_type").agg(
+        F.count("*").alias("c")
+    )
+    d = c.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    lnm = F.expr(
+        "CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)"
+    )
+    return (
+        d.select("user_id", "c", lnm.alias("lnm"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.expr("CAST((-sum(c * lnm)) div sum(c) AS BIGINT)").alias(
+                "h_head_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median, percentile-sketch form
+# ---------------------------------------------------------------------------
+@query(
+    "agg_weighted_median_sketch",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS total
+      FROM x
+    )
+    SELECT flag,
+           CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(max(total) AS BIGINT) AS total_weight,
+           TRUE AS sketch_in_envelope
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED MEDIAN, SKETCH FORM — the weighted-KLL/t-digest ladder
+    ``agg_weighted_median``'s docstring names: each price is inserted
+    into a mergeable percentile sketch with its quantity as
+    MULTIPLICITY (``explode(sequence(1, w))`` — the generic way to
+    weight any unweighted sketch; quantities are bounded 1..50 so the
+    expansion is a constant factor), and the sketch's q=0.5 point
+    replaces the per-group cumulative sort — at extreme per-group
+    cardinality the sort is the cost the sketch removes. Twin
+    discipline: the reported median/total are the EXACT twin's (hash
+    gate re-verifies them); the sketch feeds ``sketch_in_envelope`` —
+    TRUE iff the sketch median's cumulative-weight position lies in
+    [45%, 55%] of the group's total weight (20*cw_le >= 9*total and
+    20*cw_lt <= 11*total, integer-exact), a generous band for GK
+    accuracy 2000. Per-flag sketch points and envelope checks are
+    bounded control scalars (two |flags|-row collects); the flag
+    attaches as a literal CASE, never a row-space join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    approx = {
+        r["flag"]: int(r["a_cents"])
+        for r in x.select(
+            "flag",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.col("w"))).alias("_i"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.percentile_approx("cents", 0.5, 2000).alias("a_cents")
+        )
+        .collect()
+    }
+    b_case = F.lit(None).cast("bigint")
+    for fl, b in approx.items():
+        b_case = F.when(F.col("flag") == F.lit(fl), F.lit(b)).otherwise(
+            b_case
+        )
+    env = {
+        r["flag"]: bool(
+            20 * r["cw_le"] >= 9 * r["total"]
+            and 20 * r["cw_lt"] <= 11 * r["total"]
+        )
+        for r in x.groupBy("flag")
+        .agg(
+            F.sum("w").alias("total"),
+            F.sum(
+                F.when(F.col("cents") <= b_case, F.col("w")).otherwise(0)
+            ).alias("cw_le"),
+            F.sum(
+                F.when(F.col("cents") < b_case, F.col("w")).otherwise(0)
+            ).alias("cw_lt"),
+        )
+        .collect()
+    }
+    ok_case = F.lit(False)
+    for fl, ok in env.items():
+        ok_case = F.when(
+            F.col("flag") == F.lit(fl), F.lit(ok)
+        ).otherwise(ok_case)
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = x.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("bigint").alias(
+                "weighted_median_cents"
+            ),
+            F.max("total").cast("bigint").alias("total_weight"),
+            ok_case.alias("sketch_in_envelope"),
+        )
+    )

@@ -47,6 +47,18 @@ from kdcloganalyzer_spark.streaming import stream_queries as SQ
 _STREAM_RESULT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _register_stream_evictor() -> None:
+    from kdcloganalyzer_spark import appcache
+
+    appcache.register_evictor(
+        lambda qid: qid.startswith("stream_"),
+        _STREAM_RESULT_CACHE.clear,
+    )
+
+
+_register_stream_evictor()
+
+
 def _amortized(fn):
     """Wrap a registered streaming query with the per-(appId, sf) result
     cache. ``localCheckpoint(eager=True)`` pins the materialized rows so

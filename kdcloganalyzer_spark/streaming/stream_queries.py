@@ -80,10 +80,13 @@ def _run_to_memory(
     paying offset/commit-log fsyncs per micro-batch — measured ~0.1 s
     per bounded run on this box. Durability buys nothing for a bounded
     bench run; a real deployment points this at object storage."""
+    import shutil
+
     spark = sdf.sparkSession
     name = f"stream_result_{next(_MEM_SEQ)}"
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     old_nodata = spark.conf.get(nodata_key, "true")
+    ckdir = appcache.tempdir(prefix=f"ck_{name}_", fast=True)
     with _state_sized_shuffle(spark, n_shuffle):
         if output_mode != "append":
             spark.conf.set(nodata_key, "false")
@@ -92,16 +95,20 @@ def _run_to_memory(
                 sdf.writeStream.format("memory")
                 .queryName(name)
                 .outputMode(output_mode)
-                .option(
-                    "checkpointLocation",
-                    appcache.tempdir(prefix=f"ck_{name}_", fast=True),
-                )
+                .option("checkpointLocation", ckdir)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
         finally:
             spark.conf.set(nodata_key, old_nodata)
+            # The bounded run is over and the memory sink holds the
+            # result — drop the checkpoint (offsets/commits/state-store
+            # snapshots) NOW instead of at interpreter exit, or a full
+            # bench with min-of-3 cold stream re-runs accumulates
+            # state checkpoints in tmpfs for the process lifetime
+            # (ADVICE r13). atexit (appcache.tempdir) stays as backstop.
+            shutil.rmtree(ckdir, ignore_errors=True)
     return spark.table(name)
 
 

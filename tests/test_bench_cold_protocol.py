@@ -1,8 +1,9 @@
 """Pins for bench.py's amortized-cold measurement protocol (VERDICT r12
-item 2, hardened r13): stream ids take min-of-3 genuinely-cold samples
-by clearing the streaming result cache between runs; batch amortized
-ids keep their single-sample cold (their caches are not addressable
-from the bench)."""
+item 2, hardened r13, made uniform r14): every amortized id's cache is
+evictable BY QUERY ID through the appcache eviction registry, so the
+min-of-N genuinely-cold sampling applies to the batch amortized ids
+(ANN indexes, PCA/HITS/coreset reports, kdc_records, bucketed tables)
+exactly as it does to the streaming tier — not stream-only."""
 
 from __future__ import annotations
 
@@ -12,15 +13,95 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
-from kdcloganalyzer_spark.plans import streaming_queries as sq  # noqa: E402
+from kdcloganalyzer_spark import appcache  # noqa: E402
+from kdcloganalyzer_spark.plans import (  # noqa: E402
+    kdc_queries as kq,
+    llm_pipeline as lp,
+    round11_ops as r11,
+    round12_ops as r12,
+    streaming_queries as sq,
+)
 
 
-def test_evict_amortized_clears_stream_cache_only():
+def test_evict_amortized_clears_stream_cache():
     sq._STREAM_RESULT_CACHE[("app", "sf", "q")] = object()
     assert bench._evict_amortized("stream_window_tumbling") is True
     assert sq._STREAM_RESULT_CACHE == {}
-    # batch amortized ids are untouched (single-sample cold by design)
-    sq._STREAM_RESULT_CACHE[("app", "sf", "q")] = object()
-    assert bench._evict_amortized("embed_pca_power_iteration") is False
-    assert ("app", "sf", "q") in sq._STREAM_RESULT_CACHE
-    sq._STREAM_RESULT_CACHE.clear()
+
+
+def test_evict_amortized_covers_the_batch_amortized_ids():
+    """The five non-stream cold ids from BENCH_r13 (VERDICT r13 item 2)
+    must each be evictable, and eviction must actually drain the cache
+    that serves them."""
+    cases = [
+        ("embed_pca_power_iteration", r12._PCA_CACHE),
+        ("graph_hits_bipartite", r12._HITS_CACHE),
+        ("sample_coreset_kcenter", r12._CORESET_CACHE),
+        ("agg_enctype_dim", kq._CACHE),
+        # join_bucketed's cache is the Spark catalog (needs a session);
+        # its registration is covered by the registry test below.
+    ]
+    for qid, cache in cases:
+        cache[("app", "sf")] = object()
+        assert bench._evict_amortized(qid) is True, qid
+        assert cache == {}, qid
+
+
+def test_evictor_registry_has_index_and_staging_hooks():
+    """The shared index caches named by VERDICT r13 item 2 are each
+    behind a registered evictor keyed to their consumer ids."""
+    for qid, cache in [
+        ("sim_search_ivf", lp._IVF_CACHE),
+        ("sim_search_pq", lp._PQ_CACHE),
+        ("sim_search_ivfpq", lp._IVFPQ_CACHE),
+        ("dedup_embedding_cosine", lp._PIVOT_CACHE),
+        ("text_bpe_train_merges", r11._BPE_MERGE_CACHE),
+        ("pipeline_bpe_tokenize", r11._BPE_MERGE_CACHE),
+        ("graph_community_modularity", r11._LP3_CACHE),
+        ("scan_csv_multiline_quoted", r11._MLCSV_CACHE),
+    ]:
+        cache[("app", "sf")] = object()
+        assert appcache.evict_for(qid) is True, qid
+        assert cache == {}, qid
+    # join_bucketed has a (catalog-backed) evictor registered too
+    assert any(
+        m("join_bucketed") for m, _ in appcache._EVICTORS
+    )
+
+
+def test_evict_amortized_false_for_unamortized_ids():
+    """An id with no registered cache keeps its single-sample cold —
+    the bench must not loop on it."""
+    assert bench._evict_amortized("analytics_pricing_summary") is False
+
+
+def test_kdc_module_matcher_scopes_to_kdc_ids():
+    """The kdc_records evictor fires for every id registered by the
+    kdc_queries module and for no relational id."""
+    from kdcloganalyzer_spark.plans import registry
+
+    registry.load_all()
+    m = appcache.module_ids_matcher(
+        "kdcloganalyzer_spark.plans.kdc_queries"
+    )
+    assert m("agg_enctype_dim") and m("kdc_password_spray")
+    assert not m("join_bucketed") and not m("nonexistent_id")
+
+
+def test_unpersist_called_on_evicted_dataframes():
+    """dict_cache_evictor must best-effort unpersist DataFrame values,
+    including tuple-packed ones (the ANN caches store (df, codebook))."""
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache = {}
+    a, b = FakeDF(), FakeDF()
+    cache["k1"] = a
+    cache["k2"] = (b, [1, 2, 3])
+    appcache.dict_cache_evictor(cache)()
+    assert cache == {} and a.unpersisted and b.unpersisted

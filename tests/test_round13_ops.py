@@ -37,11 +37,21 @@ def test_triangle_shuffle_regime_matches_broadcast_regime(spark, sf_dir):
 
 def test_triangle_shuffle_plan_has_no_broadcast_joins(spark, sf_dir):
     """The twin must actually RUN the above-gate layout: no
-    BroadcastHashJoin anywhere in its executed plan (the wedge and
-    closing joins are co-partitioned exchanges)."""
+    BroadcastHashJoin anywhere in its FINAL adaptive plan (ADVICE r13:
+    inspecting executedPlan() before any action sees the non-final
+    adaptive plan, and at bench scale AQE's runtime broadcast
+    conversion would otherwise rewrite the shuffle joins back to
+    broadcast — the SHUFFLE_HASH hints in operators/graph.py are what
+    this pins). Execute first, then read the final plan."""
     df = registry.QUERIES["graph_triangle_count_shuffle"](spark, sf_dir)
+    # collect() drives df's OWN QueryExecution (a .write would wrap the
+    # plan in a fresh command execution whose adaptive plan this df
+    # never sees); the query is a top-20, so this is bounded.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
 
 
 def test_dedup_rate_hll_matches_python_replay(spark, sf_dir):
