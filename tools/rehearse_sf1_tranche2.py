@@ -6,7 +6,9 @@ blocked-off quadratic on a corpus third). Two runs per id: run1 = cold
 (staging + plan JIT), run2 = warm; cross-scale comparisons use matched
 run positions (BASELINE.md round-14 sf1 table).
 
-Usage: python tools/rehearse_sf1_tranche2.py
+Usage: python tools/rehearse_sf1_tranche2.py [sf_dir] [out_json]
+(defaults: /tmp/rehearsal/sf1, /tmp/sf1_rehearsal_t2.json — pass
+/root/testdata/sf0.1 for the matched-protocol reference runs)
 """
 import json
 import sys
@@ -15,6 +17,9 @@ import time
 sys.path.insert(0, "/root/repo")
 from kdcloganalyzer_spark.plans import registry
 from kdcloganalyzer_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/rehearsal/sf1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_rehearsal_t2.json"
 
 registry.load_all()
 spark = get_spark(app_name="rehearse_sf1_t2")
@@ -54,7 +59,7 @@ for qid in IDS:
     for i in range(2):
         t0 = time.perf_counter()
         try:
-            registry.QUERIES[qid](spark, "/tmp/rehearsal/sf1").write.format(
+            registry.QUERIES[qid](spark, SF_DIR).write.format(
                 "noop"
             ).mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 2))
@@ -62,6 +67,6 @@ for qid in IDS:
             runs.append(f"ERR:{type(ex).__name__}:{str(ex)[:200]}")
             break
     out[qid] = runs
-    print(qid, "sf1", runs, flush=True)
-json.dump(out, open("/tmp/sf1_rehearsal_t2.json", "w"), indent=1)
+    print(qid, SF_DIR, runs, flush=True)
+json.dump(out, open(OUT, "w"), indent=1)
 print("DONE", flush=True)
