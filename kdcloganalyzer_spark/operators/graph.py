@@ -240,13 +240,25 @@ def triangle_counts(
                 F.col("u").cast("long") * F.lit(4294967296) + F.col("v")
             ).alias("pk")
         )
-        w = wedges.select("a", "b1", "b2", pair_key)
+        # The wedge stream carries ONLY (a, pk) — b1/b2 are the high
+        # and low 32 bits of pk, reconstructed with bit ops after the
+        # closing join. The wedge stream is the dominant volume
+        # (O(m^1.5) rows; ~1.2B at the sf3 rehearsal), and above the
+        # gate it is EXCHANGED for the closing join — halving its row
+        # width halves the one shuffle that saturates per-node memory
+        # (r14 sf3 audit: GCLocker thrash in the wedge-exchange stage
+        # was the super-linear overage at 36M edges / 8g heap).
+        w = wedges.select("a", pair_key)
         if small:
             closing = F.broadcast(closing)
         else:
             w = w.repartition(n_part, "pk")
             closing = closing.repartition(n_part, "pk").hint("shuffle_hash")
-        tri = w.join(closing, "pk")
+        tri = w.join(closing, "pk").select(
+            "a",
+            F.shiftrightunsigned(F.col("pk"), 32).alias("b1"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("b2"),
+        )
     else:
         closing = e.select(
             F.col("u").alias("b1"), F.col("v").alias("b2")
