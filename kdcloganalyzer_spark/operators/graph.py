@@ -130,6 +130,14 @@ def _pagerank_round(
     )
 
 
+#: Edge lists at/under this size materialize as eager localCheckpoints
+#: (fast row blocks, minimal inspected plan); above it, as compressed
+#: columnar persists — decoupled from `broadcast_max_edges` so the
+#: forced-shuffle twin at bench scale keeps checkpoint semantics while
+#: a genuinely big graph stops pinning deserialized rows in the heap.
+_CHECKPOINT_MAX_EDGES = 5_000_000
+
+
 def triangle_counts(
     edges: DataFrame,
     broadcast_max_edges: int = 5_000_000,
@@ -169,7 +177,14 @@ def triangle_counts(
     """
     e = edges.select("u", "v")
     if not materialized:
-        e = e.localCheckpoint()
+        # Columnar persist, NOT localCheckpoint: the checkpoint stores
+        # deserialized UnsafeRows (~80 B/edge — the r14 sf3 audit OOM'd
+        # an 8 GB heap pinning two 36M-edge lists that way), while the
+        # DataFrame cache stores compressed columnar batches
+        # (~16 B/edge). Lineage here is one projection off the caller's
+        # frame, so the checkpoint's lineage cut buys nothing; the
+        # stats agg below materializes the cache for all consumers.
+        e = e.persist()
     # One pass over the (checkpointed) edges gets the size gate AND the
     # id range: the packed-long closing key silently fabricates/drops
     # triangles outside [0, 2^32), so out-of-range ids flip the closing
@@ -198,13 +213,24 @@ def triangle_counts(
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
-        with_deg.select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        )
-        .localCheckpoint()
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
+    if n_edges <= _CHECKPOINT_MAX_EDGES:
+        # Moderate graphs keep the eager checkpoint: row blocks are
+        # cheap at this size and the lineage cut keeps the inspected
+        # plan minimal (the shuffle twin's no-broadcast receipt reads
+        # the final plan — a persisted table would print its upstream
+        # degree joins inside the InMemoryRelation subtree).
+        oriented = oriented.localCheckpoint()
+    else:
+        # At genuinely large volumes the heap is the scarce resource
+        # (sf3 audit): compressed columnar cache (~25x smaller than
+        # checkpoint rows on a 2-long schema), materialized eagerly so
+        # the wedge self-join's two sides share one computation.
+        oriented = oriented.persist()
+        oriented.count()
     o1 = oriented.select("a", F.col("b").alias("b1"))
     o2 = oriented.select("a", F.col("b").alias("b2"))
     if small:

@@ -834,7 +834,20 @@ def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("l_partkey").alias("u"), F.col("p2").alias("v"))
             .distinct()
         )
-        _COPART_EDGE_CACHE[key] = edges.localCheckpoint(eager=False)
+        # Storage by volume (free footer count, r13 neighbor-jaccard
+        # idiom): big edge lists cache as compressed columnar batches
+        # (persist) instead of checkpoint row blocks — the r14 sf3
+        # audit OOM'd an 8 GB heap pinning a 36M-edge localCheckpoint
+        # (~80 B/row deserialized vs ~16 B/row columnar).
+        import pyarrow.parquet as pq
+
+        li_rows = pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet"
+        ).metadata.num_rows
+        if li_rows > 1_500_000:
+            _COPART_EDGE_CACHE[key] = edges.persist()
+        else:
+            _COPART_EDGE_CACHE[key] = edges.localCheckpoint(eager=False)
     return _COPART_EDGE_CACHE[key]
 
 
