@@ -586,7 +586,20 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager=False: plan-only callers (CLI --explain) shouldn't pay
         # the edge derivation; the first action materializes it once.
-        _EDGE_CACHE[key] = sym.localCheckpoint(eager=False)
+        # Storage by volume (same rule as _copart_edges, r14): big
+        # symmetric edge lists cache as compressed columnar batches
+        # instead of checkpoint row blocks — string-keyed src/dst rows
+        # are ~3x wider than the co-part longs, so the heap math that
+        # OOM'd the sf3 triangle bites here even sooner.
+        import pyarrow.parquet as pq
+
+        li_rows = pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet"
+        ).metadata.num_rows
+        if li_rows > 1_500_000:
+            _EDGE_CACHE[key] = sym.persist()
+        else:
+            _EDGE_CACHE[key] = sym.localCheckpoint(eager=False)
     return _EDGE_CACHE[key]
 
 

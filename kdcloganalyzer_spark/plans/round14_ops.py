@@ -18,6 +18,10 @@ flag or a fully-replayable deterministic result).
   each value inserted into a percentile sketch with its weight as
   multiplicity; the sketch median's cumulative-weight position is
   envelope-checked against the exact lower weighted median.
+- ``sessionize_stats_rollup_sketch`` — the KLL-quantile swap
+  ``sessionize_stats_rollup``'s docstring names (plans/analytics.py):
+  GK sketch points for the three quantile slots, rank-envelope-checked
+  against the exact session distribution.
 
 Reference lineage: the reference has no sketch tier — these extend the
 §2.3 north-star families (SURVEY.md) with the suite's exact integer
@@ -388,4 +392,136 @@ def agg_weighted_median_sketch(
             F.max("total").cast("bigint").alias("total_weight"),
             ok_case.alias("sketch_in_envelope"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session stats rollup, percentile-sketch form
+# ---------------------------------------------------------------------------
+def _sess_rollup_sketch_oracle() -> str:
+    from kdcloganalyzer_spark.plans.analytics import _GAP_MIN
+
+    return f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL
+                        OR gap_us > {_GAP_MIN} * 60 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ), sess AS (
+      SELECT user_id, sess_id,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(round(2 * quantile_cont(dur_us, 0.5)) AS BIGINT)
+             AS med2_dur_us,
+           CAST(round(10 * quantile_cont(dur_us, 0.9)) AS BIGINT)
+             AS p90x10_dur_us,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+           CAST(round(2 * quantile_cont(n_events, 0.5)) AS BIGINT)
+             AS med2_events,
+           CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           TRUE AS sketch_in_envelope
+    FROM sess
+    """
+
+
+@query("sessionize_stats_rollup_sketch", oracle=_sess_rollup_sketch_oracle())
+def sessionize_stats_rollup_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION STATS ROLLUP, KLL/SKETCH FORM — the quantile swap
+    ``sessionize_stats_rollup``'s docstring names (plans/analytics.py):
+    exact percentile() holds every session's value per group, so at
+    100 TB the three quantile slots swap to a mergeable percentile
+    sketch (``percentile_approx``, GK — one partial-agg'd pass, fixed
+    sketch state per partition) while count/sum/max/bounces are
+    already partial-agg'd. Twin discipline: the reported columns are
+    the EXACT twin's (hash gate re-verifies the whole rollup);
+    the sketch feeds ``sketch_in_envelope`` — TRUE iff each sketch
+    quantile v_q lands within max(3, 1% of n) session-ranks of its
+    target (count(x <= v_q) >= floor(q*n) - tol AND count(x < v_q) <=
+    ceil(q*n) + tol, for q in {0.5 dur, 0.9 dur, 0.5 events}).
+    Sketch points and rank counts are bounded control scalars (two
+    1-row collects on the session summary)."""
+    from kdcloganalyzer_spark.plans.analytics import _GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > _GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    sess = (
+        s.groupBy("user_id", "sess_id")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+            F.count("*").alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = sess.agg(
+        F.percentile_approx("dur_us", [0.5, 0.9], 2000).alias("dq"),
+        F.percentile_approx("n_events", 0.5, 2000).alias("e50"),
+        F.count("*").alias("n"),
+    ).first()
+    d50, d90 = int(a["dq"][0]), int(a["dq"][1])
+    e50, n = int(a["e50"]), int(a["n"])
+    tol = max(3, n // 100)
+    checks = [("d50", "dur_us", d50, n // 2), ("d90", "dur_us", d90, (9 * n) // 10),
+              ("e50", "n_events", e50, n // 2)]
+    r = sess.agg(
+        *[
+            F.sum(
+                F.when(F.col(col) <= F.lit(v), 1).otherwise(0)
+            ).alias(f"le_{tag}")
+            for tag, col, v, _ in checks
+        ],
+        *[
+            F.sum(
+                F.when(F.col(col) < F.lit(v), 1).otherwise(0)
+            ).alias(f"lt_{tag}")
+            for tag, col, v, _ in checks
+        ],
+    ).first()
+    in_env = all(
+        r[f"le_{tag}"] >= target - tol and r[f"lt_{tag}"] <= target + tol
+        for tag, _, _, target in checks
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(2 * F.expr("percentile(dur_us, 0.5)"))
+        .cast("bigint")
+        .alias("med2_dur_us"),
+        F.round(10 * F.expr("percentile(dur_us, 0.9)"))
+        .cast("bigint")
+        .alias("p90x10_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        F.round(2 * F.expr("percentile(n_events, 0.5)"))
+        .cast("bigint")
+        .alias("med2_events"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.lit(bool(in_env)).alias("sketch_in_envelope"),
     )

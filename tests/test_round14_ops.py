@@ -67,3 +67,26 @@ def test_weighted_median_sketch_matches_exact_twin(spark, sf_dir):
         sk.select(*cols).exceptAll(ex.select(*cols)).count() == 0
         and ex.select(*cols).exceptAll(sk.select(*cols)).count() == 0
     )
+
+
+def test_sessionize_rollup_sketch_matches_exact_twin(spark, sf_dir):
+    """The sketch twin must emit exactly the exact rollup's single row
+    (the GK quantiles only feed the envelope flag), and the flag must
+    be TRUE at test scale."""
+    sk = registry.QUERIES["sessionize_stats_rollup_sketch"](
+        spark, sf_dir
+    )
+    ex = registry.QUERIES["sessionize_stats_rollup"](spark, sf_dir)
+    assert sk.where(~F.col("sketch_in_envelope")).count() == 0
+    cols = [
+        "n_sessions",
+        "n_events",
+        "med2_dur_us",
+        "p90x10_dur_us",
+        "max_dur_us",
+        "med2_events",
+        "n_bounces",
+    ]
+    assert [tuple(r) for r in sk.select(*cols).collect()] == [
+        tuple(r) for r in ex.select(*cols).collect()
+    ]
