@@ -321,7 +321,11 @@ def main() -> None:
     # (VERDICT r7 item 7) — re-checking here converts that truncated wait
     # into an attributable number, and `loadavg_mid` records what the box
     # looked like when the first timed query actually ran.
-    idle_wait_mid = _wait_for_idle(max_wait_sec=120.0)
+    # r14: threshold aligned with the load_inflated flag (1.0) — the
+    # bench's OWN warm-up drives the 1-min load to ~5, and a wait that
+    # exits at <1.5 left loadavg_warm in [1.0, 1.5) and self-flagged
+    # the run (BENCH r14 run 4: steal-clean but load-flagged at 1.26).
+    idle_wait_mid = _wait_for_idle(threshold=1.0, max_wait_sec=240.0)
     load_mid = _loadavg()
 
     # VERDICT r9 item 8: if the box is STILL loaded after both waits
