@@ -725,7 +725,14 @@ _PIVOT_CACHE: dict = {}
 # evictable by the qids that read through it, so a bench re-sample
 # re-pays the genuine index build.
 appcache.register_evictor(
-    lambda qid: qid in ("sim_search_ivf", "sim_search_ivfpq"),
+    lambda qid: qid
+    in (
+        "sim_search_ivf",
+        "sim_search_ivfpq",
+        # reads the same quantizer (round11_ops docstring): its BENCH
+        # cold signature was single-sample until this hook (r14 run 4)
+        "embed_cluster_kmeans_int",
+    ),
     appcache.dict_cache_evictor(_IVF_CACHE),
 )
 appcache.register_evictor(
