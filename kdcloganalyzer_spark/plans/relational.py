@@ -663,13 +663,30 @@ def _evict_bucketed_tables() -> None:
     """join_bucketed's amortization is the pair of catalog tables —
     dropping them makes a bench re-sample re-pay the one-time bucketed
     layout write (the id's genuine cold cost). External-path data dirs
-    are left for the tempdir reaper; re-creation writes fresh ones."""
+    are rmtree'd here too (ADVICE r14: DROP TABLE on an external table
+    leaves the files, so each min-of-3 cold pass would otherwise leak
+    two bucketed copies of lineitem+orders in /tmp per re-sample);
+    creation also goes through appcache.tempdir so process exit reaps
+    whatever a crashed run left behind."""
+    import shutil
+
     spark = SparkSession.getActiveSession()
     if spark is None:
         return
     for t in spark.catalog.listTables():
         if t.name.startswith(("lineitem_bkt_", "orders_bkt_")):
+            try:
+                loc = (
+                    spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}")
+                    .where("col_name = 'Location'")
+                    .collect()
+                )
+                path = loc[0][1].removeprefix("file:") if loc else None
+            except Exception:  # noqa: BLE001 — hygiene is best-effort
+                path = None
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            if path:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 appcache.register_evictor(
@@ -705,7 +722,6 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Idempotent per (session, sf): tables are reused when already created.
     Oracle computes the identical join from the unbucketed parquet."""
     import re
-    import tempfile
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     specs = {
@@ -714,7 +730,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     for tbl, (src, key) in specs.items():
         if not spark.catalog.tableExists(tbl):
-            path = tempfile.mkdtemp(prefix=f"{tbl}_")
+            path = appcache.tempdir(prefix=f"{tbl}_")
             (
                 load_table(spark, sf_dir, src)
                 .repartition(8, F.col(key))

@@ -586,11 +586,9 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 sf1 audit showed the session's sf-scale partition count is
     # the bottleneck once the wedge stream grows 10x (same lesson as
     # operators/graph.py:triangle_counts' above-gate path).
-    import pyarrow.parquet as pq
+    from kdcloganalyzer_spark.plans.analytics import _lineitem_num_rows
 
-    li_rows = pq.ParquetFile(
-        f"{sf_dir}/lineitem.parquet"
-    ).metadata.num_rows
+    li_rows = _lineitem_num_rows(sf_dir)
     if li_rows > 1_500_000:
         # above ~sf0.25 the wedge stream dominates: pre-cluster both
         # sides on p and the pair aggregate on (c1, c2) at a volume-

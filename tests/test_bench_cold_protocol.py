@@ -105,3 +105,90 @@ def test_unpersist_called_on_evicted_dataframes():
     cache["k2"] = (b, [1, 2, 3])
     appcache.dict_cache_evictor(cache)()
     assert cache == {} and a.unpersisted and b.unpersisted
+
+
+def test_every_registered_evictor_matches_a_live_qid():
+    """Registry property (VERDICT r14 item 6): every registered evictor's
+    matcher must hit >=1 qid in the LIVE registry. A renamed or deleted
+    qid silently orphaning an evictor is the failure mode — the cache
+    would then never be evicted for the bench's min-of-N cold protocol
+    (and the orphan would rot unnoticed, since evict_for just returns
+    False). Deliberately breaking one matcher (e.g. renaming a consumer
+    id) makes this fail with the evictor's index for triage."""
+    from kdcloganalyzer_spark.plans import registry
+
+    registry.load_all()
+    qids = list(registry.QUERIES)
+    orphans = [
+        i
+        for i, (matcher, _evict) in enumerate(appcache._EVICTORS)
+        if not any(matcher(q) for q in qids)
+    ]
+    assert orphans == [], (
+        f"evictors {orphans} match no registered qid "
+        f"(of {len(appcache._EVICTORS)} registered evictors)"
+    )
+
+
+def test_edge_cache_evictors_registered():
+    """ADVICE r14: the shared graph edge caches must be behind
+    registered evictors so graph ids get genuine min-of-3 cold."""
+    from kdcloganalyzer_spark.plans import analytics as an
+
+    for qid, cache in [
+        ("graph_pagerank", an._EDGE_CACHE),
+        ("graph_triangle_count", an._COPART_EDGE_CACHE),
+    ]:
+        cache[("app", "sf")] = object()
+        assert appcache.evict_for(qid) is True, qid
+        assert cache == {}, qid
+
+
+def test_local_table_guard_prefers_calmer_table(tmp_path, monkeypatch):
+    """VERDICT r14 item 3: the overwrite guard compares calmness as
+    (flag count, steal %) — a flagged run only overwrites a reference
+    that is at least as noisy; a fully-calm run always overwrites."""
+    import json
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_BENCH", raising=False)
+    here = str(tmp_path)
+    ref = tmp_path / "BENCH_LOCAL.json"
+
+    def write_ref(load_infl, steal_infl, steal_pct):
+        ref.write_text(
+            json.dumps(
+                {
+                    "load_inflated": load_infl,
+                    "steal_inflated": steal_infl,
+                    "steal_pct_run": steal_pct,
+                }
+            )
+        )
+
+    # the r14 incident: prev = steal-clean but load-flagged (1 flag,
+    # 0.431%); current = driver run (1 flag, 1.706% steal) -> diverted
+    write_ref(True, False, 0.431)
+    assert bench._local_table_path(here, False, True, 1.706).endswith(
+        "BENCH_LOCAL_INFLATED.json"
+    )
+    # flagged run, but CALMER than the stored one -> overwrites
+    write_ref(True, True, 2.0)
+    assert bench._local_table_path(here, True, False, 0.9).endswith(
+        "BENCH_LOCAL.json"
+    )
+    # fully-calm run always wins, even against a calm lower-steal prev
+    write_ref(False, False, 0.1)
+    assert bench._local_table_path(here, False, False, 0.4).endswith(
+        "BENCH_LOCAL.json"
+    )
+    # no reference yet -> flagged run still lands in BENCH_LOCAL.json
+    ref.unlink()
+    assert bench._local_table_path(here, True, True, 9.9).endswith(
+        "BENCH_LOCAL.json"
+    )
+    # forced -> always the main table
+    write_ref(False, False, 0.0)
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_BENCH", "1")
+    assert bench._local_table_path(here, True, True, 9.9).endswith(
+        "BENCH_LOCAL.json"
+    )
