@@ -2132,9 +2132,14 @@ def analytics_pareto_concentration(
     )
     return x.groupBy("decile").agg(
         F.max("cum").cast("bigint").alias("cum_cents"),
-        F.expr("max(cum) * 1000000 div max(total)").alias(
-            "cum_share_micro"
-        ),
+        # DECIMAL(38,0) widening (r15 sf1 rehearsal): cum*1e6 overflows
+        # BIGINT once the corpus' cent sum passes ~9.2e12 (sf1 is 2.3e13)
+        # — DuckDB's sum() is already HUGEINT, so only Spark needed the
+        # widening; decimal `div` truncates like HUGEINT `//`.
+        F.expr(
+            "CAST(max(cum) AS DECIMAL(38,0)) * 1000000"
+            " div CAST(max(total) AS DECIMAL(38,0))"
+        ).alias("cum_share_micro"),
     )
 
 
@@ -2499,9 +2504,11 @@ def events_forecast_seasonal_naive(
         F.sum(F.abs(F.col("cents") - F.col("naive")))
         .cast("bigint")
         .alias("naive_abs_err"),
+        # DECIMAL(38,0) widening (r15): error-cent sums are unbounded in
+        # data volume; *1e6 passes BIGINT range past ~sf3 of this series
         F.expr(
-            "sum(abs(cents - forecast)) * 1000000"
-            " div sum(abs(cents - naive))"
+            "CAST(sum(abs(cents - forecast)) AS DECIMAL(38,0)) * 1000000"
+            " div CAST(sum(abs(cents - naive)) AS DECIMAL(38,0))"
         ).alias("mase_micro"),
     )
 

@@ -2015,9 +2015,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab_size").cast("int").alias("vocab_size")
     ).agg(
         F.max("cum").cast("bigint").alias("tokens_covered"),
-        F.expr("max(cum) * 1000000 div max(total)").alias(
-            "coverage_micro"
-        ),
+        # DECIMAL(38,0) widening (r15): corpus token counts are
+        # unbounded; *1e6 passes BIGINT range past ~9.2e12 tokens
+        F.expr(
+            "CAST(max(cum) AS DECIMAL(38,0)) * 1000000"
+            " div CAST(max(total) AS DECIMAL(38,0))"
+        ).alias("coverage_micro"),
     )
 
 

@@ -56,5 +56,6 @@ def load_all() -> None:
         round12_ops,
         round13_ops,
         round14_ops,
+        round15_ops,
         streaming_queries,
     )
