@@ -522,33 +522,55 @@ def pipeline_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else into the scan. A stage-at-a-time imperative pipeline
     would re-scan the corpus five times. MinHash near-dup (engine-hash
     dependent) intentionally sits outside this oracle-checked funnel —
-    at scale it slots between stages 2 and 3 as one more boolean."""
+    at scale it slots between stages 2 and 3 as one more boolean.
+
+    r15: the five stage reports fold into ONE conditional aggregation
+    over the flags table (guide §2.4 — a 5-way union of filtered
+    aggregates re-executed the whole flags DAG per branch: 86 Exchange
+    nodes / 15 corpus scans in the physical plan, vs 17 / 3 now), then
+    explode a 5-struct literal into the report rows. Empty-stage
+    semantics match the filtered form exactly: n_docs 0, n_tokens NULL
+    (a conditional sum would return 0, so it is null-guarded on the
+    count)."""
     m = _funnel_flags(spark, sf_dir)
-
-    def stage(i: int, cond):
-        return m.filter(cond).agg(
-            F.lit(i).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        )
-
-    t = F.lit(True)
-    return (
-        stage(0, t)
-        .unionByName(stage(1, F.col("q_keep")))
-        .unionByName(stage(2, F.col("q_keep") & F.col("d_keep")))
-        .unionByName(
-            stage(3, F.col("q_keep") & F.col("d_keep") & F.col("l_keep"))
-        )
-        .unionByName(
-            stage(
-                4,
-                F.col("q_keep")
-                & F.col("d_keep")
-                & F.col("l_keep")
-                & F.col("s_keep"),
+    conds = [
+        F.lit(True),
+        F.col("q_keep"),
+        F.col("q_keep") & F.col("d_keep"),
+        F.col("q_keep") & F.col("d_keep") & F.col("l_keep"),
+        F.col("q_keep")
+        & F.col("d_keep")
+        & F.col("l_keep")
+        & F.col("s_keep"),
+    ]
+    aggs = []
+    for i, c in enumerate(conds):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
             )
+            .cast("bigint")
+            .alias(f"c{i}")
         )
+        aggs.append(
+            F.sum(F.when(c, F.col("n_tok"))).cast("bigint").alias(f"t{i}")
+        )
+    wide = m.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.col(f"c{i}").alias("n_docs"),
+                F.when(F.col(f"c{i}") > 0, F.col(f"t{i}")).alias(
+                    "n_tokens"
+                ),
+            )
+            for i in range(5)
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.n_docs", "r.n_tokens")
     )
 
 

@@ -3621,7 +3621,19 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus collapses to the daily summary once; the
     pyramid is calendar-bounded (log₂(days) levels of shrinking
-    frames). Per-series pyramids add partitionBy to every level."""
+    frames). Per-series pyramids add partitionBy to every level.
+
+    r15: the five chained groupBys each fed a separate union branch
+    that re-executed the whole prefix DAG (70 Exchange nodes / 10
+    event scans in the physical plan). Unnormalized-Haar identity:
+    the level-l detail of group j is a SIGNED sum of the base slots
+    j0 in [j·2^l, (j+1)·2^l) with sign = +1 iff bit (l−1) of j0 is 0
+    (each level halves pairs of the previous approximations, so the
+    sign telescopes to that single bit), and the approximation is the
+    plain sum. Exploding the 5 level ids per base slot and grouping
+    once by (level, j0 div 2^l) therefore reproduces every level's
+    coefficients from the 32-row base in ONE aggregation — 5 Exchanges
+    / 2 scans, identical integers (guide §2.4)."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").cast("bigint").alias("x")
@@ -3648,37 +3660,43 @@ def events_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(idx, F.col("j") == F.col("i"), "left")
         .select("j", F.coalesce("x", F.lit(0)).cast("bigint").alias("a"))
     )
-    lvl = base
-    outs = []
-    for level in range(1, 6):
-        nxt = lvl.groupBy(
-            F.expr("j div 2").alias("j")
-        ).agg(
-            F.sum("a").cast("bigint").alias("a"),
-            F.sum(
-                F.when(F.col("j") % 2 == 0, F.col("a")).otherwise(
-                    -F.col("a")
-                )
+    slots = base.select(
+        "j",
+        "a",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("level"),
+    )
+    coeff = slots.groupBy(
+        "level",
+        F.expr("j div CAST(shiftleft(1, level) AS BIGINT)").alias("jj"),
+    ).agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (j div CAST(shiftleft(1, level - 1) AS"
+                " BIGINT)) % 2 = 0 THEN a ELSE -a END"
             )
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    return (
+        coeff.groupBy("level")
+        .agg(
+            F.count("*").cast("bigint").alias("n_coeffs"),
+            F.sum(F.abs("d")).cast("bigint").alias("l1_detail"),
+            F.sum(F.col("d") * F.col("d"))
             .cast("bigint")
-            .alias("d"),
+            .alias("l2_detail"),
+            F.sum("a").cast("bigint").alias("approx_mass"),
         )
-        outs.append(
-            nxt.agg(
-                F.lit(level).cast("int").alias("level"),
-                F.count("*").cast("bigint").alias("n_coeffs"),
-                F.sum(F.abs("d")).cast("bigint").alias("l1_detail"),
-                F.sum(F.col("d") * F.col("d"))
-                .cast("bigint")
-                .alias("l2_detail"),
-                F.sum("a").cast("bigint").alias("approx_mass"),
-            )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_coeffs",
+            "l1_detail",
+            "l2_detail",
+            "approx_mass",
         )
-        lvl = nxt.select("j", "a")
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -575,10 +575,18 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # r15: e fed THREE consumers (deg + both wedge sides) and the
+    # self-join never reuses the shared subtree (sides are structurally
+    # different), so the orders⋈lineitem distinct re-executed 3x —
+    # 16 parquet scans / 30 Exchanges in the physical plan. A lazy
+    # localCheckpoint computes it once; checkpointed frames carry no
+    # stats, so the small-side joins below get explicit broadcast
+    # hints instead of relying on AQE (guide §3.1, verify-skill idiom).
     e = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("c").agg(F.count("*").alias("d"))
     # Size the wedge join's shuffle to the input volume, not the
@@ -604,7 +612,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition(n_part, F.col("a.c"), F.col("b.c"))
     else:
         a = e.alias("a")
-        b = e.alias("b")
+        b = F.broadcast(e.alias("b"))
         wedge = a.join(
             b,
             (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
@@ -614,6 +622,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("com"))
     d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("dd1"))
     d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("dd2"))
+    if li_rows <= 1_500_000:
+        # below the gate the degree table is a few-MB aggregate of the
+        # checkpointed e; AQE can still runtime-convert (both sides
+        # shuffle), but the hint skips the SMJ sort setup. Above the
+        # gate deg is |V|-sized — leave the choice to AQE's runtime
+        # stats there.
+        d1, d2 = F.broadcast(d1), F.broadcast(d2)
     jac = (
         common.join(d1, "c1")
         .join(d2, "c2")
