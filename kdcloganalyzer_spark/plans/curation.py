@@ -1258,18 +1258,33 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    ex = docs.agg(
-        F.lit("exact").alias("method"),
-        F.count("*").alias("n_docs"),
-        F.countDistinct("text").alias("n_kept"),
-        (F.count("*") - F.countDistinct("text")).alias("n_dropped"),
+    # r15 (guide §2.4): the exact and norm-exact tiers each ran their
+    # own corpus scan + distinct aggregate as separate union branches;
+    # one multi-distinct aggregate computes both in a single pass, then
+    # a 2-struct literal explode emits the two report rows.
+    wide = docs.select("text", norm.alias("norm")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("text").alias("k_exact"),
+        F.countDistinct("norm").alias("k_norm"),
     )
-    nx = docs.select(norm.alias("norm")).agg(
-        F.lit("norm_exact").alias("method"),
-        F.count("*").alias("n_docs"),
-        F.countDistinct("norm").alias("n_kept"),
-        (F.count("*") - F.countDistinct("norm")).alias("n_dropped"),
-    )
+    exnx = wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("method"),
+                    F.col("n").alias("n_docs"),
+                    F.col("k_exact").alias("n_kept"),
+                    (F.col("n") - F.col("k_exact")).alias("n_dropped"),
+                ),
+                F.struct(
+                    F.lit("norm_exact").alias("method"),
+                    F.col("n").alias("n_docs"),
+                    F.col("k_norm").alias("n_kept"),
+                    (F.col("n") - F.col("k_norm")).alias("n_dropped"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.method", "r.n_docs", "r.n_kept", "r.n_dropped")
     dropped = (
         dedup.ngram_jaccard_pairs_prefix(
             docs, 0.9, prepped=_wordsets(spark, sf_dir)
@@ -1290,7 +1305,7 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dropped").alias("n_dropped"),
         )
     )
-    return ex.unionByName(nx).unionByName(jd)
+    return exnx.unionByName(jd)
 
 
 # ---------------------------------------------------------------------------

@@ -5126,13 +5126,21 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic refinement is frequency-sorted A-priori pruning —
     drop parts below min-support BEFORE pairing (the same
     document-frequency ordering dedup_ngram_jaccard_dford uses)."""
+    # r15: items (scan + distinct shuffle) fed FIVE structurally
+    # different consumers (order count, both self-join sides, both
+    # per-part count chains) and re-executed for each — 20 Exchanges /
+    # 8 scans. One lazy localCheckpoint computes the basket projection
+    # once (guide §2.1); pc likewise (it feeds both lift sides).
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    pc = items.groupBy("l_partkey").agg(
-        F.count("*").alias("part_orders")
+    pc = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("part_orders"))
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select("l_orderkey").distinct().count()
     a, b = items.alias("a"), items.alias("b")
