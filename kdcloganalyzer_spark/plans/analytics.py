@@ -627,6 +627,32 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = ed.unionAll(
             ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # r15: hash-partition the cached edge set by src before
+        # materializing it. localCheckpoint/persist preserve the
+        # physical partitioning, and hashpartitioning(src) satisfies
+        # every downstream ClusteredDistribution whose keys INCLUDE src
+        # (the subset rule) — so LP vote rounds (groupBy(src, lab) +
+        # argmax window on src), the degree aggregate, and the
+        # assortativity joins all run with ZERO further exchanges per
+        # pass. Width is scale-adaptive from the free footer row count
+        # (the r13 gated-operator rule: checkpointed frames carry no
+        # stats, so AQE can never right-size them) — one build-time
+        # exchange buys exchange-free iteration for all nine consumers.
+        # Width: volume-adaptive (≈500k edge rows per partition, the
+        # pagerank loop's measured grain), floor 8 — the A/B optimum
+        # at sf0.1: 4 parts starve the assortativity/modularity joins
+        # (0.8 → 2.0 s), 32 parts drown the LP loop's many small
+        # per-round actions in task scheduling (5.9 → 9.2 s), 8 wins
+        # both (family sum 27.3 → 17.2 s) — capped at the session's
+        # parallelism.
+        n_li = _lineitem_num_rows(sf_dir)
+        parallelism = spark.sparkContext.defaultParallelism
+        parts = (
+            min(parallelism, max(8, (2 * n_li) // 500_000 + 1))
+            if n_li
+            else parallelism
+        )
+        sym = sym.repartition(parts, "src")
         # eager=False: plan-only callers (CLI --explain) shouldn't pay
         # the edge derivation; the first action materializes it once.
         # Storage by volume (same rule as _copart_edges, r14): big
@@ -634,7 +660,7 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of checkpoint row blocks — string-keyed src/dst rows
         # are ~3x wider than the co-part longs, so the heap math that
         # OOM'd the sf3 triangle bites here even sooner.
-        if _lineitem_num_rows(sf_dir) > 1_500_000:
+        if n_li > 1_500_000:
             _EDGE_CACHE[key] = sym.persist()
         else:
             _EDGE_CACHE[key] = sym.localCheckpoint(eager=False)

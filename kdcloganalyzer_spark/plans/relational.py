@@ -1967,22 +1967,30 @@ def analytics_large_volume_orders(
     IN-subquery pattern — orders qualify by an AGGREGATE over their own
     lineitems, then the qualifying keys drive the detail join.
 
-    Scale: the `big` key set is produced by a partial-combined groupBy
-    on l_orderkey and consumed as a semi-join-shaped equi-join on the
-    SAME key, so under AQE the aggregate output (~0.3% of orders at the
-    200-quantity cut) broadcasts into the probe side and the detail
-    join reuses the l_orderkey shuffle already needed for the final
-    per-order aggregate — the classic "filter by aggregate, then
-    rejoin" two-pass with no extra wide exchange. Customer scales with
-    SF: no broadcast hint (AQE decides)."""
+    Scale (r15): the oracle's detail re-join is algebraically
+    redundant — the final per-order sum_qty is an aggregate over
+    exactly the lineitems that produced the qualifying sum, so ONE
+    groupBy(l_orderkey) computes both the 200-quantity gate and
+    sum_qty, and lineitem is scanned once instead of twice (the two
+    consumers of the old `big` aggregate sat on structurally different
+    join sides, so ReusedExchange never fired). The filtered per-order
+    aggregate (~0.3% of orders) then drives the orders/customer joins,
+    which AQE broadcasts at bench scale; both sums are exact integer
+    accumulations so the fused form is hash-identical. Customer scales
+    with SF: no broadcast hint (AQE decides)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
         .where(F.col("q") > 200)
-        .select("l_orderkey")
+        .select("l_orderkey", "sum_qty")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -1991,15 +1999,8 @@ def analytics_large_volume_orders(
         "c_custkey", "c_name"
     )
     return (
-        li.join(big, "l_orderkey")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
-        .agg(
-            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
-            .cast("bigint")
-            .alias("sum_qty")
-        )
         .select(
             "c_name",
             "c_custkey",
@@ -3461,22 +3462,35 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sale price standing in for ps_supplycost — the driver schema has no
     partsupp). The Q2 skeleton is a correlated MIN subquery
     (cost = (SELECT min(..) WHERE same part)); here it is decorrelated
-    by construction: one (part, supplier) aggregate, one per-part min,
-    one equality join-back, with min(suppkey) as the deterministic
-    tie-break among equal-cost suppliers.
+    by construction: one (part, supplier) aggregate, a per-part MIN
+    window + equality filter (the join-back's window form), with
+    min(suppkey) as the deterministic tie-break among equal-cost
+    suppliers.
 
-    Scale: both aggregates and the join-back key on partkey — a single
-    shuffle partitioning serves all three (Catalyst reuses the
-    exchange); the part dimension broadcast-prunes to the size filter.
-    Costs are integer cents, so min/equality are exact."""
+    Scale (r15): the oracle's self-join-back spelling made Spark
+    execute the (part, supplier) aggregate TWICE — the two join sides
+    are structurally different, so ReusedExchange never fires and
+    lineitem was scanned and pair-aggregated once per side. The window
+    form computes ps once: its partkey exchange serves the min window
+    AND the argmin groupBy (hashpartitioning(partkey) satisfies both
+    clusterings), so the plan is one lineitem scan, two exchanges
+    total, then a broadcast of the size-filtered part dim. Costs are
+    integer cents, so min/equality are exact."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             F.round(F.col("l_extendedprice") * 100).cast("bigint")
         ).alias("cost_c")
     )
-    best = ps.groupBy("l_partkey").agg(
-        F.min("cost_c").alias("min_cost_c")
+    w = Window.partitionBy("l_partkey")
+    best = (
+        ps.withColumn("min_cost_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_cost_c"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("s_suppkey"),
+            F.min("min_cost_c").alias("min_cost_c"),
+        )
     )
     p = (
         load_table(spark, sf_dir, "part")
@@ -3484,15 +3498,8 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     return (
-        p.join(best, p["p_partkey"] == best["l_partkey"])
-        .drop("l_partkey")
-        .join(
-            ps,
-            (ps["l_partkey"] == F.col("p_partkey"))
-            & (ps["cost_c"] == F.col("min_cost_c")),
-        )
-        .groupBy("p_partkey", "p_name", "min_cost_c")
-        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        F.broadcast(p)
+        .join(best, p["p_partkey"] == best["l_partkey"])
         .select("p_partkey", "p_name", "s_suppkey", "min_cost_c")
     )
 

@@ -487,38 +487,44 @@ def analytics_abc_classification(
     per class. Quantities are integer-valued doubles in the data
     (round-cast is lossless); revenue uses the repo's _rev_e4 idiom.
 
-    Scale: two partial-agg'd collapses of lineitem (per-part revenue;
-    per-(part, month) quantity) — both map-side-combined on the same
-    part key; the ranking window runs over the PART summary (|parts|,
-    not |lineitem|), and the variability stats reduce per part before
-    the join. The global ORDER BY window is the only total sort, over
-    ~N/30 summary rows; at 100 TB swap it for the two-pass histogram
-    cut (analytics_pareto_concentration's documented refinement)."""
+    Scale (r15): ONE collapse of lineitem at (part, month) grain
+    computes revenue AND monthly quantity together (per-part revenue is
+    the exact-integer sum of its monthly sums, so the fusion is
+    hash-identical), then a per-part rollup yields every classification
+    input in one row — the oracle's abc ⋈ xyz join disappears and
+    lineitem is scanned once instead of twice. The ranking window runs
+    over the PART summary (|parts|, not |lineitem|). The global ORDER
+    BY window is the only total sort, over ~N/30 summary rows; at
+    100 TB swap it for the two-pass histogram cut
+    (analytics_pareto_concentration's documented refinement)."""
     li = load_table(spark, sf_dir, "lineitem")
     from kdcloganalyzer_spark.plans.relational import _rev_e4
 
-    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.sum(_rev_e4()).cast("bigint").alias("rev_e4")
-    )
-    w_cum = Window.orderBy(F.desc("rev_e4"), F.asc("part")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    abc = pr.select(
-        "part",
-        "rev_e4",
-        F.sum("rev_e4").over(w_cum).alias("cum"),
-        F.sum("rev_e4").over(Window.partitionBy()).alias("total"),
-    )
-    qm = li.groupBy(
+    pm = li.groupBy(
         F.col("l_partkey").alias("part"),
         F.date_trunc("month", "l_shipdate").alias("m"),
-    ).agg(F.sum(F.round("l_quantity").cast("bigint")).alias("q"))
-    xyz = qm.groupBy("part").agg(
+    ).agg(
+        F.sum(_rev_e4()).cast("bigint").alias("rev_m"),
+        F.sum(F.round("l_quantity").cast("bigint")).alias("q"),
+    )
+    per_part = pm.groupBy("part").agg(
+        F.sum("rev_m").cast("bigint").alias("rev_e4"),
         F.count("*").alias("n_m"),
         F.sum("q").alias("s"),
         F.sum(F.col("q") * F.col("q")).alias("qq"),
     )
-    cls = abc.join(xyz, "part").select(
+    w_cum = Window.orderBy(F.desc("rev_e4"), F.asc("part")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cls = per_part.select(
+        "part",
+        "rev_e4",
+        "n_m",
+        "s",
+        "qq",
+        F.sum("rev_e4").over(w_cum).alias("cum"),
+        F.sum("rev_e4").over(Window.partitionBy()).alias("total"),
+    ).select(
         "rev_e4",
         F.when(
             F.col("cum") * 100 <= F.col("total") * 80, F.lit("A")
