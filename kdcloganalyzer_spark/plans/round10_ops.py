@@ -238,7 +238,12 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k window over hashes — mergeable bottom-k, so at 100 TB
     phase 1 keeps per-partition k-minima and only k × partitions rows
     reach the final merge (the pipeline_quota_sampler_twophase
-    pattern; test_consistent_topk pins the merge law)."""
+    pattern; test_consistent_topk pins the merge law). r15: the
+    per-user membership flags collapse in ONE events pass behind an
+    eager checkpoint — the old form re-scanned events four times (the
+    sketch branches, the 3-way EXPAND exact aggregate, and the
+    intersect semi-join), and every exact count is now a sum of the
+    same flag table."""
     from kdcloganalyzer_spark.sources.tables import load_table
     from pyspark.sql.window import Window
 
@@ -249,17 +254,34 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT)"
     )
-    hashes = ev.select("event_type", h60.alias("h"), "user_id").distinct()
+    # One pass: per-user set-membership flags + the 60-bit hash
+    # (|users|-sized, eagerly checkpointed — every branch below reads
+    # this table, never raw events).
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("is_c"),
+            F.max(F.col("event_type") == "view").alias("is_v"),
+        )
+        .withColumn("h", h60)
+        .localCheckpoint()
+    )
+    ex = u.agg(
+        F.sum(F.col("is_c").cast("bigint")).alias("click"),
+        F.sum(F.col("is_v").cast("bigint")).alias("view"),
+        F.count("*").alias("union"),
+        F.sum((F.col("is_c") & F.col("is_v")).cast("bigint")).alias(
+            "inter"
+        ),
+    ).collect()[0]
     sets = (
-        hashes.where(F.col("event_type") == "click")
+        u.where("is_c")
         .select(F.lit("click").alias("set_name"), "h")
         .unionByName(
-            hashes.where(F.col("event_type") == "view").select(
-                F.lit("view").alias("set_name"), "h"
-            )
+            u.where("is_v").select(F.lit("view").alias("set_name"), "h")
         )
         .unionByName(
-            hashes.select("h")
+            u.select("h")
             .distinct()
             .select(F.lit("union").alias("set_name"), "h")
         )
@@ -287,39 +309,26 @@ def agg_kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kmv_est")
         )
     )
-    exact = (
-        ev.groupBy()
-        .agg(
-            F.countDistinct(
-                F.when(F.col("event_type") == "click", F.col("user_id"))
-            ).alias("click"),
-            F.countDistinct(
-                F.when(F.col("event_type") == "view", F.col("user_id"))
-            ).alias("view"),
-            F.countDistinct("user_id").alias("union"),
-        )
-        .selectExpr(
-            "stack(3, 'click', click, 'view', view, 'union', `union`) "
-            "AS (set_name, exact)"
-        )
+    exact = spark.createDataFrame(
+        [
+            ("click", int(ex["click"])),
+            ("view", int(ex["view"])),
+            ("union", int(ex["union"])),
+        ],
+        "set_name string, exact bigint",
     )
-    named = est.join(exact, "set_name").select(
+    named = est.join(F.broadcast(exact), "set_name").select(
         "set_name", "kmv_est", F.col("exact").cast("bigint").alias("exact")
     )
     # intersect row: inclusion-exclusion on the three estimates; exact
-    # via a 1-row semi-join count (both bounded control-sized)
+    # from the same one-pass flag aggregate (bounded control scalars)
     r = {x["set_name"]: x["kmv_est"] for x in est.collect()}
-    clicks = ev.where(F.col("event_type") == "click").select("user_id")
-    views = ev.where(F.col("event_type") == "view").select("user_id")
-    inter_exact = (
-        clicks.distinct().join(views.distinct(), "user_id").count()
-    )
     inter = spark.createDataFrame(
         [
             (
                 "intersect",
                 int(r["click"] + r["view"] - r["union"]),
-                int(inter_exact),
+                int(ex["inter"]),
             )
         ],
         "set_name string, kmv_est bigint, exact bigint",
@@ -1257,55 +1266,83 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final readout divides. The RANGE frame makes equal-value
     peers count together (the correct right-continuous empirical CDF).
 
-    Scale: one sort per pair over the two samples' union (the CDF
-    window), partial-agg'd counts; at 100 TB you run KS on the
-    per-shard equi-depth histogram (agg_histogram_equi_depth) instead
-    of raw points — same statistic to histogram resolution."""
+    Scale (r15): ONE pass — each event row explodes into the pairs its
+    type belongs to and a single (type_a, type_b)-partitioned CDF
+    window replaces the old per-pair union branches (3 scans + 3
+    single-partition global sorts → 1 scan + 1 exchange; the per-pair
+    sorts now run in parallel partitions, and the final per-pair
+    aggregate reuses the window's partitioning via the subset rule).
+    At 100 TB you run KS on the per-shard equi-depth histogram
+    (agg_histogram_equi_depth) instead of raw points — same statistic
+    to histogram resolution."""
     from kdcloganalyzer_spark.plans.relational import _cents
     from kdcloganalyzer_spark.sources.tables import load_table
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    parts = []
-    w = Window.orderBy("cents").rangeBetween(
-        Window.unboundedPreceding, 0
+    pair_lits = ", ".join(
+        f"named_struct('a', '{a}', 'b', '{b}')" for a, b in _KS_PAIRS
     )
-    wall = Window.partitionBy()
-    for a, b in _KS_PAIRS:
-        base = ev.where(F.col("event_type").isin(a, b)).select(
+    all_types = sorted({t for p in _KS_PAIRS for t in p})
+    tagged = (
+        ev.where(F.col("event_type").isin(*all_types))
+        .select(
             _cents("value").alias("cents"),
-            F.when(F.col("event_type") == a, 1).otherwise(0).alias("fa"),
-            F.when(F.col("event_type") == b, 1).otherwise(0).alias("fb"),
+            "event_type",
+            F.explode(
+                F.expr(
+                    f"filter(array({pair_lits}),"
+                    " p -> p.a = event_type OR p.b = event_type)"
+                )
+            ).alias("p"),
         )
-        cum = base.select(
-            F.sum("fa").over(w).alias("ca"),
-            F.sum("fb").over(w).alias("cb"),
-            F.sum("fa").over(wall).alias("na"),
-            F.sum("fb").over(wall).alias("nb"),
+        .select(
+            F.col("p.a").alias("type_a"),
+            F.col("p.b").alias("type_b"),
+            "cents",
+            F.when(F.col("event_type") == F.col("p.a"), 1)
+            .otherwise(0)
+            .alias("fa"),
+            F.when(F.col("event_type") == F.col("p.b"), 1)
+            .otherwise(0)
+            .alias("fb"),
         )
-        parts.append(
-            cum.agg(
-                F.max(
-                    F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
-                ).alias("mx"),
-                F.max("na").alias("na"),
-                F.max("nb").alias("nb"),
-            ).select(
-                F.lit(a).alias("type_a"),
-                F.lit(b).alias("type_b"),
-                F.col("mx").cast("bigint").alias("d_num"),
-                F.col("na").cast("bigint").alias("n_a"),
-                F.col("nb").cast("bigint").alias("n_b"),
-                F.round(
-                    F.col("mx") / (F.col("na") * F.col("nb")).cast("double"),
-                    6,
-                ).alias("d_stat"),
-            )
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("type_a", "type_b")
+    cum = tagged.select(
+        "type_a",
+        "type_b",
+        F.sum("fa").over(w).alias("ca"),
+        F.sum("fb").over(w).alias("cb"),
+        F.sum("fa").over(wall).alias("na"),
+        F.sum("fb").over(wall).alias("nb"),
+    )
+    return (
+        cum.groupBy("type_a", "type_b")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).alias("mx"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select(
+            "type_a",
+            "type_b",
+            F.col("mx").cast("bigint").alias("d_num"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("mx") / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -364,11 +364,15 @@ def analytics_customer_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_cents idiom); the ratio is one scaled-integer div
     (positive//positive, so DuckDB floor-div ≡ Spark trunc-div).
 
-    Scale: the corpus collapses to one row per (customer, month) in a
-    single partial-agg'd shuffle; the cohort pairing is a co-partitioned
-    self-join on the customer key (the month residual rides along), and
-    the final rollup is calendar-bounded. At 100 TB the (cust, month)
-    summary IS the working set — raw orders never join."""
+    Scale (r15): the corpus collapses to one row per (customer, month)
+    in a single partial-agg'd shuffle; the cohort pairing is a LEAD
+    window per customer — (cust, m) is unique, so "the row at
+    m + 1 month, else 0" is exactly lead(m)/lead(rev) guarded by the
+    consecutive-month test, and the old co-partitioned self-join (which
+    executed the cm aggregate twice — structurally different sides
+    never ReusedExchange) disappears. The final rollup is
+    calendar-bounded. At 100 TB the (cust, month) summary IS the
+    working set — raw orders never join."""
     o = load_table(spark, sf_dir, "orders")
     from kdcloganalyzer_spark.plans.relational import _cents
 
@@ -376,25 +380,16 @@ def analytics_customer_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("cust"),
         F.trunc("o_orderdate", "month").alias("m"),
     ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_cents"))
-    p = cm.select(
-        F.col("cust"),
+    w_cust = Window.partitionBy("cust").orderBy("m")
+    pairs = cm.select(
         F.col("m").alias("prev_m"),
         F.col("rev_cents").alias("prev_cents"),
-    )
-    c = cm.select(
-        F.col("cust"),
-        F.col("m").alias("cur_m"),
-        F.col("rev_cents").alias("cur_cents_raw"),
-    )
-    pairs = p.join(
-        c,
-        (p["cust"] == c["cust"])
-        & (c["cur_m"] == F.add_months(p["prev_m"], 1)),
-        "left",
-    ).select(
-        "prev_m",
-        "prev_cents",
-        F.coalesce("cur_cents_raw", F.lit(0)).alias("cur_cents"),
+        F.when(
+            F.lead("m").over(w_cust) == F.add_months(F.col("m"), 1),
+            F.lead("rev_cents").over(w_cust),
+        )
+        .otherwise(F.lit(0))
+        .alias("cur_cents"),
     )
     return pairs.groupBy(
         F.add_months("prev_m", 1).alias("month")
@@ -2804,11 +2799,15 @@ def analytics_chi2_independence(
 
     Scale: one (lang, source) collapse — the contingency table — then
     marginals and cell terms on the ≤|langs|·|sources| summary; the
-    broadcast of three tiny marginal tables is the only join traffic."""
+    broadcast of three tiny marginal tables is the only join traffic.
+    The summary is eagerly checkpointed (r15): the id's five separate
+    actions (total collect, row/col counts, the final agg whose plan
+    embeds o three more times) each re-ran the corpus collapse —
+    6 document scans for a ≤|langs|·|sources|-row table."""
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(
         F.count("*").cast("bigint").alias("obs")
-    )
+    ).localCheckpoint()
     r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("rt"))
     c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("ct"))
     trow = o.agg(F.sum("obs")).collect()[0][0]
