@@ -3319,10 +3319,15 @@ def analytics_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelation engines aspire to and a pipeline author can guarantee
     by construction.
 
-    Scale: everything keys on l_orderkey (the join-back co-partitions
-    with the aggregate's own shuffle) except the final tiny
-    supplier-name broadcast; late flags are computed once at the scan
-    join."""
+    Scale (r15): everything keys on l_orderkey — and the per-order
+    distinct-supplier counts are ORDER-PARTITIONED WINDOW aggregates
+    (size(collect_set(..)) over the orderkey window; countDistinct is
+    not a window function but the set is per-order-bounded), so the
+    old aggregate + join-back — which executed the lineitem ⋈ orders
+    join TWICE (structurally different sides, no ReusedExchange) —
+    collapses to ONE pass over one orderkey exchange. Late flags are
+    computed once at the scan join; the supplier-name broadcast is the
+    only other join traffic."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -3339,22 +3344,24 @@ def analytics_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")
         ).alias("late"),
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
-    )
+    w_ord = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        l.where(F.col("late"))
-        .join(
-            per_order.where(
-                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        l.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w_ord))
+        )
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w_ord)
             ),
-            "l_orderkey",
+        )
+        .where(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")

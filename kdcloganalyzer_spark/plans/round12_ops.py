@@ -2646,15 +2646,18 @@ def events_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF is ONE scaled division (sign-safe: trunc-div is engine-neutral
     on integers, measured r12).
 
-    Scale: the corpus collapses to the daily summary once; the lead
-    window, both reductions, and the division run on the calendar-
-    bounded frame. The n/S scalars ride a broadcast 1-row cross join
-    on the SUMMARY (≤ days rows — the sanctioned 1-row×small-N
-    analytics join, not a data-path BNLJ)."""
+    Scale: the corpus collapses to the daily summary once — eagerly
+    checkpointed (r15: the id's three driver actions — n/S collect,
+    denominator collect, the final numerator aggregate — each re-ran
+    the corpus collapse; ≤ days rows is the cheapest possible
+    checkpoint); the lead window, both reductions, and the division
+    run on the calendar-bounded frame. The n/S scalars ride a
+    broadcast 1-row cross join on the SUMMARY (≤ days rows — the
+    sanctioned 1-row×small-N analytics join, not a data-path BNLJ)."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").cast("bigint").alias("x")
-    )
+    ).localCheckpoint()
     t = d.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),

@@ -308,7 +308,13 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 40)
         .drop("rk")
     )
-    doc_vocab = words.join(F.broadcast(vocab), "w")
+    # r15: the self-join's two sides are structurally different, so
+    # without this checkpoint each side re-ran the corpus explode ⋈
+    # vocab (4 documents scans total). The vocab-filtered projection
+    # is ≤ 40·|docs| rows — the cheap thing to materialize; the raw
+    # word explode stays lazy (corpus-sized checkpoints lose — the
+    # quality_bigram_lm A/B).
+    doc_vocab = words.join(F.broadcast(vocab), "w").localCheckpoint()
     a = doc_vocab.select(
         "doc_id", F.col("w").alias("w_a"), F.col("n").alias("n_a")
     )
