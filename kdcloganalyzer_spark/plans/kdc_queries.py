@@ -702,18 +702,40 @@ def q_users_few_services_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_n_kdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Top N hosts, users, services' (README.md:10) over the KDC records:
-    one pass, three entity kinds stacked."""
+    one pass, three entity kinds stacked. r15: the three per-kind
+    groupBy branches each re-scanned the records parquet and ran a
+    separate single-partition top-10 sort; a 3-struct explode stacks
+    the kinds BEFORE the partial-agg'd (kind, entity) rollup — one
+    scan, one count shuffle, one kind-partitioned rank window (the
+    explode is a generator over 3 literal structs, not the
+    count-distinct EXPAND the quality_profile_columns lesson warns
+    about — partial aggregation collapses it map-side)."""
     r = kdc_records(spark, sf_dir).filter(F.col("valid"))
-    out = []
-    for kind, col in [("user", "client"), ("service", "service"), ("host", "client_ip")]:
-        counts = r.groupBy(F.col(col).alias("entity")).agg(F.count("*").alias("n"))
-        w = Window.orderBy(F.desc("n"), F.asc("entity"))
-        out.append(
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10)
-            .select(F.lit(kind).alias("kind"), "entity", "n")
-        )
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    stacked = r.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("kind"),
+                    F.col("client").alias("entity"),
+                ),
+                F.struct(
+                    F.lit("service").alias("kind"),
+                    F.col("service").alias("entity"),
+                ),
+                F.struct(
+                    F.lit("host").alias("kind"),
+                    F.col("client_ip").alias("entity"),
+                ),
+            )
+        ).alias("ke")
+    ).select("ke.kind", "ke.entity")
+    counts = stacked.groupBy("kind", "entity").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("kind").orderBy(F.desc("n"), F.asc("entity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("kind", "entity", "n")
+    )
 
 
 @query(
@@ -931,14 +953,18 @@ def kdc_ip_roaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-resolution timestamp ties.
 
     Scale: the AUTH filter prunes first; ONE shuffle on client shared
-    by the lag window and the rollup; the distinct-IP count joins back
-    co-partitioned on the same key. Per-client state is one previous
-    row — the streaming form is the same expression under
-    applyInPandasWithState (stream_sessionize's machinery)."""
+    by the lag window, the distinct-IP set (r15: an unordered window
+    over the SAME client partitioning — the old separate
+    count-distinct aggregate re-scanned the records and joined back;
+    collect_set and count(DISTINCT) agree on NULL handling), and the
+    rollup. Per-client state is one previous row — the streaming form
+    is the same expression under applyInPandasWithState
+    (stream_sessionize's machinery)."""
     r = kdc_records(spark, sf_dir).filter(
         F.col("valid") & (F.col("req_type") == "AUTH")
     )
     w = Window.partitionBy("client").orderBy("ts", "client_ip")
+    wc = Window.partitionBy("client")
     o = r.select(
         "client",
         "client_ip",
@@ -947,9 +973,11 @@ def kdc_ip_roaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts")
             - F.lag(F.unix_timestamp("ts")).over(w)
         ).alias("gap_s"),
+        F.size(F.collect_set("client_ip").over(wc)).alias("n_ips"),
     )
     sw = o.select(
         "client",
+        "n_ips",
         F.when(
             F.col("prev_ip").isNotNull()
             & (F.col("prev_ip") != F.col("client_ip"))
@@ -959,23 +987,15 @@ def kdc_ip_roaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rapid_switch"),
     )
-    d = r.groupBy("client").agg(
-        F.count_distinct("client_ip").alias("n_ips")
-    )
     return (
         sw.groupBy("client")
         .agg(
             F.sum("rapid_switch").cast("bigint").alias("n_rapid_switches"),
+            F.max("n_ips").cast("bigint").alias("n_ips"),
             F.count("*").alias("n_auths"),
         )
         .where(F.col("n_rapid_switches") >= 1)
-        .join(d, "client")
-        .select(
-            "client",
-            "n_rapid_switches",
-            F.col("n_ips").cast("bigint").alias("n_ips"),
-            "n_auths",
-        )
+        .select("client", "n_rapid_switches", "n_ips", "n_auths")
     )
 
 

@@ -1240,12 +1240,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per language (tf = in-language occurrences,
     idf = ln(N / df) over the whole corpus).
 
-    Scale: explode → two aggregations (term freq, doc freq) + one join;
-    df table is vocabulary-sized → broadcastable; per-language top-k via
-    window. Rounded score is the ranking key on BOTH engines so ties
-    break identically. The corpus size N rides the SAME DAG as a
-    broadcast 1-row aggregate cross-join — no separate driver-side
-    count() job per invocation."""
+    Scale (r15): ONE explode → one partial-agg'd (word, doc_id, lang)
+    pre-aggregate g; df is a word-partitioned WINDOW count over g (one
+    g-sized exchange), after which the (lang, word) tf regroup needs
+    NO further exchange ({word} ⊆ {lang, word} — the subset clustering
+    rule) and the tf⋈df join disappears (df rides along as max() — it
+    is constant within a word). The old form exploded the corpus TWICE
+    (tf and dropDuplicates-df branches were structurally different, no
+    ReusedExchange — and the dropDuplicates shuffle was corpus-sized).
+    Per-language top-k via window. Rounded score is the ranking key on
+    BOTH engines so ties break identically. The corpus size N rides
+    the SAME DAG as a broadcast 1-row aggregate cross-join — no
+    separate driver-side count() job per invocation."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1254,16 +1260,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
     )
-    tf = words.groupBy("lang", "word").agg(F.count("*").alias("tf"))
-    dfq = (
-        words.dropDuplicates(["doc_id", "word"])
-        .groupBy("word")
-        .agg(F.count("*").alias("df"))
+    g = words.groupBy("word", "doc_id", "lang").agg(
+        F.count("*").alias("c")
+    )
+    wdf = Window.partitionBy("word")
+    tfdf = (
+        g.withColumn("df", F.count("*").over(wdf))
+        .groupBy("lang", "word")
+        .agg(F.sum("c").alias("tf"), F.max("df").alias("df"))
     )
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfq), "word")
-        .crossJoin(F.broadcast(n))
+        tfdf.crossJoin(F.broadcast(n))
         .select(
             "lang",
             "word",
