@@ -892,9 +892,19 @@ def range_cosine_exact(
     hits = joined.select("q_id", "vec_id", cos.alias("cos")).filter(
         F.col("cos") >= tau
     )
-    n = hits.groupBy("q_id").agg(F.count("*").cast("int").alias("n_hits"))
-    return hits.join(n, "q_id").select(
-        "q_id", "vec_id", "cos", "n_hits"
+    # r15: the per-query match count as an aggregate + join-back
+    # re-executed the whole corpus scoring pass (the hits side carries
+    # no exchange for ReusedExchange to deduplicate). A count over the
+    # q_id window scores once and pays one post-threshold exchange on
+    # |queries| keys.
+    return hits.select(
+        "q_id",
+        "vec_id",
+        "cos",
+        F.count("*")
+        .over(Window.partitionBy("q_id"))
+        .cast("int")
+        .alias("n_hits"),
     )
 
 

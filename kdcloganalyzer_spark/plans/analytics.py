@@ -1518,6 +1518,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").alias("n"))
+    # r15: the type x day rollup (<= |types| x |days| rows) feeds THREE
+    # structurally different consumers (median branch, MAD branch, the
+    # final join) — each re-executed the corpus collapse. Materialize
+    # it once; both join-backs stay explicit broadcasts (checkpointed
+    # frames carry no AQE stats).
+    d = d.localCheckpoint()
     med = d.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )

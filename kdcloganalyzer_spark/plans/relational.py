@@ -4755,19 +4755,25 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").cast("int").alias("hr")
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr"))
-    r = h.withColumn("rk", F.row_number().over(w))
-    t = h.groupBy("event_type").agg(
-        F.count("*").cast("int").alias("n_hours")
+    # r15: the distinct-hour total rides the SAME event_type window
+    # partitioning as the rank (unordered frame = whole partition), so
+    # the separate aggregate + join-back — which re-executed the corpus
+    # collapse — disappears: one events pass, one summary exchange.
+    r = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("int")
+        .alias("n_hours"),
     )
-    return (
-        r.where(F.col("rk") == 1)
-        .join(t, "event_type")
-        .select(
-            "event_type",
-            F.col("hr").alias("mode_hour"),
-            F.col("n").alias("mode_count"),
-            "n_hours",
-        )
+    return r.where(F.col("rk") == 1).select(
+        "event_type",
+        F.col("hr").alias("mode_hour"),
+        F.col("n").alias("mode_count"),
+        "n_hours",
     )
 
 

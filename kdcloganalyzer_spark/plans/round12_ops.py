@@ -2067,16 +2067,17 @@ def analytics_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     from kdcloganalyzer_spark.plans.relational import _cents
 
-    fo = o.groupBy(F.col("o_custkey").alias("cust")).agg(
-        F.min(
-            F.date_trunc("month", "o_orderdate").cast("date")
-        ).alias("first_m")
-    )
     om = o.groupBy(
         F.col("o_custkey").alias("cust"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
     ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_cents"))
-    j = om.join(fo, "cust")
+    # r15: the first-order month is derivable FROM the (cust, month)
+    # summary — min(m) per customer — so the separate per-customer
+    # aggregate (a second orders scan) and the cust equi-join collapse
+    # into one window over the already-aggregated frame.
+    j = om.withColumn(
+        "first_m", F.min("m").over(Window.partitionBy("cust"))
+    )
     is_new = F.col("m") == F.col("first_m")
     return j.groupBy(F.col("m").alias("month")).agg(
         F.count("*").cast("bigint").alias("n_customers"),
@@ -3784,6 +3785,10 @@ def analytics_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
         )
+        # r15: the calendar-bounded daily rollup (and its single-
+        # partition index window) fed BOTH pair-join sides, so the
+        # corpus collapse executed twice. Materialize it once.
+        .localCheckpoint()
     )
     b = d.where(F.col("i") >= 2).select(
         F.col("i").alias("bi"),

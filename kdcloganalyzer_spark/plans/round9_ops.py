@@ -223,19 +223,30 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    srcs = docs.select("source").distinct()
-    n_src = srcs.count()  # control scalar (tiny, bounded by source count)
-    sw = Window.orderBy("source")
-    src_idx = srcs.select(
-        "source", (F.row_number().over(sw) - 1).alias("src_idx")
+    # r15: ONE bounded collect supplies both control values (source
+    # count and each source's dense index = position in sort order) —
+    # the old form paid a count() action plus a distinct+rank subtree
+    # inside the main job, i.e. two extra documents scans and a join.
+    sources = sorted(
+        row[0] for row in docs.select("source").distinct().collect()
+    )
+    n_src = len(sources)
+    idx_map = F.create_map(
+        *[
+            lit
+            for i, s in enumerate(sources)
+            for lit in (F.lit(s), F.lit(i))
+        ]
     )
     return (
         docs.withColumn("rk", F.row_number().over(w) - 1)
-        .join(F.broadcast(src_idx), "source")
         .select(
             "doc_id",
             "source",
-            (F.col("rk") * n_src + F.col("src_idx"))
+            (
+                F.col("rk") * n_src
+                + F.element_at(idx_map, F.col("source"))
+            )
             .cast("long")
             .alias("mix_pos"),
         )
