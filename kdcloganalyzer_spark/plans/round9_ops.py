@@ -468,11 +468,22 @@ def window_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_us = F.unix_micros("ts")
     e_us = s_us + F.round(F.col("value") * 1000000).cast("long")
     iv = ev.select("event_type", s_us.alias("s_us"), e_us.alias("e_us"))
+    # r15: the +1/-1 endpoint rows as a 2-struct explode instead of a
+    # union of two projections — the union re-read the events scan once
+    # per branch (generator form scans once; same multiset).
     deltas = iv.select(
-        "event_type", F.col("s_us").alias("t_us"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("event_type", "e_us", F.lit(-1).alias("delta"))
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("t_us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("e_us").alias("t_us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("td"),
+    ).select("event_type", "td.t_us", "td.delta")
     w = Window.partitionBy("event_type").orderBy("t_us", "delta").rowsBetween(
         Window.unboundedPreceding, 0
     )
