@@ -2068,18 +2068,34 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's agg_hll_sketch_merge / users_few_services_approx already
     exhibit; the report shape here stays identical."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count_distinct("user_id").alias("dau")
+    # r15: BOTH distinct grains derive from one (user, day) activity
+    # collapse — dau = per-day row count, mau = per-month count over
+    # the (user, month) dedupe of the same table — so the corpus is
+    # scanned and distinct-expanded ONCE instead of once per grain.
+    # |users|x|days| is the standard activity-table size, far below
+    # the event count; checkpointed because the two consumers are
+    # structurally different subtrees.
+    ud = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()
     )
+    d = ud.groupBy("day").agg(F.count("*").alias("dau"))
     m = d.groupBy(
         F.date_trunc("month", "day").cast("date").alias("month")
     ).agg(
         F.sum("dau").cast("bigint").alias("sum_dau"),
         F.count("*").alias("n_days"),
     )
-    mu = ev.groupBy(
-        F.date_trunc("month", "ts").cast("date").alias("month")
-    ).agg(F.count_distinct("user_id").alias("mau"))
+    mu = (
+        ud.select(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("month")
+        .agg(F.count("*").alias("mau"))
+    )
     return m.join(mu, "month").select(
         "month",
         "mau",
@@ -2346,41 +2362,34 @@ def analytics_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
     ).collect()[0]
     mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
-    spend = (
-        orders.select(
-            "o_custkey",
-            F.when(F.col("o_orderdate") < F.lit(mid), "h1")
-            .otherwise("h2")
-            .alias("period"),
-            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
-                "cents"
-            ),
-        )
-        .groupBy("o_custkey", "period")
-        .agg(F.sum("cents").cast("bigint").alias("spend"))
-    )
-    tiered = spend.select(
+    # r15: the two half-filtered sides of the old full self-join were
+    # structurally different (no ReusedExchange), so the per-(customer,
+    # period) collapse ran twice. ONE groupBy(o_custkey) with
+    # conditional half sums is the identical matrix: a customer absent
+    # from a half has a NULL conditional sum, exactly the old full-join
+    # miss → 'none'.
+    is_h1 = F.col("o_orderdate") < F.lit(mid)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = orders.select(
         "o_custkey",
-        "period",
-        F.when(F.col("spend") >= 40000000, "gold")
-        .when(F.col("spend") >= 20000000, "silver")
-        .otherwise("bronze")
-        .alias("tier"),
+        F.when(is_h1, cents).alias("c1"),
+        F.when(~is_h1, cents).alias("c2"),
+    ).groupBy("o_custkey").agg(
+        F.sum("c1").cast("bigint").alias("s1"),
+        F.sum("c2").cast("bigint").alias("s2"),
     )
-    a = tiered.where(F.col("period") == "h1").select(
-        "o_custkey", F.col("tier").alias("tier_a")
-    )
-    b = tiered.where(F.col("period") == "h2").select(
-        "o_custkey", F.col("tier").alias("tier_b")
-    )
-    return (
-        a.join(b, "o_custkey", "full")
-        .groupBy(
-            F.coalesce("tier_a", F.lit("none")).alias("tier_h1"),
-            F.coalesce("tier_b", F.lit("none")).alias("tier_h2"),
+
+    def _tier(col: str):
+        return (
+            F.when(F.col(col).isNull(), "none")
+            .when(F.col(col) >= 40000000, "gold")
+            .when(F.col(col) >= 20000000, "silver")
+            .otherwise("bronze")
         )
-        .agg(F.count("*").alias("n_customers"))
-    )
+
+    return spend.groupBy(
+        _tier("s1").alias("tier_h1"), _tier("s2").alias("tier_h2")
+    ).agg(F.count("*").alias("n_customers"))
 
 
 @query(
@@ -2594,20 +2603,26 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     uw = ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
     ).distinct()
-    fw = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
-    prev = uw.select(
-        "user_id", F.date_add("week", 7).alias("week"), F.lit(1).alias("was_prev")
-    )
-    flags = (
-        uw.join(fw, "user_id")
-        .join(prev, ["user_id", "week"], "left")
-        .select(
-            "week",
-            F.when(F.col("first_week") == F.col("week"), 1)
-            .otherwise(0)
-            .alias("is_new"),
-            F.coalesce("was_prev", F.lit(0)).alias("is_retained"),
+    # r15: first-week and the prior-week probe are both derivable from
+    # the user's ORDERED distinct-week sequence — min(week) over user
+    # and lag(week)+7 == week (the immediately previous active week IS
+    # (user, week−7) when it exists) — so the two self-joins (each
+    # re-executing the corpus distinct) collapse into one window pass.
+    wu = Window.partitionBy("user_id").orderBy("week")
+    flags = uw.select(
+        "week",
+        F.when(
+            F.min("week").over(Window.partitionBy("user_id"))
+            == F.col("week"),
+            1,
         )
+        .otherwise(0)
+        .alias("is_new"),
+        F.when(
+            F.date_add(F.lag("week").over(wu), 7) == F.col("week"), 1
+        )
+        .otherwise(0)
+        .alias("is_retained"),
     )
     return flags.groupBy("week").agg(
         F.count("*").alias("n_active"),

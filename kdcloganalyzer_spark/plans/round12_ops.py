@@ -138,9 +138,18 @@ def events_dau_mau_stickiness_hll(
     asserts the literal TRUE; the reported metric stays the exact
     integer-micro stickiness, so the hash also re-verifies the metric."""
     ev = load_table(spark, sf_dir, "events")
-    day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+    # r15: one (user, day) distinct collapse feeds BOTH the day-grain
+    # branch and the exact-MAU envelope branch (HLL updates are
+    # idempotent — sketching the deduped table builds the identical
+    # sketch), instead of two corpus scans with separate distincts.
+    ud = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    day = ud.groupBy("day").agg(
         F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"),
-        F.count_distinct("user_id").alias("dau"),
+        F.count("*").alias("dau"),
     )
     m = day.groupBy(
         F.date_trunc("month", "day").cast("date").alias("month")
@@ -152,9 +161,15 @@ def events_dau_mau_stickiness_hll(
             "_mau_est"
         ),
     )
-    mu = ev.groupBy(
-        F.date_trunc("month", "ts").cast("date").alias("month")
-    ).agg(F.count_distinct("user_id").alias("mau"))
+    mu = (
+        ud.select(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("month")
+        .agg(F.count("*").alias("mau"))
+    )
     in_env = (
         F.abs(F.col("_sum_dau_est").cast("double") - F.col("sum_dau"))
         <= F.greatest(2.0 * F.col("n_days"), 0.02 * F.col("sum_dau"))
@@ -675,6 +690,10 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_alloc"),
     )
+    # r15: the ≤|strata|-row allocation table feeds BOTH the selection
+    # broadcast and the final left join — without materialization the
+    # stats pass (a corpus scan) re-executed once per consumer.
+    final = final.localCheckpoint()
     ranked = docs.select(
         "source",
         "doc_id",
@@ -699,7 +718,9 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sel_xor"),
         )
     )
-    return final.join(sel, "source", "left").select(
+    # Checkpointed `final` carries no AQE stats — hint the (≤|strata|
+    # rows) selection summary broadcast explicitly.
+    return final.join(F.broadcast(sel), "source", "left").select(
         "source",
         "n_docs",
         "w_milli",
