@@ -252,15 +252,24 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key sort fits (vs. the O(n·m) range-join alternative).
     """
     events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts"), F.col("ts").alias("click_ts"), F.lit(None).cast("long").alias("event_id")
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts"), F.lit(None).cast("timestamp").alias("click_ts"), "event_id"
+    # r15: the click/purchase branches are DISJOINT on event_type, so
+    # the union of two filtered projections is one filtered CASE pass —
+    # the events scan runs once instead of once per stream.
+    unioned = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
     )
     # Clicks sort before purchases at equal ts (is_purchase asc) so ts<=ts
     # matches are visible to the carry-forward.
-    unioned = clicks.unionByName(purchases).withColumn(
+    unioned = unioned.withColumn(
         "is_purchase", F.col("event_id").isNotNull().cast("int")
     )
     w = (
@@ -4071,19 +4080,20 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear; the same reason join_asof beats a range join at 100 TB,
     paid twice instead of once for the bidirectional semantics."""
     events = load_table(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
+    # r15: disjoint event_type branches → one filtered CASE pass (same
+    # rewrite as join_asof; the events scan runs once, not per stream).
+    u = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
         "user_id",
         "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        "event_id",
-    )
-    u = clicks.unionByName(purchases).withColumn(
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
+    ).withColumn(
         "is_purchase", F.col("event_id").isNotNull().cast("int")
     )
     w_back = (
@@ -5852,14 +5862,21 @@ def analytics_order_backlog_curve(
         .cast("date")
         .alias("close_m"),
     )
+    # r15: the +1/-1 backlog deltas as a 2-struct explode instead of a
+    # union of two projections — one orders scan, not one per endpoint.
     delta = iv.select(
-        F.col("open_m").alias("month"), F.lit(1).alias("d")
-    ).unionAll(
-        iv.select(
-            F.add_months("close_m", 1).alias("month"),
-            F.lit(-1).alias("d"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_m").alias("month"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.add_months("close_m", 1).alias("month"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("md")
+    ).select("md.month", "md.d")
     g = delta.groupBy("month").agg(F.sum("d").cast("bigint").alias("net"))
     w = Window.orderBy("month").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -656,17 +656,19 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
+    # r15: disjoint event_type branches → one filtered CASE pass (same
+    # rewrite as join_asof; the events scan runs once, not per stream).
+    u = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
         "user_id",
         "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        "event_id",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -674,8 +676,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
-        clicks.unionByName(purchases)
-        .withColumn(
+        u.withColumn(
             "last_click", F.last("click_ts", ignorenulls=True).over(w)
         )
         .where(F.col("event_id").isNotNull())

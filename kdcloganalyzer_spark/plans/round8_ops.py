@@ -1127,22 +1127,29 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    upd = base.where(F.col("k") % 10 == 3).select(
-        "k",
-        F.lit("U").alias("op"),
-        "name",
-        (F.col("bal_cents") + 10000).alias("bal_cents"),
+    # r15: the U/D/I branches are DISJOINT on k % 10, so the 3-way
+    # union (three re-executions of the base slice) is one filtered
+    # CASE pass; base itself feeds the merge's left side too, so the
+    # tiny (<800-row) slice is checkpointed once.
+    base = base.localCheckpoint()
+    m10 = F.col("k") % 10
+    changes = base.where(m10.isin(3, 7, 1)).select(
+        F.when(m10 == 1, F.col("k") + 1000000)
+        .otherwise(F.col("k"))
+        .alias("k"),
+        F.when(m10 == 3, "U").when(m10 == 7, "D").otherwise("I").alias(
+            "op"
+        ),
+        F.when(
+            m10 == 1, F.concat(F.lit("NEW#"), F.col("k").cast("string"))
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(m10 == 3, F.col("bal_cents") + 10000)
+        .when(m10 == 7, F.col("bal_cents"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bal_cents"),
     )
-    dele = base.where(F.col("k") % 10 == 7).select(
-        "k", F.lit("D").alias("op"), "name", "bal_cents"
-    )
-    ins = base.where(F.col("k") % 10 == 1).select(
-        (F.col("k") + 1000000).alias("k"),
-        F.lit("I").alias("op"),
-        F.concat(F.lit("NEW#"), F.col("k").cast("string")).alias("name"),
-        F.lit(0).cast("long").alias("bal_cents"),
-    )
-    changes = upd.unionAll(dele).unionAll(ins)
     b = base.alias("b")
     c = changes.alias("c")
     merged = (
