@@ -1448,7 +1448,10 @@ def agg_approx_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_shard = Window.partitionBy("pid").orderBy(F.desc("cnt"), "key")
-    r = c.withColumn("rn", F.row_number().over(w_shard))
+    # r15: the ranked shard summary (≤ |types|·50 rows) feeds both the
+    # residual aggregate and the kept join — materialize once so the
+    # corpus count pass doesn't re-execute per consumer.
+    r = c.withColumn("rn", F.row_number().over(w_shard)).localCheckpoint()
     resid = r.groupBy("pid").agg(
         F.coalesce(
             F.max(F.when(F.col("rn") > 4, F.col("cnt"))), F.lit(0)
