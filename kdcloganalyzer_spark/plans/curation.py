@@ -811,7 +811,10 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need explode-replication; capped at 1 here, as curation
     pipelines usually do before the epoch-level sampler."""
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    # r15: the |sources|-row count table feeds the totals aggregate AND
+    # the threshold projection — materialize once so the corpus count
+    # pass doesn't execute per consumer.
+    c = docs.groupBy("source").agg(F.count("*").alias("n")).localCheckpoint()
     tot = c.agg(
         F.sum("n").alias("n_all"), F.sum(F.sqrt("n")).alias("s_all")
     )

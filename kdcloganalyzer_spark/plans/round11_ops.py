@@ -1824,9 +1824,14 @@ def rollup_interpolate_linear(
     from kdcloganalyzer_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("y"))
+    # r15: the calendar-sized anchor curve feeds BOTH broadcast sides
+    # (y1 at day, y2 at day+1) — without materialization the corpus
+    # collapse executed once per side.
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .localCheckpoint()
+    )
     pts = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         F.date_trunc("day", "ts").alias("d1"),
