@@ -175,15 +175,21 @@ def _hash_ordered_tokens():
 
 
 def _hash_prefix_index(d: DataFrame, threshold: float) -> DataFrame:
-    """Explode each doc's hash-ordered prefix tokens → inverted index."""
+    """Posexplode each doc's hash-ordered prefix tokens → inverted index
+    with 1-based global position (a prefix slice starts at element 1, so
+    prefix positions ARE positions in the full sorted token array) — the
+    input the positional filter in ``_prefix_candidates`` needs."""
     return d.select(
         "doc_id",
         "lang",
         "source",
         "nw",
-        F.explode(
+        F.posexplode(
             F.slice(_hash_ordered_tokens(), F.lit(1), _prefix_len(threshold))
-        ).alias("tok"),
+        ).alias("_p0", "tok"),
+    ).select(
+        "doc_id", "lang", "source", "nw", "tok",
+        (F.col("_p0") + 1).alias("pos"),
     )
 
 
@@ -207,9 +213,29 @@ def _prefix_candidates(
 
     Symmetric form (probe=None): self-join with id_a < id_b to emit each
     unordered pair once. Asymmetric form (R⋈S SSJoin): ``idx`` is the
-    delta side, ``probe`` the base side, ids assumed disjoint."""
+    delta side, ``probe`` the base side, ids assumed disjoint.
+
+    POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu WWW'08 §3.2): when A's
+    token at global position p_a matches B's at p_b, the tokens BEFORE
+    the pair's minimal common token contribute nothing (a common token
+    below it in the order would itself be a smaller common prefix token),
+    so at that row the true overlap is bounded by the shorter remaining
+    suffix: O ≤ 1 + min(|A|−p_a, |B|−p_b). J ≥ t forces
+    O ≥ t·(|A|+|B|)/(1+t); rows violating the bound are dropped BEFORE
+    the dedup shuffle and verify joins. Lossless per pair: the minimal
+    common token's row always satisfies the bound when the pair
+    qualifies, so dropDuplicates still sees every qualifying pair.
+    Epsilon-guarded like ``_prefix_len`` (never tighten the exact
+    rational bound from float error)."""
     a = idx.alias("a")
     b = (idx if probe is None else probe).alias("b")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.nw") - F.col("a.pos"), F.col("b.nw") - F.col("b.pos")
+    )
+    required = (
+        F.lit(threshold) * (F.col("a.nw") + F.col("b.nw"))
+        / F.lit(1.0 + threshold)
+    )
     cond = (
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
@@ -218,15 +244,31 @@ def _prefix_candidates(
             F.least(F.col("a.nw"), F.col("b.nw"))
             >= F.lit(threshold) * F.greatest(F.col("a.nw"), F.col("b.nw"))
         )
+        & (overlap_ub >= required - F.lit(1e-9))
     )
     if probe is None:
         cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+    sc = idx.sparkSession.sparkContext
     return (
         a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
+        # AQE rightly coalesces the tiny id-pair dedup shuffle to ~1
+        # partition (bytes-optimal), but every downstream row then pays
+        # heavy per-pair work (broadcast-join probe + array_intersect
+        # over full word arrays) on ONE core. Explicit ROUND-ROBIN
+        # repartition to the session's core count restores parallelism
+        # for a few MB of extra exchange. Round-robin, not hash-by-key:
+        # a hash repartition identical to the aggregate's existing
+        # hashpartitioning(id_a,id_b,N) is elided by the optimizer and
+        # the surviving ENSURE_REQUIREMENTS exchange re-coalesces to 1
+        # (verified in plans/r16). Retry-determinism is covered by
+        # sortBeforeRepartition (on 16-byte id pairs, negligible). At
+        # cluster scale the verify joins re-exchange anyway (SMJ on
+        # id_a/id_b), so this never caps a genuinely wide plan.
+        .repartition(sc.defaultParallelism)
     )
 
 
@@ -293,7 +335,12 @@ def ngram_jaccard_pairs_prefix_dford(
         toks.join(F.broadcast(dfreq), "tok")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _prefix_len(threshold))
-        .select("doc_id", "lang", "source", "nw", "tok")
+        # _rn IS the token's 1-based global position under the (df, tok)
+        # order — feeds the positional filter in _prefix_candidates.
+        .select(
+            "doc_id", "lang", "source", "nw", "tok",
+            F.col("_rn").alias("pos"),
+        )
     )
     return _verify_jaccard(_prefix_candidates(idx, threshold), d, threshold)
 
@@ -854,6 +901,13 @@ def connected_components(
     n_sym = sym.count()  # free: already materialized by the checkpoint
     parallelism = sess.sparkContext.defaultParallelism
     loop_parts = max(2, min(parallelism, n_sym // 500_000 + 1))
+    if sym.rdd.getNumPartitions() > loop_parts:
+        # the edge frame arrives verify-wide (candidate pairs are
+        # repartitioned to core count for the per-pair verify); every
+        # loop round scans sym, so narrow-coalesce it once to the
+        # edge-count-adaptive loop width — no shuffle, no re-checkpoint,
+        # rounds schedule loop_parts map tasks instead of 2× parallelism.
+        sym = sym.coalesce(loop_parts)
     old_parts = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
@@ -1069,10 +1123,27 @@ def containment_pairs(
     and lossless for any fixed token order (same theorem, one-sided)."""
     d = _prep_word_sets(docs) if prepped is None else prepped
     a_idx = _hash_prefix_index(d, threshold)
+    # Container-side FULL index, posexploded in the same hash order so the
+    # positional filter below sees both global positions (PPJoin §3.2,
+    # one-sided): at the pair's minimal common token, the overlap is
+    # bounded by 1 + min(|A|−p_a, |B|−p_b), and C(A,B) ≥ t needs overlap
+    # ≥ ⌈t·|A|⌉ — so container postings deep in B (p_b > |B| − t·|A| + 1)
+    # can never initiate a qualifying candidate. Lossless: the minimal
+    # common token's row always passes when the pair qualifies.
     b_idx = d.select(
-        "doc_id", "lang", "source", "nw", F.explode("words").alias("tok")
+        "doc_id",
+        "lang",
+        "source",
+        "nw",
+        F.posexplode(_hash_ordered_tokens()).alias("_p0", "tok"),
+    ).select(
+        "doc_id", "lang", "source", "nw", "tok",
+        (F.col("_p0") + 1).alias("pos"),
     )
     a, b = a_idx.alias("a"), b_idx.alias("b")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.nw") - F.col("a.pos"), F.col("b.nw") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
@@ -1080,12 +1151,21 @@ def containment_pairs(
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("b.nw") >= F.lit(threshold) * F.col("a.nw")),
+            & (F.col("b.nw") >= F.lit(threshold) * F.col("a.nw"))
+            & (
+                overlap_ub
+                >= F.lit(threshold) * F.col("a.nw") - F.lit(1e-9)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
+        # same single-coalesced-partition hazard as _prefix_candidates:
+        # keep the per-pair verify work on every core (round-robin —
+        # a hash repartition matching the dedup's partitioning is
+        # elided and re-coalesced; see _prefix_candidates).
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     wa = d.select(
         F.col("doc_id").alias("id_a"),
