@@ -315,8 +315,15 @@ def _local_table_path(
     run overwrote a 0.43%-steal one whose only flag was its own warm-up
     load). Calmness is compared as (flag count, then run-long steal %);
     a flagged run that is not calmer than the existing table lands in
-    BENCH_LOCAL_INFLATED.json instead, unless forced. A fully-calm run
-    (0 flags) always wins — it reflects the current code."""
+    BENCH_LOCAL_INFLATED_c{cpus}.json instead, unless forced. A
+    fully-calm run (0 flags) always wins — it reflects the current code.
+
+    The inflated filename is keyed by the run's core count (VERDICT r15
+    item 2a): the r15 8-core scaling run was "calmer" than the 32-core
+    run and OVERWROTE its per-id steal receipts — exactly the instrument
+    needed to triage that round's apparent regressions. Runs at
+    different core counts are different measurements; they must never
+    clobber each other's receipt files."""
     local_path = os.path.join(here, "BENCH_LOCAL.json")
     cur_key = (int(load_inflated) + int(steal_inflated), steal_pct_run)
     if cur_key[0] > 0 and not os.environ.get("SPARK_GRAFT_FORCE_BENCH"):
@@ -331,7 +338,8 @@ def _local_table_path(
         except (OSError, ValueError):
             return local_path
         if prev_key < cur_key:
-            return os.path.join(here, "BENCH_LOCAL_INFLATED.json")
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            return os.path.join(here, f"BENCH_LOCAL_INFLATED_c{cpus}.json")
     return local_path
 
 
@@ -593,6 +601,20 @@ def main() -> None:
         "steal_inflated": steal_inflated,
         "loadavg_warm": loadavg_warm,
         "load_inflated": load_inflated,
+        # Top per-id steal receipts ON the stdout line (VERDICT r15 item
+        # 2b): when a run is steal-flagged, the per-id attribution is the
+        # instrument that separates a hypervisor episode from a real
+        # regression — putting the worst-hit ids in the driver-captured
+        # line means the triage survives even if the local receipt file
+        # is later overwritten. Capped (8 ids, ≥1% in-window steal) so
+        # the slowest-query fill below keeps most of the byte budget.
+        "steal_queries": dict(
+            sorted(
+                ((q, s) for q, s in steal_queries.items() if s >= 1.0),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )[:8]
+        ),
         "queries": {},
         "queries_file": os.path.basename(local_path),
     }

@@ -1458,8 +1458,11 @@ def agg_approx_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pid_resid")
     )
     kept = (
+        # explicit broadcast (ADVICE r15): checkpointed frames carry no
+        # AQE stats, so the tiny per-shard residual table must be hinted
+        # like every other post-checkpoint join-back in this family.
         r.where(F.col("rn") <= 4)
-        .join(resid, "pid")
+        .join(F.broadcast(resid), "pid")
         .select("key", F.col("cnt").alias("est"), "pid", "pid_resid")
     )
     w_glob = Window.orderBy(F.desc("est"), "key")
@@ -2077,7 +2080,12 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned and distinct-expanded ONCE instead of once per grain.
     # |users|x|days| is the standard activity-table size, far below
     # the event count; checkpointed because the two consumers are
-    # structurally different subtrees.
+    # structurally different subtrees. Scale bound (ADVICE r15): this
+    # is the one r15 checkpoint that is activity-sized rather than
+    # rollup-sized — acceptable because localCheckpoint stores at
+    # MEMORY_AND_DISK (spills, never OOMs), and at true 100 TB the
+    # documented swap is per-day HLL sketches merged upward (see
+    # docstring), which shrinks this table to |days| rows.
     ud = (
         ev.select(F.to_date("ts").alias("day"), "user_id")
         .distinct()

@@ -135,6 +135,16 @@ def pipeline_interleave_sources_ranged(
     sources = sorted(
         row[0] for row in docs.select("source").distinct().collect()
     )
+    # same bounded-domain guards as pipeline_interleave_sources
+    # (ADVICE r15): fail loud on NULL sources, and keep the literal map
+    # under the ~64-entry codegen-recompile bound.
+    assert all(s is not None for s in sources), (
+        "pipeline_interleave_sources_ranged: NULL source value"
+    )
+    assert len(sources) <= 64, (
+        f"pipeline_interleave_sources_ranged: {len(sources)} sources "
+        "exceeds the literal-map codegen bound"
+    )
     n_src = len(sources)
     idx_map = F.create_map(
         *[

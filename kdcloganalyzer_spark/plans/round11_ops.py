@@ -1485,78 +1485,60 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence of the same phrase — max() is just the hash-stable
     projection of that constant).
 
-    Scale: segmentation is one doc-keyed window, word stats one
-    token-keyed partial agg, scoring one fan-back join on token — all
-    linear; at 100 TB the word-score table is vocabulary-sized and
-    broadcasts into the scoring join."""
+    Scale (r16 segment-explode rewrite, guide §2.4): island
+    segmentation is PER-ROW — stopwords are cut out of the normalized
+    text with one zero-width-lookaround regex (no consumption, so
+    consecutive stopwords both match) and the phrase list posexplodes
+    directly; no token-stream window shuffle, no island⋈phrase joins.
+    The phrase score is IDENTICAL for every occurrence of the same
+    phrase string (the oracle's own max(ps) projection), so scoring
+    runs over DISTINCT phrases: one vocabulary aggregate (word stats),
+    one phrase-count aggregate, and a tiny distinct-phrase re-expand
+    that reuses the phrase partitioning — the old per-occurrence
+    scoring shuffle is gone. At 100 TB the word-score table is
+    vocabulary-sized and broadcasts into the scoring join."""
     from kdcloganalyzer_spark.sources.tables import load_table
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.filter(
-                F.split(
-                    F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
-                    " ",
-                ),
-                lambda x: x != "",
-            ).alias("l"),
-        )
-        .select("doc_id", F.posexplode("l").alias("p0", "tok"))
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("i"),
-            "tok",
-            F.when(F.col("tok").isin(*_RAKE_STOP), 1)
-            .otherwise(0)
-            .alias("stop"),
-        )
+    # " tok tok ... " with single-space separators, space-padded so one
+    # lookbehind/lookahead pattern covers start/end tokens too.
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "),
+        F.lit(" "),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    stop_alt = "|".join(_RAKE_STOP)
+    seg = F.regexp_replace(norm, f"(?<= )(?:{stop_alt})(?= )", "|")
+    phrases = F.filter(
+        F.transform(F.split(seg, "[|]"), lambda s: F.trim(s)),
+        lambda s: s != "",
     )
-    isl = toks.select(
-        "doc_id", "tok", "i", "stop", F.sum("stop").over(w).alias("g")
-    ).where(F.col("stop") == 0).drop("stop")
-    phr = isl.groupBy("doc_id", "g").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("tok")))
-                ),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count("*").cast("bigint").alias("plen"),
+    # g = island index within the doc — any per-doc-unique id gives the
+    # oracle's (doc_id, running-stop-count) grouping granularity.
+    phr = docs.select(
+        "doc_id", F.posexplode(phrases).alias("g", "phrase")
+    ).withColumn("plen", F.size(F.split("phrase", " ")).cast("bigint"))
+    words = phr.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("tok")
     )
-    wstat = (
-        isl.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
-        .groupBy("tok")
-        .agg(
-            F.expr(
-                "CAST(sum(plen) * 1000000 div count(*) AS BIGINT)"
-            ).alias("w_micro")
-        )
+    wstat = words.groupBy("tok").agg(
+        F.expr(
+            "CAST(sum(plen) * 1000000 div count(*) AS BIGINT)"
+        ).alias("w_micro")
     )
-    occ_score = (
-        phr.select("doc_id", "g", "phrase")
-        .join(isl.select("doc_id", "g", "tok"), ["doc_id", "g"])
-        .join(wstat, "tok")
-        .groupBy("doc_id", "g", "phrase")
-        .agg(F.sum("w_micro").cast("bigint").alias("ps"))
+    occ = phr.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
     )
     return (
-        occ_score.groupBy("phrase")
+        occ.withColumn("tok", F.explode(F.split("phrase", " ")))
+        .join(wstat, "tok")
+        .groupBy("phrase")
         .agg(
-            F.count("*").cast("bigint").alias("n_occurrences"),
-            F.max("ps").cast("bigint").alias("score_micro"),
+            F.max("n_occurrences").alias("n_occurrences"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
         )
         .where(F.col("score_micro") >= 2000000)
+        .select("phrase", "n_occurrences", "score_micro")
     )
 
 

@@ -427,9 +427,14 @@ def analytics_customer_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("expansion_cents"),
+        # DECIMAL(38,0) widening (r16 sf3 overflow sweep): a cohort
+        # month's revenue-cents sum reaches ~8e11 at sf3 — ×1e6 is
+        # within 12× of BIGINT overflow and crosses it by ~sf35. Same
+        # value at every driver SF (div truncation is identical through
+        # DECIMAL — tests/test_overflow_widening.py).
         F.expr(
-            "CAST((sum(cur_cents) * 1000000) div sum(prev_cents)"
-            " AS BIGINT)"
+            "CAST(CAST(sum(cur_cents) AS DECIMAL(38,0)) * 1000000"
+            " div sum(prev_cents) AS BIGINT)"
         ).alias("nrr_micro"),
     )
 
@@ -1591,9 +1596,11 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("peak_cents") - F.col("rev_cents"))
         .cast("bigint")
         .alias("drawdown_cents"),
+        # DECIMAL(38,0) widening (r16 sf3 overflow sweep): period
+        # revenue cents ~8e11 at sf3; ×1e6 crosses BIGINT by ~sf35.
         F.expr(
-            "CAST((peak_cents - rev_cents) * 1000000 div peak_cents"
-            " AS BIGINT)"
+            "CAST(CAST(peak_cents - rev_cents AS DECIMAL(38,0))"
+            " * 1000000 div peak_cents AS BIGINT)"
         ).alias("drawdown_micro"),
     )
 
@@ -2111,8 +2118,11 @@ def analytics_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_new, F.col("rev_cents")).otherwise(0))
         .cast("bigint")
         .alias("repeat_cents"),
+        # DECIMAL(38,0) widening (r16 sf3 overflow sweep): same
+        # revenue-cents ×1e6 class as nrr_micro/drawdown_micro.
         F.expr(
-            "CAST(sum(CASE WHEN m <> first_m THEN rev_cents ELSE 0 END)"
+            "CAST(CAST(sum(CASE WHEN m <> first_m THEN rev_cents"
+            " ELSE 0 END) AS DECIMAL(38,0))"
             " * 1000000 div sum(rev_cents) AS BIGINT)"
         ).alias("repeat_share_micro"),
     )

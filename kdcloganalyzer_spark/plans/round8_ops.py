@@ -611,7 +611,16 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")),
         ).repartition(n_part, F.col("a.c"), F.col("b.c"))
     else:
-        a = e.alias("a")
+        # r16: the checkpointed e arrives with the distinct's
+        # AQE-coalesced width (5 partitions at sf0.1 — bytes-optimal,
+        # compute-starved), and the broadcast wedge probe + partial
+        # aggregation inherit it: the id's dominant stage ran on 5 of
+        # 32 cores. Round-robin the PROBE side to core count (guide
+        # §2.6 idle capacity); measured 3.26 → 1.61 s on the common
+        # aggregate. The broadcast side stays as-is (no exchange).
+        a = e.repartition(
+            spark.sparkContext.defaultParallelism
+        ).alias("a")
         b = F.broadcast(e.alias("b"))
         wedge = a.join(
             b,

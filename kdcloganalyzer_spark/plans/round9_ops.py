@@ -28,6 +28,31 @@ def _lp_changed(a: DataFrame, b: DataFrame) -> int:
     )
 
 
+def _lp_step_checkpoint(nxt2: DataFrame, labels: DataFrame):
+    """(node, lab, prev) eagerly checkpointed with the changed-label
+    count OBSERVED on the materialization pass itself — the
+    connected-components idiom (operators/dedup.py): convergence
+    detection rides the checkpoint action instead of paying a separate
+    node-keyed join+count action per step (r16, guide §2.1/§5 — the
+    loop's fixed cost is its eager actions)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    step = (
+        nxt2.join(
+            labels.select("node", F.col("lab").alias("prev")), "node"
+        )
+        .observe(
+            obs,
+            F.sum((F.col("lab") != F.col("prev")).cast("long")).alias(
+                "changed"
+            ),
+        )
+        .localCheckpoint()
+    )
+    return step, int(obs.get["changed"] or 0)
+
+
 def lp_converged_labels(
     sym: DataFrame, max_rounds: int = 10
 ) -> tuple[DataFrame, int, str]:
@@ -52,36 +77,47 @@ def lp_converged_labels(
     On a 2-cycle the returned labels are canonicalized as the per-node
     MIN over the two phases, so the result is a function of the graph,
     not of which phase the detector happened to stop in."""
+    from pyspark.sql import Observation
+
     from kdcloganalyzer_spark.plans.round8_ops import (
         lp_initial_labels,
         lp_vote_round,
     )
 
-    labels = lp_initial_labels(sym).localCheckpoint()
+    # Node count for the broadcast gate rides the init checkpoint's own
+    # materialization (r16) — no separate count() action.
+    obs0 = Observation()
+    labels = (
+        lp_initial_labels(sym)
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     # Size-gate the per-round broadcast of the node-sized label table
     # (checkpointed frames carry no stats, so the explicit hint is the
     # only way — the bfs_distances rule); beyond the gate fall back to
     # the plain co-partitioned shuffle join.
-    bcast = labels.count() <= 2_000_000
+    bcast = int(obs0.get["n"]) <= 2_000_000
     rounds = 0
     while rounds + 2 <= max_rounds:
-        nxt2 = lp_vote_round(
-            sym, lp_vote_round(sym, labels, bcast), bcast
-        ).localCheckpoint()
+        step, changed = _lp_step_checkpoint(
+            lp_vote_round(sym, lp_vote_round(sym, labels, bcast), bcast),
+            labels,
+        )
         rounds += 2
-        if _lp_changed(nxt2, labels) == 0:
-            # limit set reached at period 1 or 2: one more (lazy) vote
-            # tells which.
-            phase_b = lp_vote_round(sym, nxt2, bcast).localCheckpoint()
-            if _lp_changed(phase_b, nxt2) == 0:
+        nxt2 = step.select("node", "lab")
+        if changed == 0:
+            # limit set reached at period 1 or 2: ONE more vote — its
+            # phase comparison also observed on its own checkpoint.
+            stepped, moved = _lp_step_checkpoint(
+                lp_vote_round(sym, nxt2, bcast), nxt2
+            )
+            if moved == 0:
                 return nxt2, rounds, "fixed_point"
-            canon = (
-                nxt2.alias("a")
-                .join(phase_b.alias("b"), "node")
-                .select(
-                    "node",
-                    F.least(F.col("a.lab"), F.col("b.lab")).alias("lab"),
-                )
+            # 2-cycle: canonicalize as the per-node min over the two
+            # phases — both already sit on the stepped checkpoint
+            # (lab = phase b, prev = phase a), so no extra join.
+            canon = stepped.select(
+                "node", F.least("lab", "prev").alias("lab")
             )
             return canon, rounds, "cycle"
         labels = nxt2
@@ -229,6 +265,21 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the main job, i.e. two extra documents scans and a join.
     sources = sorted(
         row[0] for row in docs.select("source").distinct().collect()
+    )
+    # Bounded-domain contract, failed loud (ADVICE r15): a NULL source
+    # would TypeError inside sorted() above with an opaque message, and
+    # create_map rejects NULL keys outright — assert the precondition
+    # where the fix is obvious. The literal map stays cheap up to ~64
+    # sources (the repo's measured codegen-recompile bound for fresh
+    # literal expressions, CLAUDE.md r12); above that, switch to a
+    # broadcast join against the collected (source, idx) frame.
+    assert all(s is not None for s in sources), (
+        "pipeline_interleave_sources: NULL source value — the dense "
+        "source index requires non-null sources"
+    )
+    assert len(sources) <= 64, (
+        f"pipeline_interleave_sources: {len(sources)} sources exceeds "
+        "the literal-map codegen bound; use a broadcast-join index"
     )
     n_src = len(sources)
     idx_map = F.create_map(

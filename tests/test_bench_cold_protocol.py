@@ -166,11 +166,19 @@ def test_local_table_guard_prefers_calmer_table(tmp_path, monkeypatch):
         )
 
     # the r14 incident: prev = steal-clean but load-flagged (1 flag,
-    # 0.431%); current = driver run (1 flag, 1.706% steal) -> diverted
+    # 0.431%); current = driver run (1 flag, 1.706% steal) -> diverted,
+    # to a CPU-KEYED file (VERDICT r15 item 2a: the c8 scaling run
+    # overwrote the c32 run's per-id steal receipts)
     write_ref(True, False, 0.431)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
     assert bench._local_table_path(here, False, True, 1.706).endswith(
-        "BENCH_LOCAL_INFLATED.json"
+        "BENCH_LOCAL_INFLATED_c32.json"
     )
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._local_table_path(here, False, True, 1.706).endswith(
+        "BENCH_LOCAL_INFLATED_c8.json"
+    )
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
     # flagged run, but CALMER than the stored one -> overwrites
     write_ref(True, True, 2.0)
     assert bench._local_table_path(here, True, False, 0.9).endswith(
